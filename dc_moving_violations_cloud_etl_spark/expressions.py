@@ -1,0 +1,107 @@
+"""MySQL-dialect shims and canonical ETL expressions as native Columns.
+
+The reference's custom logic is row-level Python + MySQL-only SQL functions;
+every one maps to a JVM-side Column expression (SURVEY.md §2.C/§2.G) — no
+Python UDFs anywhere in the hot path, so the whole query surface stays
+inside whole-stage codegen.
+
+Reference citations (read-only at /root/reference):
+- DAYNAME:            sql/analysis_queries.sql:27
+- FIELD(weekday,...): sql/analysis_queries.sql:33-35
+- is_rain v1:         etl/full_load/weather_etl_history.py:85
+- is_rain v2:         etl/daily_load/weather_etl_daily.py:158-160
+- to_float_safe:      etl/daily_load/violation_etl_daily.py:201-210
+- ms_to_datetime:     etl/daily_load/violation_etl_daily.py:213-224
+- month bucket:       etl/full_load/violation_etl_history.py:120
+- synthetic key:      etl/daily_load/violation_etl_daily.py:247-248
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WEEKDAY_ORDER = [
+    "Monday",
+    "Tuesday",
+    "Wednesday",
+    "Thursday",
+    "Friday",
+    "Saturday",
+    "Sunday",
+]
+
+
+def dayname(c: Column) -> Column:
+    """MySQL ``DAYNAME(d)`` → English weekday name.
+
+    ``date_format(c, 'EEEE')`` is locale-dependent; this engine pins the
+    result to English regardless of JVM locale by deriving the name from
+    the locale-free ``dayofweek`` (1=Sunday..7=Saturday).
+    """
+    names = ["Sunday", "Monday", "Tuesday", "Wednesday", "Thursday", "Friday", "Saturday"]
+    return F.element_at(F.array(*[F.lit(n) for n in names]), F.dayofweek(c))
+
+
+def field_order(c: Column, values: list[str] | None = None) -> Column:
+    """MySQL ``FIELD(c, v1, v2, ...)`` — 1-based index of ``c`` in the list,
+    0 if absent (MySQL sorts absent values first; we replicate with 0).
+    Used as the custom sort key for weekday ordering (Qc).
+    """
+    values = values or WEEKDAY_ORDER
+    return F.coalesce(
+        F.array_position(F.array(*[F.lit(v) for v in values]), c), F.lit(0)
+    ).cast("int")
+
+
+def month_bucket(ts: Column) -> Column:
+    """``'yyyy-MM'`` month key (MySQL DATE_FORMAT '%Y-%m')."""
+    return F.date_format(ts, "yyyy-MM")
+
+
+def is_rain_v1(precip: Column) -> Column:
+    """Full-load rule: ``1 if precip > 0 else 0`` with null→0 guard."""
+    return (F.coalesce(precip, F.lit(0.0)) > 0).cast("int")
+
+
+def is_rain_v2(precip: Column, conditions: Column) -> Column:
+    """Daily-load (canonical) rule: precip>0 OR 'rain' in lower(conditions)."""
+    return (
+        (F.coalesce(precip, F.lit(0.0)) > 0)
+        | F.lower(F.coalesce(conditions, F.lit(""))).contains("rain")
+    ).cast("int")
+
+
+def safe_double(c: Column) -> Column:
+    """``to_float_safe``: parse-failure/NaN → NULL (Spark cast already
+    yields NULL on parse failure; NaN is mapped to NULL explicitly)."""
+    d = c.cast("double")
+    return F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
+
+
+def ms_to_timestamp(ms: Column) -> Column:
+    """ArcGIS ms-epoch → UTC timestamp (session TZ is pinned to UTC)."""
+    return F.timestamp_millis(ms.cast("long"))
+
+
+def ms_to_date(ms: Column) -> Column:
+    """ms-epoch → UTC calendar date (reference derives violation_date so)."""
+    return F.to_date(F.timestamp_millis(ms.cast("long")))
+
+
+def synthetic_violation_id(month: Column, object_id: Column) -> Column:
+    """Canonical key ``'{yyyy-MM}_{objectid}'`` (the daily-load scheme;
+    chosen as the single key scheme per SURVEY.md §1.4.4)."""
+    return F.concat_ws("_", month, object_id.cast("string"))
+
+
+def exact_decimal_sum(c: Column, precision: int = 18, scale: int = 2) -> Column:
+    """Order-independent exact SUM for monetary/metric doubles.
+
+    Summing doubles is not associative — partial-aggregation order would
+    make results differ run-to-run and engine-to-engine. Casting to
+    decimal first makes the aggregation exact (and therefore identical to
+    the DuckDB oracle bit-for-bit); the final cast back to double is a
+    single deterministic conversion.
+    """
+    return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
