@@ -59,10 +59,19 @@ def build_violations(lineitem: DataFrame, orders: DataFrame) -> DataFrame:
     v = (
         lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"), "inner")
         .select(
+            # reference key scheme is '{month}_{objectid}'
+            # (violation_etl_daily.py:247-248); the fixture lacks a single
+            # unique int — (orderkey,linenumber) alone collides — so the
+            # object-id part is the unique natural key
+            # (orderkey*8+linenumber, partkey, shipdate)
             synthetic_violation_id(
                 month,
-                # unique per lineitem row: orderkey*8 (max 7 lines/order)
-                (F.col("l_orderkey") * 8 + F.col("l_linenumber")),
+                F.concat_ws(
+                    "_",
+                    (F.col("l_orderkey") * 8 + F.col("l_linenumber")).cast("string"),
+                    F.col("l_partkey").cast("string"),
+                    F.date_format(issue, "yyyyMMdd"),
+                ),
             ).alias("violation_id"),
             issue.alias("issue_date"),
             F.to_date(issue).alias("violation_date"),

@@ -32,7 +32,9 @@ WITH _v_src AS (
 _v_proj AS (
   SELECT
     strftime(issue_ts, '%Y-%m') || '_'
-      || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) AS violation_id,
+      || CAST(l_orderkey * 8 + l_linenumber AS VARCHAR) || '_'
+      || CAST(l_partkey AS VARCHAR) || '_'
+      || strftime(issue_ts, '%Y%m%d') AS violation_id,
     issue_ts AS issue_date,
     CAST(issue_ts AS DATE) AS violation_date,
     o_orderpriority AS issuing_agency_name,

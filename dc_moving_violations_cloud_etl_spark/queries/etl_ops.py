@@ -1,0 +1,327 @@
+"""ETL operator layer as oracle-checked queries (SURVEY.md §2.B/C/J).
+
+Each entry exercises a real engine operator (transform pipeline, sink
+merge, watermark incremental) deterministically so the driver's DuckDB
+differential gate covers the ETL semantics, not just the analytics:
+
+- etl_violations_transform / etl_weather_transform — the full C1–C11
+  transform pipelines echoed row-for-row (13/9 columns).
+- sink_insert_ignore — B3 first-writer-wins merge: overlapping batch
+  with poisoned values must NOT replace existing rows.
+- sink_upsert_lww — B1/B2/B4 last-writer-wins merge: overlapping batch
+  MUST replace existing rows.
+- sink_dedupe_by_key — intra-batch PK dedup with a deterministic
+  representative.
+- watermark_incremental — J1–J3+J5: watermark read → bounded scan →
+  idempotent merge, with a pinned "today".
+
+Temporal split literals put the overlap mid-range (fixture dates span
+1995..2001).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..expressions import exact_decimal_sum
+from ..operators.incremental import incremental_merge
+from ..operators.sinks import dedupe_by_key, insert_if_absent, upsert_last_writer_wins
+from ..oracle import with_ref_views
+from .registry import QuerySpec, register
+
+EXISTING_BEFORE = "1999-01-01"  # existing table = violations before this
+OVERLAP_START = "1998-06-01"  # incoming batch overlaps existing here
+INCOMING_END = "1999-07-01"
+WM_EXISTING_THROUGH = "1999-12-31"  # watermark scenario: existing through
+WM_TODAY = dt.date(2000, 4, 1)  # pinned "today" → ingest through 03-31
+COLD_START = dt.date(1995, 1, 1)
+
+
+def _fmt_ts(c: str) -> F.Column:
+    return F.date_format(F.col(c), "yyyy-MM-dd HH:mm:ss").alias(c)
+
+
+def _fmt_d(c: str) -> F.Column:
+    return F.date_format(F.col(c), "yyyy-MM-dd").alias(c)
+
+
+def _etl_violations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = catalog.violations(spark, sf_dir)
+    return v.select(
+        "violation_id",
+        _fmt_ts("issue_date"),
+        _fmt_d("violation_date"),
+        "issuing_agency_name",
+        "accident_indicator",
+        "location",
+        "violation_code",
+        "violation_desc",
+        "fine_amount",
+        "total_paid",
+        "latitude",
+        "longitude",
+        "month",
+    )
+
+
+register(
+    QuerySpec(
+        "etl_violations_transform",
+        _etl_violations,
+        with_ref_views(
+            """
+SELECT violation_id,
+       strftime(issue_date, '%Y-%m-%d %H:%M:%S') AS issue_date,
+       strftime(violation_date, '%Y-%m-%d') AS violation_date,
+       issuing_agency_name, accident_indicator, location, violation_code,
+       violation_desc, fine_amount, total_paid, latitude, longitude, month
+FROM violations
+"""
+        ),
+        doc="C1-C6: full 13-column violations transform echoed row-for-row "
+        "(reference transform_row, violation_etl_daily.py:227-278)",
+        tags=("etl", "transform"),
+    )
+)
+
+
+def _etl_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = catalog.weather_daily(spark, sf_dir)
+    return w.select(
+        _fmt_d("weather_date"),
+        "tempmax",
+        "tempmin",
+        "temp",
+        "precip",
+        "humidity",
+        "windspeed",
+        "conditions",
+        "is_rain",
+    )
+
+
+register(
+    QuerySpec(
+        "etl_weather_transform",
+        _etl_weather,
+        with_ref_views(
+            """
+SELECT strftime(weather_date, '%Y-%m-%d') AS weather_date,
+       tempmax, tempmin, temp, precip, humidity, windspeed, conditions, is_rain
+FROM weather_daily
+"""
+        ),
+        doc="C7-C11: full 9-column weather transform echoed row-for-row "
+        "(reference transform_weather_row, weather_etl_daily.py:118-172)",
+        tags=("etl", "transform"),
+    )
+)
+
+
+def _summarize(df: DataFrame) -> DataFrame:
+    """Stable per-month summary of a merged violations set: row count +
+    exact fine sum reveal both cardinality and which row version won."""
+    return (
+        df.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            exact_decimal_sum(F.col("fine_amount")).alias("fine_sum"),
+        )
+        .orderBy("month")
+    )
+
+
+_SUMMARIZE_SQL = """
+SELECT month, count(*) AS n_rows,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE) AS fine_sum
+FROM merged GROUP BY month ORDER BY month
+"""
+
+
+def _split(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
+    v = catalog.violations(spark, sf_dir)
+    existing = v.where(F.col("violation_date") < EXISTING_BEFORE)
+    # overlapping incoming batch with poisoned fine_amount: whichever merge
+    # policy wins is visible in fine_sum
+    incoming = v.where(
+        (F.col("violation_date") >= OVERLAP_START)
+        & (F.col("violation_date") < INCOMING_END)
+    ).withColumn("fine_amount", F.lit(-1.0))
+    return existing, incoming
+
+
+_SPLIT_SQL = f"""
+existing AS (
+  SELECT * FROM violations WHERE violation_date < DATE '{EXISTING_BEFORE}'
+),
+incoming AS (
+  SELECT * REPLACE (-1.0 AS fine_amount) FROM violations
+  WHERE violation_date >= DATE '{OVERLAP_START}'
+    AND violation_date < DATE '{INCOMING_END}'
+)
+"""
+
+
+def _sink_insert_ignore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing, incoming = _split(spark, sf_dir)
+    return _summarize(insert_if_absent(existing, incoming, ["violation_id"]))
+
+
+register(
+    QuerySpec(
+        "sink_insert_ignore",
+        _sink_insert_ignore,
+        with_ref_views(
+            f""",
+{_SPLIT_SQL.strip().lstrip(',')},
+merged AS (
+  SELECT * FROM existing
+  UNION ALL
+  SELECT i.* FROM incoming i
+  WHERE NOT EXISTS (
+    SELECT 1 FROM existing e WHERE e.violation_id = i.violation_id)
+)
+{_SUMMARIZE_SQL}
+"""
+        ),
+        doc="B3 INSERT IGNORE: first-writer-wins left-anti merge; existing "
+        "rows keep original fines (reference violation_etl_daily.py:281-311)",
+        tags=("etl", "sink"),
+    )
+)
+
+
+def _sink_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    existing, incoming = _split(spark, sf_dir)
+    return _summarize(upsert_last_writer_wins(existing, incoming, ["violation_id"]))
+
+
+register(
+    QuerySpec(
+        "sink_upsert_lww",
+        _sink_upsert,
+        with_ref_views(
+            f""",
+{_SPLIT_SQL.strip().lstrip(',')},
+merged AS (
+  SELECT * EXCLUDE (_src_priority) FROM (
+    SELECT * FROM (
+      SELECT *, 1 AS _src_priority FROM existing
+      UNION ALL
+      SELECT *, 2 AS _src_priority FROM incoming
+    ) QUALIFY row_number() OVER (
+        PARTITION BY violation_id ORDER BY _src_priority DESC) = 1
+  )
+)
+{_SUMMARIZE_SQL}
+"""
+        ),
+        doc="B1/B2/B4 ON DUPLICATE KEY UPDATE: last-writer-wins window merge; "
+        "overlap rows take incoming fines (reference violation_etl_history.py:127-154)",
+        tags=("etl", "sink"),
+    )
+)
+
+
+def _sink_dedupe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = catalog.violations(spark, sf_dir)
+    # duplicate every key with a poisoned copy; the deterministic
+    # representative is the min over the non-key columns in schema order
+    dup_batch = v.unionByName(v.withColumn("fine_amount", F.lit(-1.0)))
+    deduped = dedupe_by_key(dup_batch, ["violation_id"])
+    return deduped.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("violation_id").alias("n_keys"),
+        exact_decimal_sum(F.col("fine_amount")).alias("fine_sum"),
+    )
+
+
+register(
+    QuerySpec(
+        "sink_dedupe_by_key",
+        _sink_dedupe,
+        with_ref_views(
+            """,
+dup_batch AS (
+  SELECT * FROM violations
+  UNION ALL
+  SELECT * REPLACE (-1.0 AS fine_amount) FROM violations
+),
+deduped AS (
+  SELECT * FROM dup_batch
+  QUALIFY row_number() OVER (
+    PARTITION BY violation_id
+    ORDER BY issue_date ASC NULLS FIRST, violation_date ASC NULLS FIRST,
+             issuing_agency_name ASC NULLS FIRST,
+             accident_indicator ASC NULLS FIRST, location ASC NULLS FIRST,
+             violation_code ASC NULLS FIRST, violation_desc ASC NULLS FIRST,
+             fine_amount ASC NULLS FIRST, total_paid ASC NULLS FIRST,
+             latitude ASC NULLS FIRST, longitude ASC NULLS FIRST,
+             month ASC NULLS FIRST) = 1
+)
+SELECT count(*) AS n_rows,
+       count(DISTINCT violation_id) AS n_keys,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE) AS fine_sum
+FROM deduped
+"""
+        ),
+        doc="Intra-batch PK dedup with deterministic representative "
+        "(engine analog of relying on MySQL PK, SURVEY.md §1.3)",
+        tags=("etl", "sink"),
+    )
+)
+
+
+def _watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = catalog.violations(spark, sf_dir)
+    existing = v.where(F.col("violation_date") <= WM_EXISTING_THROUGH)
+    merged = incremental_merge(
+        existing,
+        v,
+        date_col="violation_date",
+        key_cols=["violation_id"],
+        cold_start_default=COLD_START,
+        today=WM_TODAY,
+    )
+    return merged.agg(
+        F.count(F.lit(1)).alias("merged_count"),
+        F.date_format(F.min("violation_date"), "yyyy-MM-dd").alias("min_date"),
+        F.date_format(F.max("violation_date"), "yyyy-MM-dd").alias("max_date"),
+    )
+
+
+register(
+    QuerySpec(
+        "watermark_incremental",
+        _watermark,
+        with_ref_views(
+            f""",
+existing AS (
+  SELECT * FROM violations WHERE violation_date <= DATE '{WM_EXISTING_THROUGH}'
+),
+fresh AS (
+  SELECT v.* FROM violations v
+  WHERE v.violation_date > (SELECT max(violation_date) FROM existing)
+    AND v.violation_date <= DATE '{WM_TODAY - dt.timedelta(days=1)}'
+    AND NOT EXISTS (
+      SELECT 1 FROM existing e WHERE e.violation_id = v.violation_id)
+),
+merged AS (
+  SELECT * FROM existing UNION ALL SELECT * FROM fresh
+)
+SELECT count(*) AS merged_count,
+       strftime(min(violation_date), '%Y-%m-%d') AS min_date,
+       strftime(max(violation_date), '%Y-%m-%d') AS max_date
+FROM merged
+"""
+        ),
+        doc="J1-J3+J5 watermark incremental: max(date) watermark, bounded "
+        "scan through pinned yesterday, idempotent insert-if-absent merge "
+        "(reference violation_etl_daily.py:120-146,318-365)",
+        tags=("etl", "incremental"),
+    )
+)
