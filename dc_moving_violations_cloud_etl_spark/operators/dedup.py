@@ -1,0 +1,304 @@
+"""Deduplication operators for LLM-data pipelines (BASELINE.json
+north-star): exact, fingerprint-blocked n-gram Jaccard, MinHash+LSH,
+and SimHash — Spark-first implementations.
+
+Algorithm shapes (standard corpus-dedup literature — Broder '97 MinHash,
+Charikar '02 SimHash — as popularized in web-scale LLM corpus pipelines):
+
+- **exact**: hash-groupBy on normalized text; one shuffle on the hash.
+- **ngram_jaccard**: block on a normalized-prefix fingerprint, pair
+  within blocks, verify with character-3-gram Jaccard. The block join is
+  an equi-join (shuffle on the fingerprint), never an O(n²) cross join.
+- **minhash_lsh**: 16 md5-based min-hashes per doc → 4 bands of 4 →
+  candidate pairs share a band hash (equi-join on band) → verify with
+  true Jaccard. Hash-based, seed-free, so the DuckDB oracle reproduces
+  it bit-for-bit.
+- **simhash**: 32-bit fingerprint via bit-weighted token md5s; hamming
+  neighbors become candidate pairs (pairing not materialized here —
+  fingerprints themselves are the oracle-checked artifact).
+
+Scale: every stage is explode → hash → groupBy/equi-join; no cross
+joins, no driver-side loops. Band/bucket keys distribute uniformly (md5)
+so the shuffles are skew-free by construction. At 100 TB, dedup runs as
+a pipeline of hash-partitioned stages; candidate verification touches
+only the (tiny) within-bucket pair set.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import fingerprint, normalized, shingles, text_hash
+
+N_MINHASH = 16
+N_BANDS = 4
+BAND_WIDTH = N_MINHASH // N_BANDS
+JACCARD_THRESHOLD = 0.5
+
+
+def norm_docs(documents: DataFrame) -> DataFrame:
+    """documents + normalized text/shingle columns (the shared prefix of
+    every dedup pipeline)."""
+    norm = normalized(F.col("text"))
+    return documents.select(
+        "doc_id",
+        "lang",
+        norm.alias("norm"),
+        text_hash(norm).alias("text_hash"),
+        fingerprint(norm).alias("fp40"),
+        shingles(norm).alias("sh"),
+    )
+
+
+def exact_dup_summary(documents: DataFrame) -> DataFrame:
+    """Exact dedup accounting: total docs, unique normalized texts,
+    redundant doc count."""
+    d = norm_docs(documents)
+    return d.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("text_hash").alias("n_unique_texts"),
+        (F.count(F.lit(1)) - F.countDistinct("text_hash")).alias("n_dup_docs"),
+    )
+
+
+def fingerprint_dup_groups(documents: DataFrame) -> DataFrame:
+    """Prefix-fingerprint blocking groups with >1 member: the cheap
+    near-dup report (fingerprint, member count, keeper = min doc_id)."""
+    d = norm_docs(documents)
+    return (
+        d.groupBy("fp40")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("doc_id").alias("keeper_doc_id"),
+        )
+        .where(F.col("dup_count") > 1)
+        .orderBy("fp40")
+    )
+
+
+def _jaccard(a: F.Column, b: F.Column) -> F.Column:
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return F.round(inter / union, 6)
+
+
+def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
+    """Near-dup pairs: block on the prefix fingerprint (equi-join — no
+    cross join), verify char-3-gram Jaccard ≥ threshold."""
+    d = norm_docs(documents).select("doc_id", "fp40", "sh")
+    a = d.alias("a")
+    b = d.alias("b")
+    pairs = a.join(b, F.col("a.fp40") == F.col("b.fp40")).where(
+        F.col("a.doc_id") < F.col("b.doc_id")
+    )
+    return (
+        pairs.select(
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+            _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("a_doc_id", "b_doc_id")
+    )
+
+
+def minhash_signatures(documents: DataFrame) -> DataFrame:
+    """16 seed-salted md5 min-hashes per doc + 4 LSH band hashes.
+
+    min over the md5 hex strings is a lexicographic min — deterministic
+    and exactly reproducible in SQL (no RNG, no permutation tables).
+
+    Plan shape matters here: signatures are computed as explode(sh) →
+    16 partial+final ``min`` hash-aggregations, NOT as a per-row nested
+    higher-order function. The Aggregate node is an optimizer barrier —
+    downstream self-joins can't inline (and re-evaluate) the md5 work
+    per candidate pair, which is exactly the blowup that makes the naive
+    expression shape O(pairs × shingles) instead of O(corpus shingles).
+    Map-side combine keeps the shuffle at 16 hex strings per doc.
+    """
+    d = norm_docs(documents).where(F.size("sh") > 0)
+    ex = d.select("doc_id", F.explode("sh").alias("x"))
+    sig = ex.groupBy("doc_id").agg(
+        *[
+            F.min(F.md5(F.concat(F.lit(str(s)), F.col("x")))).alias(f"_mh{s}")
+            for s in range(N_MINHASH)
+        ]
+    )
+    mh = F.array(*[F.col(f"_mh{s}") for s in range(N_MINHASH)])
+    bands = F.array(
+        *[
+            F.md5(
+                F.concat(
+                    *[F.col(f"_mh{b * BAND_WIDTH + j}") for j in range(BAND_WIDTH)]
+                )
+            )
+            for b in range(N_BANDS)
+        ]
+    )
+    return (
+        d.join(sig, "doc_id")
+        .withColumn("mh", mh)
+        .withColumn("bands", bands)
+        .drop(*[f"_mh{s}" for s in range(N_MINHASH)])
+    )
+
+
+def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
+    """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard.
+
+    Plan: posexplode bands → equi-join on (band_idx, band_hash) →
+    distinct pair → join back shingles → verify. All shuffles are on
+    uniform hash keys.
+    """
+    sigs = minhash_signatures(documents)
+    bands = sigs.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("a_doc_id"),
+            F.col("b.doc_id").alias("b_doc_id"),
+        )
+        .distinct()
+    )
+    sh = norm_docs(documents).select("doc_id", "sh")
+    return (
+        cand.join(sh.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("sh", "sh_a"), "a_doc_id")
+        .join(sh.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("sh", "sh_b"), "b_doc_id")
+        .select(
+            "a_doc_id",
+            "b_doc_id",
+            _jaccard(F.col("sh_a"), F.col("sh_b")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("a_doc_id", "b_doc_id")
+    )
+
+
+EMB_COSINE_THRESHOLD = 0.4
+EMB_N_BANDS = 2  # 8 hyperplanes as 2 bands of 4 sign bits (banded LSH)
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = EMB_COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, banded-hyperplane-LSH blocked.
+
+    Plan: 8 deterministic hyperplanes → per-vector 2 band signatures of 4
+    sign bits → posexplode → equi-join on (band_idx, band_sig) — never a
+    cross join — → distinct pair → exact cosine ≥ threshold. The banding
+    (2×4 instead of 1×8) trades candidate volume for recall exactly like
+    MinHash banding; at 100 TB the pair space shrinks from O(n²) to the
+    within-band collision set on uniformly-hashed keys.
+    """
+    from .similarity import _dot, collect_planes, with_norm
+
+    planes = collect_planes(embeddings)
+    corpus = with_norm(embeddings)
+    bits = [
+        F.when(_dot(F.col("e"), F.array(*[F.lit(float(x)) for x in p])) > 0, 1).otherwise(0)
+        for p in planes
+    ]
+    width = len(planes) // EMB_N_BANDS
+    band_sigs = F.array(
+        *[
+            sum(bits[b * width + j] * F.lit(2**j) for j in range(width))
+            for b in range(EMB_N_BANDS)
+        ]
+    )
+    banded = corpus.withColumn("bands", band_sigs).select(
+        "vec_id", F.posexplode("bands").alias("band_idx", "band_sig")
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_vec_id"), F.col("b.vec_id").alias("b_vec_id")
+        )
+        .distinct()
+    )
+    n = corpus.select("vec_id", "e", "norm")
+    return (
+        cand.join(
+            n.select(
+                F.col("vec_id").alias("a_vec_id"),
+                F.col("e").alias("e_a"),
+                F.col("norm").alias("n_a"),
+            ),
+            "a_vec_id",
+        )
+        .join(
+            n.select(
+                F.col("vec_id").alias("b_vec_id"),
+                F.col("e").alias("e_b"),
+                F.col("norm").alias("n_b"),
+            ),
+            "b_vec_id",
+        )
+        .select(
+            "a_vec_id",
+            "b_vec_id",
+            F.round(_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6).alias(
+                "cos_sim"
+            ),
+        )
+        .where(F.col("cos_sim") >= F.lit(threshold))
+        .orderBy("a_vec_id", "b_vec_id")
+    )
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """32-bit SimHash per doc: token md5 → 32-bit int; per bit, sum ±1
+    over tokens; positive sums set the bit.
+
+    Spark shape: explode(tokens) × explode(bits) → two hash-partitioned
+    aggregations — linear in corpus token count, no pairwise work.
+    """
+    d = norm_docs(documents)
+    toks = d.select(
+        "doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("t")
+    )
+    hashed = toks.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h"),
+    )
+    bits = hashed.select(
+        "doc_id",
+        "h",
+        F.explode(F.sequence(F.lit(0), F.lit(31))).alias("b"),
+    ).select(
+        "doc_id",
+        "b",
+        F.when(
+            F.expr("(h div CAST(pow(2, b) AS LONG)) % 2") == 1, F.lit(1)
+        )
+        .otherwise(F.lit(-1))
+        .alias("contrib"),
+    )
+    per_bit = bits.groupBy("doc_id", "b").agg(F.sum("contrib").alias("s"))
+    return (
+        per_bit.groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("s") > 0, F.expr("CAST(pow(2, b) AS LONG)")).otherwise(
+                    F.lit(0)
+                )
+            ).alias("simhash")
+        )
+        .orderBy("doc_id")
+    )

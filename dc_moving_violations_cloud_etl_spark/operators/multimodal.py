@@ -1,0 +1,155 @@
+"""Multimodal column plumbing (BASELINE.json north-star): treat
+image/audio/video payloads as opaque ``binary`` columns with typed
+metadata, decoded by Arrow-batched pandas UDFs over ``mapInPandas``.
+
+The container has no image/audio libraries, so the decode step is a
+DETERMINISTIC FAKE (documented): payload = md5 digest of the normalized
+text (16 bytes standing in for encoded media), and "decode" reads
+header-like fields from the leading bytes. The Spark-side plumbing —
+binary column, schema contract, Arrow batch iteration, partition-
+parallel UDF — is real and is what a real decoder (PIL/ffmpeg) would
+drop into. A real implementation raises NotImplementedError where noted.
+
+Scale: ``mapInPandas`` streams Arrow batches per partition — constant
+memory, no shuffle; exactly how image decode/resize runs over a 100 TB
+corpus (CPU-bound map stage, sized by input split).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalized
+
+DECODED_SCHEMA = (
+    "doc_id long, byte_len int, width int, height int, channels int, mean_byte double"
+)
+
+
+def with_payload(documents: DataFrame) -> DataFrame:
+    """Attach the fake binary media payload (md5 digest bytes of the
+    normalized text) — the ``binary``-column contract a real pipeline
+    would get from an object-store scan."""
+    return documents.select(
+        "doc_id", F.unhex(F.md5(normalized(F.col("text")))).alias("payload")
+    )
+
+
+def decode_metadata(documents: DataFrame) -> DataFrame:
+    """binary payload → typed metadata via mapInPandas (the multimodal
+    decode plumbing: schema contract + Arrow batching are real; the
+    pixel math is the deterministic fake).
+
+    The batch fn is nested so cloudpickle ships it BY VALUE — workers
+    need no importable copy of this package (driver-cwd independent).
+    """
+
+    def decode_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # a real decoder would be PIL.Image.open over io.BytesIO
+        # (NotImplementedError in this container — no image libs)
+        for pdf in batches:
+            pl = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "byte_len": pl.map(len),
+                    "width": pl.map(lambda b: b[0]),
+                    "height": pl.map(lambda b: b[1]),
+                    "channels": pl.map(lambda b: 1 + b[2] % 3),
+                    "mean_byte": pl.map(lambda b: sum(b) / float(len(b))),
+                }
+            )
+
+    return (
+        with_payload(documents)
+        .mapInPandas(decode_batches, schema=DECODED_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+RESIZED_SCHEMA = (
+    "doc_id long, thumb_w int, thumb_h int, "
+    "q00 double, q01 double, q10 double, q11 double"
+)
+
+
+def resize_thumbnail(documents: DataFrame) -> DataFrame:
+    """binary payload → 2×2 thumbnail stats via mapInPandas (the image
+    resize plumbing: same batch shape a PIL-backed resize would use —
+    quadrant means over the 16 payload bytes stand in for the pixels).
+    Batch fn nested → pickled by value (worker-importable package not
+    required)."""
+
+    def resize_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            pl = pdf["payload"]
+            quad = [
+                pl.map(lambda b, q=q: sum(b[q * 4 : q * 4 + 4]) / 4.0)
+                for q in range(4)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "thumb_w": 2,
+                    "thumb_h": 2,
+                    "q00": quad[0],
+                    "q01": quad[1],
+                    "q10": quad[2],
+                    "q11": quad[3],
+                }
+            )
+
+    return (
+        with_payload(documents)
+        .mapInPandas(resize_batches, schema=RESIZED_SCHEMA)
+        .orderBy("doc_id")
+    )
+
+
+FRAMES_SCHEMA = "doc_id long, frame_idx int, n_frames int, frame_byte int"
+FRAME_STRIDE = 3
+
+
+def frame_sample(documents: DataFrame) -> DataFrame:
+    """binary payload → sampled frame rows via mapInPandas — the 1→N
+    row-expanding UDF shape (ffmpeg keyframe extraction in a real
+    pipeline): the payload header byte sets the fake frame count (8–15);
+    every 3rd frame is sampled; the frame's leading byte stands in for
+    the frame tensor. Batch fn nested → pickled by value."""
+    stride = FRAME_STRIDE
+
+    def frame_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out: dict[str, list] = {
+                "doc_id": [],
+                "frame_idx": [],
+                "n_frames": [],
+                "frame_byte": [],
+            }
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                n_frames = 8 + b[0] % 8
+                for i in range(0, n_frames, stride):
+                    out["doc_id"].append(doc_id)
+                    out["frame_idx"].append(i)
+                    out["n_frames"].append(n_frames)
+                    out["frame_byte"].append(b[i % len(b)])
+            yield pd.DataFrame(out)
+
+    return (
+        with_payload(documents)
+        .mapInPandas(frame_batches, schema=FRAMES_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
+def decode_real(documents: DataFrame) -> DataFrame:
+    """The real-decoder extension point (image libs absent here)."""
+    raise NotImplementedError(
+        "real media decode requires PIL/ffmpeg, not present in this "
+        "container; decode_metadata() exercises the identical Spark "
+        "plumbing with a deterministic fake"
+    )

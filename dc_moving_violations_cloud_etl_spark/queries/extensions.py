@@ -1,0 +1,617 @@
+"""LLM-data-pipeline extension queries (BASELINE.json north-star),
+oracle-checked: text analysis, dedup family, similarity search,
+multimodal plumbing — each over the ``documents`` / ``embeddings``
+fixtures with a DuckDB twin mirroring the algorithm hash-for-hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators import dedup, multimodal, similarity
+from ..operators.text import (
+    BPE_PATTERN,
+    LANG_MARKERS,
+    LANG_PRIORITY,
+    RH_ALPHABET,
+    RH_BASE,
+    RH_MOD,
+    RH_PREFIX,
+    STOPWORDS,
+    bpe_tokens,
+    lang_pred,
+    lang_scores,
+    normalized,
+    punct_ratio,
+    quality_bucket,
+    rolling_hash,
+    token_stats,
+    tokens,
+)
+from .registry import QuerySpec, register
+
+# ---------------------------------------------------------------------------
+# shared DuckDB CTE mirroring operators/text.py normalization
+# ---------------------------------------------------------------------------
+
+_DOCS_CTE = r"""
+WITH _d0 AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+docs_n AS (
+  SELECT doc_id, lang, norm,
+         md5(norm) AS text_hash,
+         md5(substr(norm, 1, 40)) AS fp40,
+         list_distinct(list_transform(
+           generate_series(1, greatest(len(norm) - 2, 1)),
+           i -> substr(norm, i, 3))) AS sh,
+         string_split(norm, ' ') AS toks
+  FROM _d0
+)
+"""
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.base(spark, sf_dir, "documents")
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.base(spark, sf_dir, "embeddings")
+
+
+# ---------------------------------------------------------------------------
+# text analysis
+# ---------------------------------------------------------------------------
+
+
+def _text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    st = token_stats(F.col("toks"))
+    return d.select(
+        "doc_id",
+        st["n_tokens"].alias("n_tokens"),
+        st["n_distinct_tokens"].alias("n_distinct_tokens"),
+        st["avg_token_len"],
+        st["stopword_ratio"],
+    ).withColumn(
+        "quality", quality_bucket(F.col("n_tokens"), F.col("stopword_ratio"))
+    ).orderBy("doc_id")
+
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+register(
+    QuerySpec(
+        "text_stats_quality",
+        _text_stats,
+        _DOCS_CTE
+        + f"""
+, st AS (
+  SELECT doc_id,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+         CAST(list_sum(list_transform(toks, t -> len(t))) AS DOUBLE)
+           / CAST(len(toks) AS BIGINT) AS avg_token_len,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+           / CAST(len(toks) AS BIGINT) AS stopword_ratio
+  FROM docs_n
+)
+SELECT *,
+       CASE WHEN n_tokens < 20 THEN 'low'
+            WHEN stopword_ratio >= 0.02 AND n_tokens >= 40 THEN 'high'
+            ELSE 'medium' END AS quality
+FROM st ORDER BY doc_id
+""",
+        doc="Token counting + quality scoring over documents (north-star "
+        "text analysis; whole-stage-codegen expressions, no UDFs)",
+        tags=("extension", "text"),
+    )
+)
+
+
+def _lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    scores = lang_scores(F.col("toks"))
+    return (
+        d.withColumn("pred_lang", lang_pred(scores))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _lang_sql() -> str:
+    score_cols = ",\n         ".join(
+        "CAST(len(list_intersect(list_distinct(toks), ["
+        + ", ".join(f"'{m}'" for m in LANG_MARKERS[lang])
+        + f"])) AS BIGINT) AS s_{lang}"
+        for lang in LANG_PRIORITY
+    )
+    case_lines = []
+    for i, lang in enumerate(LANG_PRIORITY[:-1]):
+        conds = " AND ".join(
+            f"s_{lang} >= s_{other}" for other in LANG_PRIORITY[i + 1 :]
+        )
+        case_lines.append(f"WHEN {conds} THEN '{lang}'")
+    case_sql = "CASE " + " ".join(case_lines) + f" ELSE '{LANG_PRIORITY[-1]}' END"
+    return (
+        _DOCS_CTE
+        + f"""
+, scored AS (
+  SELECT doc_id, lang,
+         {score_cols}
+  FROM docs_n
+)
+SELECT lang, {case_sql} AS pred_lang, count(*) AS n_docs
+FROM scored GROUP BY lang, pred_lang ORDER BY lang, pred_lang
+"""
+    )
+
+
+register(
+    QuerySpec(
+        "lang_id_confusion",
+        _lang_id,
+        _lang_sql(),
+        doc="Marker-stopword language-ID heuristic, confusion matrix vs the "
+        "lang label (labels are not content-derived in the fixture — "
+        "accuracy is reported, not optimized)",
+        tags=("extension", "text"),
+    )
+)
+
+
+def _bpe_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    norm = normalized(F.col("text"))
+    return (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            F.size(bpe_tokens(norm)).cast("long").alias("n_bpe_tokens"),
+            F.size(tokens(norm)).cast("long").alias("n_ws_tokens"),
+            punct_ratio(norm).alias("punct_ratio"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "text_bpe_token_stats",
+        _bpe_stats,
+        _DOCS_CTE
+        + f"""
+SELECT doc_id,
+       CAST(len(regexp_extract_all(norm, '{BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+       CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+       CASE WHEN len(norm) > 0
+            THEN CAST(len(regexp_replace(norm, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+                   / CAST(len(norm) AS DOUBLE)
+            ELSE 0.0 END AS punct_ratio
+FROM docs_n ORDER BY doc_id
+""",
+        doc="BPE-ish regex pretoken counting vs whitespace tokens + "
+        "punctuation-ratio quality signal (pure regex projections, "
+        "whole-stage codegen)",
+        tags=("extension", "text"),
+    )
+)
+
+
+_RH_CHARS_SQL = "[" + ", ".join(
+    "'" + ch.replace("'", "''") + "'" for ch in RH_ALPHABET
+) + "]"
+
+register(
+    QuerySpec(
+        "text_rolling_fingerprint",
+        lambda spark, sf_dir: _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            rolling_hash(normalized(F.col("text"))).alias("rhash"),
+        )
+        .orderBy("doc_id"),
+        _DOCS_CTE
+        + f"""
+SELECT doc_id,
+       list_reduce(
+         list_prepend(CAST(0 AS BIGINT),
+           list_transform(
+             generate_series(1, greatest(least(len(norm), {RH_PREFIX}), 1)),
+             i -> CAST(list_position({_RH_CHARS_SQL}, substr(norm, i, 1)) AS BIGINT))),
+         (acc, c) -> (acc * {RH_BASE} + c) % {RH_MOD}) AS rhash
+FROM docs_n ORDER BY doc_id
+""",
+        doc="Rabin-Karp polynomial rolling-hash document fingerprint over "
+        "the first 64 normalized chars (integer-exact fold, bit-identical "
+        "across engines)",
+        tags=("extension", "text"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# dedup family
+# ---------------------------------------------------------------------------
+
+
+register(
+    QuerySpec(
+        "dedup_exact_summary",
+        lambda spark, sf_dir: dedup.exact_dup_summary(_docs(spark, sf_dir)),
+        _DOCS_CTE
+        + """
+SELECT count(*) AS n_docs,
+       count(DISTINCT text_hash) AS n_unique_texts,
+       count(*) - count(DISTINCT text_hash) AS n_dup_docs
+FROM docs_n
+""",
+        doc="Exact dedup: hash-groupBy accounting on normalized text",
+        tags=("extension", "dedup"),
+    )
+)
+
+register(
+    QuerySpec(
+        "dedup_fingerprint_groups",
+        lambda spark, sf_dir: dedup.fingerprint_dup_groups(_docs(spark, sf_dir)),
+        _DOCS_CTE
+        + """
+SELECT fp40, count(*) AS dup_count, min(doc_id) AS keeper_doc_id
+FROM docs_n GROUP BY fp40 HAVING count(*) > 1 ORDER BY fp40
+""",
+        doc="Prefix-fingerprint near-dup blocking groups (keeper = min id)",
+        tags=("extension", "dedup"),
+    )
+)
+
+_JACCARD_SQL = (
+    "round(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)"
+    " / CAST(len(list_distinct(list_concat(a.sh, b.sh))) AS DOUBLE), 6)"
+)
+
+register(
+    QuerySpec(
+        "dedup_ngram_jaccard_pairs",
+        lambda spark, sf_dir: dedup.ngram_jaccard_pairs(_docs(spark, sf_dir)),
+        _DOCS_CTE
+        + f"""
+SELECT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id,
+       {_JACCARD_SQL} AS jaccard
+FROM docs_n a JOIN docs_n b ON a.fp40 = b.fp40 AND a.doc_id < b.doc_id
+WHERE {_JACCARD_SQL} >= 0.5
+ORDER BY a_doc_id, b_doc_id
+""",
+        doc="n-gram Jaccard near-dup pairs, fingerprint-blocked (equi-join, "
+        "no cross join)",
+        tags=("extension", "dedup"),
+    )
+)
+
+
+def _minhash_sql() -> str:
+    return (
+        _DOCS_CTE
+        + """
+, sigs AS (
+  SELECT doc_id, sh,
+         list_transform(generate_series(0, 15),
+           s -> list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || x)))) AS mh
+  FROM docs_n WHERE len(sh) > 0
+),
+bands AS (
+  SELECT doc_id,
+         i - 1 AS band_idx,
+         md5(mh[(i-1)*4 + 1] || mh[(i-1)*4 + 2] || mh[(i-1)*4 + 3] || mh[(i-1)*4 + 4]) AS band_hash
+  FROM sigs, (SELECT unnest(generate_series(1, 4)) AS i)
+),
+cand AS (
+  SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
+   AND a.doc_id < b.doc_id
+)
+SELECT c.a_doc_id, c.b_doc_id,
+       round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+         / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE), 6) AS jaccard
+FROM cand c
+JOIN docs_n da ON da.doc_id = c.a_doc_id
+JOIN docs_n db ON db.doc_id = c.b_doc_id
+WHERE round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE), 6) >= 0.5
+ORDER BY a_doc_id, b_doc_id
+"""
+    )
+
+
+register(
+    QuerySpec(
+        "dedup_minhash_lsh_pairs",
+        lambda spark, sf_dir: dedup.minhash_lsh_pairs(_docs(spark, sf_dir)),
+        _minhash_sql(),
+        doc="MinHash(16)+LSH(4 bands) candidate pairs verified by true "
+        "Jaccard — seed-free md5 min-hashing, bit-reproducible in SQL",
+        tags=("extension", "dedup"),
+    )
+)
+
+register(
+    QuerySpec(
+        "dedup_simhash_fingerprints",
+        lambda spark, sf_dir: dedup.simhash_fingerprints(_docs(spark, sf_dir)),
+        _DOCS_CTE
+        + """
+, toks_x AS (
+  SELECT doc_id, unnest(list_distinct(toks)) AS t FROM docs_n
+),
+hs AS (
+  SELECT doc_id, CAST('0x' || substr(md5(t), 1, 8) AS BIGINT) AS h FROM toks_x
+),
+per_bit AS (
+  SELECT doc_id, b,
+         sum(CASE WHEN (h // CAST(pow(2, b) AS BIGINT)) % 2 = 1
+                  THEN 1 ELSE -1 END) AS s
+  FROM hs, (SELECT unnest(generate_series(0, 31)) AS b)
+  GROUP BY doc_id, b
+)
+SELECT doc_id,
+       CAST(sum(CASE WHEN s > 0 THEN CAST(pow(2, b) AS BIGINT) ELSE 0 END) AS BIGINT)
+         AS simhash
+FROM per_bit GROUP BY doc_id ORDER BY doc_id
+""",
+        doc="32-bit SimHash fingerprints (bit-weighted token md5s) — "
+        "linear explode+agg, no pairwise work",
+        tags=("extension", "dedup"),
+    )
+)
+
+
+register(
+    QuerySpec(
+        "dedup_embedding_cosine_pairs",
+        lambda spark, sf_dir: dedup.embedding_cosine_pairs(_emb(spark, sf_dir)),
+        """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+normed AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)),
+              i -> e[i] * e[i]))) AS nrm
+  FROM corpus
+),
+planes AS (
+  SELECT vec_id AS plane_id, e AS pe FROM corpus WHERE vec_id BETWEEN 1 AND 8
+),
+bits AS (
+  SELECT n.vec_id, p.plane_id,
+         CASE WHEN list_sum(list_transform(generate_series(1, len(n.e)),
+                   i -> n.e[i] * p.pe[i])) > 0 THEN 1 ELSE 0 END AS bit
+  FROM normed n, planes p
+),
+bands AS (
+  SELECT vec_id, CAST((plane_id - 1) // 4 AS INTEGER) AS band_idx,
+         CAST(sum(bit * CAST(pow(2, (plane_id - 1) % 4) AS BIGINT)) AS INTEGER)
+           AS band_sig
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.vec_id < b.vec_id
+)
+SELECT a_vec_id, b_vec_id, cos_sim FROM (
+  SELECT c.a_vec_id, c.b_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(na.e)),
+               i -> na.e[i] * nb.e[i])) / (na.nrm * nb.nrm), 6) AS cos_sim
+  FROM cand c
+  JOIN normed na ON na.vec_id = c.a_vec_id
+  JOIN normed nb ON nb.vec_id = c.b_vec_id
+)
+WHERE cos_sim >= 0.4
+ORDER BY a_vec_id, b_vec_id
+""",
+        doc="Embedding-cosine near-dup pairs: banded hyperplane LSH (2 bands "
+        "x 4 sign bits) prunes the O(n^2) pair space to band collisions; "
+        "exact cosine verifies (the embedding-space analog of MinHash LSH)",
+        tags=("extension", "dedup", "similarity"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# similarity search
+# ---------------------------------------------------------------------------
+
+_EMB_CTE = """
+WITH corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+normed AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)),
+              i -> e[i] * e[i]))) AS nrm
+  FROM corpus
+)
+"""
+
+register(
+    QuerySpec(
+        "similarity_cosine_topk",
+        lambda spark, sf_dir: similarity.cosine_topk_bruteforce(_emb(spark, sf_dir)),
+        _EMB_CTE
+        + """
+, queries AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, queries q
+)
+SELECT query_vec_id, neighbor_vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_vec_id
+      ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_vec_id, rank
+""",
+        doc="Brute-force cosine top-k ANN baseline: broadcast query set, "
+        "embarrassingly parallel scan, deterministic fold + 6dp rounding",
+        tags=("extension", "similarity"),
+    )
+)
+
+register(
+    QuerySpec(
+        "similarity_lsh_topk",
+        lambda spark, sf_dir: similarity.cosine_topk_lsh(_emb(spark, sf_dir)),
+        _EMB_CTE
+        + """
+, planes AS (
+  SELECT vec_id AS plane_id, e AS pe FROM corpus
+  WHERE vec_id BETWEEN 1 AND 8
+),
+buckets AS (
+  SELECT n.vec_id,
+         sum(CASE WHEN list_sum(list_transform(generate_series(1, len(n.e)),
+                    i -> n.e[i] * p.pe[i])) > 0
+                  THEN CAST(pow(2, p.plane_id - 1) AS INTEGER) ELSE 0 END) AS bucket
+  FROM normed n, planes p GROUP BY n.vec_id
+),
+bucketed AS (
+  SELECT n.vec_id, n.e, n.nrm, b.bucket
+  FROM normed n JOIN buckets b USING (vec_id)
+),
+queries AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm, bucket AS qbucket
+  FROM bucketed WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM bucketed c JOIN queries q ON c.bucket = q.qbucket
+)
+SELECT query_vec_id, neighbor_vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_vec_id
+      ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_vec_id, rank
+""",
+        doc="Hyperplane-LSH bucketed ANN: 256 sign-pattern buckets prune the "
+        "scan to the query's bucket (the 100TB scale path)",
+        tags=("extension", "similarity"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# multimodal plumbing
+# ---------------------------------------------------------------------------
+
+register(
+    QuerySpec(
+        "multimodal_decode_metadata",
+        lambda spark, sf_dir: multimodal.decode_metadata(_docs(spark, sf_dir)),
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+)
+SELECT doc_id,
+       16 AS byte_len,
+       bytes[1] AS width,
+       bytes[2] AS height,
+       1 + bytes[3] % 3 AS channels,
+       CAST(list_sum(bytes) AS DOUBLE) / 16.0 AS mean_byte
+FROM b ORDER BY doc_id
+""",
+        doc="Multimodal binary-column plumbing: mapInPandas Arrow-batched "
+        "decode stub (deterministic fake; real decoder is the documented "
+        "extension point)",
+        tags=("extension", "multimodal"),
+    )
+)
+
+_PAYLOAD_CTE = r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+)
+"""
+
+register(
+    QuerySpec(
+        "multimodal_resize_thumbnail",
+        lambda spark, sf_dir: multimodal.resize_thumbnail(_docs(spark, sf_dir)),
+        _PAYLOAD_CTE
+        + """
+SELECT doc_id, 2 AS thumb_w, 2 AS thumb_h,
+       CAST(bytes[1] + bytes[2] + bytes[3] + bytes[4] AS DOUBLE) / 4.0 AS q00,
+       CAST(bytes[5] + bytes[6] + bytes[7] + bytes[8] AS DOUBLE) / 4.0 AS q01,
+       CAST(bytes[9] + bytes[10] + bytes[11] + bytes[12] AS DOUBLE) / 4.0 AS q10,
+       CAST(bytes[13] + bytes[14] + bytes[15] + bytes[16] AS DOUBLE) / 4.0 AS q11
+FROM b ORDER BY doc_id
+""",
+        doc="Image-resize plumbing: mapInPandas Arrow-batched 2x2 thumbnail "
+        "stub (quadrant byte means; PIL resize is the documented extension "
+        "point)",
+        tags=("extension", "multimodal"),
+    )
+)
+
+register(
+    QuerySpec(
+        "multimodal_frame_sample",
+        lambda spark, sf_dir: multimodal.frame_sample(_docs(spark, sf_dir)),
+        _PAYLOAD_CTE
+        + """
+, f AS (
+  SELECT doc_id, bytes, 8 + bytes[1] % 8 AS n_frames FROM b
+),
+x AS (
+  SELECT doc_id, bytes, n_frames,
+         unnest(generate_series(0, n_frames - 1, 3)) AS i
+  FROM f
+)
+SELECT doc_id,
+       CAST(i AS INTEGER) AS frame_idx,
+       CAST(n_frames AS INTEGER) AS n_frames,
+       bytes[CAST(i % 16 AS INTEGER) + 1] AS frame_byte
+FROM x ORDER BY doc_id, frame_idx
+""",
+        doc="Video frame-sampling plumbing: row-expanding mapInPandas stub "
+        "(1 doc -> ceil(n_frames/3) frame rows; ffmpeg keyframe extraction "
+        "is the documented extension point)",
+        tags=("extension", "multimodal"),
+    )
+)

@@ -1,0 +1,29 @@
+"""Structured Streaming capability query (SURVEY.md §2.J): the 1-day
+tumbling-window rollup driven by a real streaming query (availableNow →
+memory sink) — deterministic, so it gets a full DuckDB oracle rather
+than the weaker rows-only check."""
+
+from __future__ import annotations
+
+from ..streaming.daily import daily_rollup_streaming
+from .registry import QuerySpec, register
+
+register(
+    QuerySpec(
+        "stream_daily_rollup",
+        daily_rollup_streaming,
+        """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
+       event_type,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1, 2
+ORDER BY 1, 2
+""",
+        doc="1-day tumbling window x event_type via Structured Streaming "
+        "availableNow micro-batch (the reference's daily Lambda cadence, "
+        "reference DEPLOYMENT.md:192-214, as a streaming query)",
+        tags=("streaming",),
+    )
+)

@@ -36,6 +36,17 @@ def get_spark(
     master = master or f"local[{cpus}]"
     shuffle_partitions = shuffle_partitions or cpus
 
+    # Python workers inherit PYTHONPATH from the JVM's environment, which
+    # inherits ours — exporting the package root here makes pickled-by-
+    # reference UDFs importable on workers regardless of the driver's cwd.
+    # Must happen before the JVM launches (first getOrCreate).
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = (
+            f"{pkg_root}{os.pathsep}{pypath}" if pypath else pkg_root
+        )
+
     builder = (
         SparkSession.builder.master(master)
         .appName(app_name)
