@@ -45,8 +45,24 @@ def main() -> None:
     spark = get_spark(app_name="bench")
     queries = get_queries()
     names = [n for n in HEADLINE if n in queries]
-    # extension operators registered beyond the reference surface
-    extras = sorted(set(queries) - set(HEADLINE) - {"stream_daily_rollup"})
+    # extension operators registered beyond the reference surface.
+    # Excluded from the timed pass:
+    # - stream_daily_rollup: drives a real Structured Streaming query
+    #   (checkpoint + memory-sink lifecycle, not a scan benchmark);
+    # - the two all-PAIRS near-dup reports: their OUTPUT is quadratic in
+    #   dup-cluster size (a 1.5k-doc identical cluster alone emits ~1.1M
+    #   pairs at sf0.1), so wall-clock measures result materialization,
+    #   not the operator. dedup_minhash_assign benchmarks the same
+    #   MinHash+LSH pipeline with the linear keeper-assignment output.
+    extras = sorted(
+        set(queries)
+        - set(HEADLINE)
+        - {
+            "stream_daily_rollup",
+            "dedup_minhash_lsh_pairs",
+            "dedup_ngram_jaccard_pairs",
+        }
+    )
 
     # warm-up: session/code paths, parquet footer caches
     queries[names[0]](spark, sf_dir).collect()

@@ -26,7 +26,7 @@ only the (tiny) within-bucket pair set.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from .text import fingerprint, normalized, shingles, text_hash
@@ -37,11 +37,28 @@ BAND_WIDTH = N_MINHASH // N_BANDS
 JACCARD_THRESHOLD = 0.5
 
 
+def _fan_out(df: DataFrame) -> DataFrame:
+    """Round-robin repartition up to the session's default parallelism
+    when the source arrives under-partitioned (the fixture corpus is one
+    small parquet file → one input split → one task). On a real cluster
+    a 100 TB corpus already arrives in thousands of splits and this is a
+    no-op; locally it's the difference between 1 and 32 cores on the
+    expression-heavy dedup pipelines."""
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def norm_docs(documents: DataFrame) -> DataFrame:
     """documents + normalized text/shingle columns (the shared prefix of
     every dedup pipeline)."""
     norm = normalized(F.col("text"))
-    return documents.select(
+    # null guard on the RAW column: pushes to the scan as a plain
+    # isnotnull(text) parquet filter (a guard on `norm` would drag the
+    # whole regexp/lower chain into the scan filter)
+    return _fan_out(documents.where(F.col("text").isNotNull())).select(
         "doc_id",
         "lang",
         norm.alias("norm"),
@@ -117,11 +134,26 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     expression shape O(pairs × shingles) instead of O(corpus shingles).
     Map-side combine keeps the shuffle at 16 hex strings per doc.
     """
-    d = norm_docs(documents).where(F.size("sh") > 0)
+    # norm_docs already null-guards on raw text (cheap scan filter); the
+    # greatest(...,1) bound in shingles() means sh is never empty, so no
+    # size(sh) filter is needed — one on the computed column would be
+    # pushed into the (single-split) file scan and evaluate the whole
+    # shingle transform serially before the fan-out repartition.
+    d = norm_docs(documents)
     ex = d.select("doc_id", F.explode("sh").alias("x"))
+    # 60-bit LONG hashes (md5-prefix), not hex strings: min(long) has a
+    # mutable agg buffer → HashAggregate with map-side combine, where
+    # min(string) would fall back to Sort+SortAggregate over the full
+    # exploded (doc, shingle) set
     sig = ex.groupBy("doc_id").agg(
         *[
-            F.min(F.md5(F.concat(F.lit(str(s)), F.col("x")))).alias(f"_mh{s}")
+            F.min(
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit(str(s)), F.col("x"))), 1, 15),
+                    16,
+                    10,
+                ).cast("long")
+            ).alias(f"_mh{s}")
             for s in range(N_MINHASH)
         ]
     )
@@ -129,8 +161,12 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     bands = F.array(
         *[
             F.md5(
-                F.concat(
-                    *[F.col(f"_mh{b * BAND_WIDTH + j}") for j in range(BAND_WIDTH)]
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col(f"_mh{b * BAND_WIDTH + j}").cast("string")
+                        for j in range(BAND_WIDTH)
+                    ],
                 )
             )
             for b in range(N_BANDS)
@@ -259,6 +295,57 @@ def embedding_cosine_pairs(
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
         .orderBy("a_vec_id", "b_vec_id")
+    )
+
+
+def minhash_dedup_assign(documents: DataFrame) -> DataFrame:
+    """MinHash LSH dedup as per-doc KEEPER ASSIGNMENT — the linear-output
+    scale path (vs ``minhash_lsh_pairs``' all-pairs report, whose output
+    is quadratic in dup-cluster size: a 1,500-doc identical cluster emits
+    ~1.1M pairs but only 1,499 assignments).
+
+    Candidates are star-shaped: within each (band_idx, band_hash) bucket
+    only (bucket-min doc, doc) edges are generated — ≤ N_BANDS candidate
+    edges per doc regardless of cluster size — then verified with true
+    Jaccard; each doc reports its smallest verified keeper. This is the
+    standard web-corpus dedup shape (cluster representative election),
+    linear in corpus size end-to-end.
+    """
+    sigs = minhash_signatures(documents)
+    bands = sigs.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    # keeper election via window min, not groupBy+self-join: one pass
+    # over bands (one shuffle on the band key), so the signature
+    # pipeline upstream is computed once, not once per join branch
+    w = Window.partitionBy("band_idx", "band_hash")
+    cand = (
+        bands.withColumn("keeper_doc_id", F.min("doc_id").over(w))
+        .where(F.col("doc_id") != F.col("keeper_doc_id"))
+        .select("doc_id", "keeper_doc_id")
+        .distinct()
+    )
+    sh = norm_docs(documents).select("doc_id", "sh")
+    verified = (
+        cand.join(sh, "doc_id")
+        .join(
+            sh.select(
+                F.col("doc_id").alias("keeper_doc_id"), F.col("sh").alias("sh_k")
+            ),
+            "keeper_doc_id",
+        )
+        .select(
+            "doc_id",
+            "keeper_doc_id",
+            _jaccard(F.col("sh"), F.col("sh_k")).alias("jaccard"),
+        )
+        .where(F.col("jaccard") >= JACCARD_THRESHOLD)
+    )
+    return (
+        verified.groupBy("doc_id")
+        .agg(
+            F.min("keeper_doc_id").alias("keeper_doc_id"),
+            F.expr("min_by(jaccard, keeper_doc_id)").alias("jaccard"),
+        )
+        .orderBy("doc_id")
     )
 
 

@@ -45,8 +45,10 @@ def _dot(a: F.Column, b: F.Column) -> F.Column:
 
 
 def with_norm(embeddings: DataFrame) -> DataFrame:
+    from .dedup import _fan_out
+
     e = _as_double(F.col("embedding"))
-    return embeddings.select(
+    return _fan_out(embeddings).select(
         "vec_id",
         "label",
         e.alias("e"),

@@ -325,3 +325,101 @@ FROM merged
         tags=("etl", "incremental"),
     )
 )
+
+
+def _weather_sentinel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C9: the missing-API-day null-sentinel — date spine LEFT JOIN the
+    dimension; unmatched days (day 31: the events profile spans days
+    1..30) become all-NULL rows tagged 'missing_from_api', is_rain=0
+    (reference weather_etl_daily.py:133-146)."""
+    w = catalog.weather_daily(spark, sf_dir)
+    spine = (
+        catalog.base(spark, sf_dir, "lineitem")
+        .select(F.to_date("l_shipdate").alias("weather_date"))
+        .distinct()
+    )
+    return (
+        spine.join(F.broadcast(w), "weather_date", "left")
+        .select(
+            F.date_format("weather_date", "yyyy-MM-dd").alias("weather_date"),
+            F.coalesce("conditions", F.lit("missing_from_api")).alias("conditions"),
+            F.coalesce("is_rain", F.lit(0)).alias("is_rain"),
+            "tempmax",
+            "precip",
+        )
+        .orderBy("weather_date")
+    )
+
+
+register(
+    QuerySpec(
+        "etl_weather_missing_sentinel",
+        _weather_sentinel,
+        with_ref_views(
+            """,
+spine AS (
+  SELECT DISTINCT CAST(l_shipdate AS DATE) AS weather_date FROM lineitem
+)
+SELECT strftime(s.weather_date, '%Y-%m-%d') AS weather_date,
+       coalesce(w.conditions, 'missing_from_api') AS conditions,
+       coalesce(w.is_rain, 0) AS is_rain,
+       w.tempmax, w.precip
+FROM spine s LEFT JOIN weather_daily w ON s.weather_date = w.weather_date
+ORDER BY 1
+"""
+        ),
+        doc="C9 missing-day null-sentinel: date-spine left join + coalesce "
+        "defaults (reference weather_etl_daily.py:133-146)",
+        tags=("etl", "transform", "outer-join"),
+    )
+)
+
+
+def _date_chunks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """I1: the 15-day date-range chunker — reference
+    ``create_date_ranges`` (weather_etl_history.py:54-61) as a generator
+    expression: sequence → explode → bucket by floor(datediff/15). The
+    driver-side while-loop becomes a distributed date spine."""
+    li = catalog.base(spark, sf_dir, "lineitem")
+    rng = li.agg(
+        F.min(F.to_date("l_shipdate")).alias("d0"),
+        F.max(F.to_date("l_shipdate")).alias("d1"),
+    )
+    days = rng.select("d0", F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d"))
+    return (
+        days.select(F.expr("datediff(d, d0) div 15").alias("chunk_id"), "d")
+        .groupBy("chunk_id")
+        .agg(
+            F.date_format(F.min("d"), "yyyy-MM-dd").alias("chunk_start"),
+            F.date_format(F.max("d"), "yyyy-MM-dd").alias("chunk_end"),
+            F.count(F.lit(1)).alias("n_days"),
+        )
+        .orderBy("chunk_id")
+    )
+
+
+register(
+    QuerySpec(
+        "gen_date_chunks",
+        _date_chunks,
+        """
+WITH rng AS (
+  SELECT min(CAST(l_shipdate AS DATE)) AS d0,
+         max(CAST(l_shipdate AS DATE)) AS d1
+  FROM lineitem
+),
+days AS (
+  SELECT d0, unnest(generate_series(0, date_diff('day', d0, d1))) AS k FROM rng
+)
+SELECT CAST(k // 15 AS BIGINT) AS chunk_id,
+       strftime(min(d0 + k * INTERVAL 1 DAY), '%Y-%m-%d') AS chunk_start,
+       strftime(max(d0 + k * INTERVAL 1 DAY), '%Y-%m-%d') AS chunk_end,
+       count(*) AS n_days
+FROM days GROUP BY 1 ORDER BY 1
+""",
+        doc="I1/I2 date-range chunker: sequence+explode date spine bucketed "
+        "into 15-day windows (reference create_date_ranges, "
+        "weather_etl_history.py:54-61)",
+        tags=("etl", "generator"),
+    )
+)

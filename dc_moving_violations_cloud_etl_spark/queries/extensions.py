@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from .. import catalog
 from ..operators import dedup, multimodal, similarity
+from ..oracle import with_ref_views
 from ..operators.text import (
     BPE_PATTERN,
     LANG_MARKERS,
@@ -56,7 +57,10 @@ docs_n AS (
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.base(spark, sf_dir, "documents")
+    # the corpus arrives as one small parquet file → one input split;
+    # fan out to session parallelism so the expression-heavy text/dedup
+    # pipelines use every core (no-op when the source is already split)
+    return dedup._fan_out(catalog.base(spark, sf_dir, "documents"))
 
 
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -238,6 +242,45 @@ FROM docs_n ORDER BY doc_id
 )
 
 
+def _vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    tok = d.select("doc_id", F.explode("toks").alias("t"))
+    return (
+        tok.groupBy("t")
+        .agg(
+            F.count(F.lit(1)).alias("n_total"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_total"), F.asc("t"))
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        "text_vocab_topk",
+        _vocab_topk,
+        _DOCS_CTE
+        + """
+, tok AS (
+  SELECT doc_id, unnest(toks) AS t FROM docs_n
+)
+SELECT t, count(*) AS n_total, count(DISTINCT doc_id) AS n_docs
+FROM tok GROUP BY t
+ORDER BY n_total DESC, t ASC
+LIMIT 20
+""",
+        doc="Corpus vocabulary top-k by occurrence (explode -> hash-agg -> "
+        "top-k; deterministic tie-break on the token). The engine's "
+        "ORDER BY ... LIMIT path (TakeOrderedAndProject) — absent from "
+        "the reference surface",
+        tags=("extension", "text", "topk"),
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # dedup family
 # ---------------------------------------------------------------------------
@@ -297,23 +340,35 @@ ORDER BY a_doc_id, b_doc_id
 )
 
 
-def _minhash_sql() -> str:
-    return (
-        _DOCS_CTE
-        + """
+# shared signature CTEs: 60-bit long min-hashes (md5-prefix) in 4 bands,
+# mirroring operators/dedup.minhash_signatures hash-for-hash
+_MINHASH_SIG_SQL = """
 , sigs AS (
   SELECT doc_id, sh,
          list_transform(generate_series(0, 15),
-           s -> list_min(list_transform(sh, x -> md5(CAST(s AS VARCHAR) || x)))) AS mh
-  FROM docs_n WHERE len(sh) > 0
+           s -> list_min(list_transform(sh,
+             x -> CAST('0x' || substr(md5(CAST(s AS VARCHAR) || x), 1, 15)
+                       AS BIGINT)))) AS mh
+  FROM docs_n WHERE norm IS NOT NULL
 ),
 bands AS (
   SELECT doc_id,
          i - 1 AS band_idx,
-         md5(mh[(i-1)*4 + 1] || mh[(i-1)*4 + 2] || mh[(i-1)*4 + 3] || mh[(i-1)*4 + 4]) AS band_hash
+         md5(CAST(mh[(i-1)*4 + 1] AS VARCHAR) || '_' ||
+             CAST(mh[(i-1)*4 + 2] AS VARCHAR) || '_' ||
+             CAST(mh[(i-1)*4 + 3] AS VARCHAR) || '_' ||
+             CAST(mh[(i-1)*4 + 4] AS VARCHAR)) AS band_hash
   FROM sigs, (SELECT unnest(generate_series(1, 4)) AS i)
-),
-cand AS (
+)
+"""
+
+
+def _minhash_sql() -> str:
+    return (
+        _DOCS_CTE
+        + _MINHASH_SIG_SQL
+        + """
+, cand AS (
   SELECT DISTINCT a.doc_id AS a_doc_id, b.doc_id AS b_doc_id
   FROM bands a JOIN bands b
     ON a.band_idx = b.band_idx AND a.band_hash = b.band_hash
@@ -339,6 +394,47 @@ register(
         _minhash_sql(),
         doc="MinHash(16)+LSH(4 bands) candidate pairs verified by true "
         "Jaccard — seed-free md5 min-hashing, bit-reproducible in SQL",
+        tags=("extension", "dedup"),
+    )
+)
+
+def _minhash_assign_sql() -> str:
+    return (
+        _DOCS_CTE
+        + _MINHASH_SIG_SQL
+        + """
+, cand AS (
+  SELECT DISTINCT doc_id, keeper_doc_id FROM (
+    SELECT doc_id,
+           min(doc_id) OVER (PARTITION BY band_idx, band_hash) AS keeper_doc_id
+    FROM bands
+  ) WHERE doc_id <> keeper_doc_id
+),
+ver AS (
+  SELECT c.doc_id, c.keeper_doc_id,
+         round(CAST(len(list_intersect(da.sh, db.sh)) AS DOUBLE)
+           / CAST(len(list_distinct(list_concat(da.sh, db.sh))) AS DOUBLE), 6) AS jaccard
+  FROM cand c
+  JOIN docs_n da ON da.doc_id = c.doc_id
+  JOIN docs_n db ON db.doc_id = c.keeper_doc_id
+)
+SELECT doc_id,
+       min(keeper_doc_id) AS keeper_doc_id,
+       arg_min(jaccard, keeper_doc_id) AS jaccard
+FROM ver WHERE jaccard >= 0.5
+GROUP BY doc_id ORDER BY doc_id
+"""
+    )
+
+
+register(
+    QuerySpec(
+        "dedup_minhash_assign",
+        lambda spark, sf_dir: dedup.minhash_dedup_assign(_docs(spark, sf_dir)),
+        _minhash_assign_sql(),
+        doc="MinHash LSH dedup as per-doc keeper assignment (star candidates "
+        "within each band bucket -> <=4 verify edges/doc -> linear output; "
+        "the scale path vs the quadratic all-pairs report)",
         tags=("extension", "dedup"),
     )
 )
@@ -554,6 +650,152 @@ FROM b ORDER BY doc_id
         tags=("extension", "multimodal"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# analytics extensions beyond the reference surface
+# ---------------------------------------------------------------------------
+
+
+def _qa_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Qa with ROLLUP (SURVEY.md §2.F: the natural GROUPING SETS
+    extension the reference's MySQL query surface lacks): per-(month,
+    agency) counts plus month subtotals plus the grand total in one
+    aggregation pass."""
+    v = catalog.violations(spark, sf_dir)
+    return (
+        v.rollup("month", "issuing_agency_name")
+        .agg(F.count(F.lit(1)).alias("tickets_count"))
+        .select(
+            F.coalesce("month", F.lit("<ALL>")).alias("month"),
+            F.coalesce("issuing_agency_name", F.lit("<ALL>")).alias(
+                "issuing_agency_name"
+            ),
+            "tickets_count",
+        )
+        .orderBy("month", "issuing_agency_name")
+    )
+
+
+register(
+    QuerySpec(
+        "qa_rollup_totals",
+        _qa_rollup,
+        with_ref_views(
+            """
+SELECT coalesce(month, '<ALL>') AS month,
+       coalesce(issuing_agency_name, '<ALL>') AS issuing_agency_name,
+       count(*) AS tickets_count
+FROM violations
+GROUP BY ROLLUP(month, issuing_agency_name)
+ORDER BY 1, 2
+"""
+        ),
+        doc="Qa extended with ROLLUP subtotals/grand total (GROUPING SETS "
+        "in one hash-agg pass; reference sql/analysis_queries.sql:5-12)",
+        tags=("extension", "aggregation", "rollup"),
+    )
+)
+
+
+def _sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user session windows over the events stream (30-min inactivity
+    gap) via Spark's native ``session_window`` — the streaming-capable
+    sessionization primitive, run here in batch (same operator powers the
+    readStream variant). Oracle: classic gaps-and-islands SQL."""
+    ev = catalog.base(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), F.col("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_start"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss").alias("session_last"),
+        )
+        .select("user_id", "session_start", "session_last", "n_events")
+        .orderBy("user_id", "session_start")
+    )
+
+
+register(
+    QuerySpec(
+        "sessionize_gap30",
+        _sessionize,
+        """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+        doc="Per-user 30-min-gap sessionization via native session_window "
+        "(the Structured Streaming sessionization operator, batch-checked "
+        "against gaps-and-islands SQL)",
+        tags=("extension", "streaming", "session-window"),
+    )
+)
+
+
+def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured JSON handling (the reference's source boundary is
+    JSON APIs, SURVEY.md §1.1.4): parse the ``props`` JSON column with
+    ``from_json`` and aggregate the typed field per event_type."""
+    ev = catalog.base(spark, sf_dir, "events")
+    k = F.from_json("props", "k BIGINT").getField("k")
+    return (
+        ev.select("event_type", k.alias("k"))
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("k").alias("k_sum"),
+            (F.sum("k").cast("double") / F.count("k")).alias("k_avg"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "events_json_extract",
+        _json_extract,
+        """
+SELECT event_type,
+       count(*) AS n_events,
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(sum(k) AS DOUBLE) / count(k) AS k_avg,
+       min(k) AS k_min,
+       max(k) AS k_max
+FROM (
+  SELECT event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events
+)
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="from_json typed extraction over the semi-structured props "
+        "column + grouped aggregation (the reference's JSON source "
+        "boundary as a query-surface operator)",
+        tags=("extension", "json"),
+    )
+)
+
 
 _PAYLOAD_CTE = r"""
 WITH d AS (

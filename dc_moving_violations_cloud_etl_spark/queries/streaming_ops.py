@@ -5,8 +5,31 @@ than the weaker rows-only check."""
 
 from __future__ import annotations
 
-from ..streaming.daily import daily_rollup_streaming
+from ..streaming.daily import daily_rollup_streaming, late_data_watermark_streaming
 from .registry import QuerySpec, register
+
+register(
+    QuerySpec(
+        "stream_late_data_watermark",
+        late_data_watermark_streaming,
+        """
+WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+daily AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS n_events
+  FROM events GROUP BY 1
+)
+SELECT strftime(w.d, '%Y-%m-%d') AS event_day, w.n_events
+FROM daily w, mx
+WHERE w.d + INTERVAL 1 DAY <= mx.max_ts - INTERVAL 1 DAY
+ORDER BY 1
+""",
+        doc="J2 completeness delay as real watermark semantics: "
+        "withWatermark('ts','1 day') + daily tumbling window in APPEND "
+        "mode withholds the trailing incomplete day (reference "
+        "violation_etl_daily.py:139-141)",
+        tags=("streaming", "watermark"),
+    )
+)
 
 register(
     QuerySpec(

@@ -74,3 +74,50 @@ def daily_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_day", "event_type")
     )
+
+
+def late_data_watermark_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J2's completeness delay ("only ingest through yesterday", reference
+    violation_etl_daily.py:139-141) as REAL watermark semantics: a 1-day
+    ``withWatermark`` + tumbling daily window in APPEND mode. Only windows
+    the watermark has passed are emitted — with availableNow the final
+    watermark is max(ts) - 1 day, so the trailing (incomplete) day is
+    withheld exactly like the reference's yesterday-cutoff. Deterministic,
+    hence fully oracle-checkable: the DuckDB twin drops windows whose end
+    exceeds max(ts) - INTERVAL 1 DAY.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = spark.read.parquet(path).schema
+    tag = hashlib.md5(f"wm:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"late_rollup_{tag}"
+
+    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    return (
+        spark.table(name)
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("event_day"),
+            "n_events",
+        )
+        .orderBy("event_day")
+    )

@@ -1,0 +1,114 @@
+"""JSON source-boundary tests (SURVEY.md §2.A1–A4): page payloads →
+from_json → explode → attribute projection → the C-transform
+expressions, mirroring the reference's ArcGIS/VisualCrossing shredding
+(reference violation_etl_daily.py:180-184,227-278;
+weather_etl_history.py:73-86)."""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+
+from pyspark.sql import functions as F
+
+from dc_moving_violations_cloud_etl_spark.expressions import (
+    is_rain_v2,
+    month_bucket,
+    ms_to_date,
+    ms_to_timestamp,
+    synthetic_violation_id,
+)
+from dc_moving_violations_cloud_etl_spark.sources.json_api import (
+    arcgis_features,
+    weather_days,
+)
+
+MS_2024_10_05_1430 = 1728138600000  # 2024-10-05T14:30:00Z
+
+
+def _arcgis_page(object_ids):
+    return json.dumps(
+        {
+            "features": [
+                {
+                    "attributes": {
+                        "OBJECTID": oid,
+                        "ISSUE_DATE": MS_2024_10_05_1430 + oid,
+                        "ISSUING_AGENCY_NAME": "MPD",
+                        "VIOLATION_CODE": "T121",
+                        "VIOLATION_PROCESS_DESC": "SPEED 11-15 MPH OVER THE LIMIT",
+                        "LOCATION": "600 BLK NEW YORK AVE NE",
+                        "FINE_AMOUNT": 100.0,
+                        "TOTAL_PAID": 0.0,
+                        "LATITUDE": 38.9,
+                        "LONGITUDE": -77.0,
+                        "ACCIDENT_INDICATOR": "N",
+                    }
+                }
+                for oid in object_ids
+            ]
+        }
+    )
+
+
+def test_arcgis_pages_to_violation_rows(spark):
+    pages = spark.createDataFrame(
+        [(_arcgis_page([1, 2]),), (_arcgis_page([3]),), ("{not json",)],
+        "payload string",
+    )
+    feats = arcgis_features(pages)
+    rows = (
+        feats.select(
+            ms_to_timestamp(F.col("ISSUE_DATE")).alias("issue_date"),
+            ms_to_date(F.col("ISSUE_DATE")).alias("violation_date"),
+            synthetic_violation_id(
+                month_bucket(ms_to_timestamp(F.col("ISSUE_DATE"))),
+                F.col("OBJECTID"),
+            ).alias("violation_id"),
+            "FINE_AMOUNT",
+        )
+        .orderBy("violation_id")
+        .collect()
+    )
+    # malformed page quarantined (PERMISSIVE null → no exploded rows)
+    assert len(rows) == 3
+    assert rows[0]["violation_id"] == "2024-10_1"
+    assert rows[0]["violation_date"] == dt.date(2024, 10, 5)
+    # UTC epoch-ms conversion (G14): 14:30:00Z, not local time
+    assert rows[0]["issue_date"].hour == 14 and rows[0]["issue_date"].minute == 30
+
+
+def test_weather_timeline_to_daily_rows(spark):
+    payload = json.dumps(
+        {
+            "days": [
+                {
+                    "datetime": "2024-12-01",
+                    "tempmax": 10.0,
+                    "tempmin": 2.0,
+                    "temp": 6.0,
+                    "precip": 0.0,
+                    "humidity": 70.0,
+                    "windspeed": 12.0,
+                    "conditions": "Rain, Partially cloudy",
+                },
+                {
+                    "datetime": "2024-12-02",
+                    "tempmax": 8.0,
+                    "tempmin": 1.0,
+                    "temp": 4.0,
+                    "precip": 3.2,
+                    "humidity": 80.0,
+                    "windspeed": 9.0,
+                    "conditions": "Clear",
+                },
+            ]
+        }
+    )
+    pages = spark.createDataFrame([(payload,)], "payload string")
+    days = weather_days(pages).withColumn(
+        "is_rain", is_rain_v2(F.col("precip"), F.col("conditions"))
+    )
+    got = {r["datetime"]: r["is_rain"] for r in days.collect()}
+    # C8 rule: conditions-substring OR precip>0
+    assert got == {"2024-12-01": 1, "2024-12-02": 1}
