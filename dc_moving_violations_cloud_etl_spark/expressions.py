@@ -73,9 +73,12 @@ def is_rain_v2(precip: Column, conditions: Column) -> Column:
 
 
 def safe_double(c: Column) -> Column:
-    """``to_float_safe``: parse-failure/NaN → NULL (Spark cast already
-    yields NULL on parse failure; NaN is mapped to NULL explicitly)."""
-    d = c.cast("double")
+    """``to_float_safe``: parse-failure/NaN → NULL. ``try_cast`` (not
+    ``cast``) because ANSI mode — Spark 4's default — makes a plain cast
+    THROW on malformed input; the reference's contract is NULL
+    (reference violation_etl_daily.py:201-210). NaN maps to NULL
+    explicitly."""
+    d = c.try_cast("double")
     return F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
 
 

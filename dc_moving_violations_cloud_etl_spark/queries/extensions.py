@@ -616,6 +616,72 @@ ORDER BY query_vec_id, rank
 )
 
 
+register(
+    QuerySpec(
+        "similarity_ivf_topk",
+        lambda spark, sf_dir: similarity.cosine_topk_ivf(_emb(spark, sf_dir)),
+        _EMB_CTE
+        + """
+, corpus_l AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+exd AS (
+  SELECT label, unnest(generate_series(1, len(e))) AS pos, e FROM corpus_l
+),
+exv AS (
+  SELECT label, pos, e[pos] AS v FROM exd
+),
+per_dim AS (
+  SELECT label, pos,
+         CAST(sum(CAST(v AS DECIMAL(28,12))) AS DOUBLE) / count(*) AS m
+  FROM exv GROUP BY 1, 2
+),
+cen AS (
+  SELECT label AS cell_id, list(m ORDER BY pos) AS c
+  FROM per_dim GROUP BY label
+),
+cscored AS (
+  SELECT n.vec_id, n.e, n.nrm, k.cell_id,
+         round(list_sum(list_transform(generate_series(1, len(n.e)),
+               i -> n.e[i] * k.c[i]))
+           / (n.nrm * sqrt(list_sum(list_transform(generate_series(1, len(k.c)),
+               i -> k.c[i] * k.c[i])))), 6) AS cscore
+  FROM normed n, cen k
+),
+assigned AS (
+  SELECT vec_id, e, nrm, cell_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id ORDER BY cscore DESC, cell_id ASC) AS rn
+    FROM cscored
+  ) WHERE rn = 1
+),
+queries AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm, cell_id AS qcell
+  FROM assigned WHERE vec_id % 100 = 0
+),
+scored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM assigned c JOIN queries q ON c.cell_id = q.qcell
+)
+SELECT query_vec_id, neighbor_vec_id, cos_sim, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_vec_id
+      ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS BIGINT) AS rank
+  FROM scored
+) WHERE rank <= 5
+ORDER BY query_vec_id, rank
+""",
+        doc="IVF ANN (nprobe=1): deterministic per-label centroids as the "
+        "coarse quantizer, nearest-centroid cell assignment via broadcast "
+        "join + window argmax, search restricted to the query's cell — "
+        "the inverted-file scale path next to the LSH variant",
+        tags=("extension", "similarity", "ivf"),
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # multimodal plumbing
 # ---------------------------------------------------------------------------
