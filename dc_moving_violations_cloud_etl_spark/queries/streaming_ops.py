@@ -6,7 +6,44 @@ than the weaker rows-only check."""
 from __future__ import annotations
 
 from ..streaming.daily import daily_rollup_streaming, late_data_watermark_streaming
+from ..streaming.stateful import stateful_sessions_streaming
 from .registry import QuerySpec, register
+
+register(
+    QuerySpec(
+        "stream_stateful_sessions",
+        stateful_sessions_streaming,
+        """
+WITH marked AS (
+  SELECT user_id, ts,
+         CASE WHEN ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                   >= INTERVAL 30 MINUTE
+              OR lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              THEN 1 ELSE 0 END AS new_session
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_session) OVER (
+           PARTITION BY user_id ORDER BY ts
+           ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM marked
+)
+SELECT user_id,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S') AS session_last,
+       count(*) AS n_events
+FROM numbered
+GROUP BY user_id, session_id
+ORDER BY user_id, session_start
+""",
+        doc="Custom stateful operator: per-user sessionization via "
+        "applyInPandasWithState (GroupState carried across micro-batches; "
+        "deterministic under availableNow, full oracle check against "
+        "gaps-and-islands SQL)",
+        tags=("streaming", "stateful", "pandas-udf"),
+    )
+)
 
 register(
     QuerySpec(
