@@ -29,12 +29,26 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from .text import fingerprint, normalized, shingles, text_hash
+from .text import fingerprint, normalized, shingles, shingles_raw, text_hash
 
 N_MINHASH = 16
 N_BANDS = 4
 BAND_WIDTH = N_MINHASH // N_BANDS
 JACCARD_THRESHOLD = 0.5
+
+# Universal-hash MinHash family: h_s(x) = (a_s·h(x) + b_s) mod p over a
+# single 31-bit base hash h(x) (md5-prefix). One md5 per shingle instead
+# of N_MINHASH — the permutations are integer mul/add/mod, exact in any
+# engine's int64 (a_s, h < 2^31 → product < 2^62). Fixed LCG-derived
+# coefficients; seed-free so the DuckDB oracle replays bit-for-bit.
+MINHASH_PRIME = 2_147_483_647  # 2^31 - 1
+MINHASH_COEFFS: list[tuple[int, int]] = [
+    (
+        ((2 * s + 1) * 1_103_515_245) % MINHASH_PRIME,
+        ((s + 12_345) * 12_820_163) % MINHASH_PRIME,
+    )
+    for s in range(N_MINHASH)
+]
 
 
 def _fan_out(df: DataFrame) -> DataFrame:
@@ -140,21 +154,26 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     # pushed into the (single-split) file scan and evaluate the whole
     # shingle transform serially before the fan-out repartition.
     d = norm_docs(documents)
-    ex = d.select("doc_id", F.explode("sh").alias("x"))
-    # 60-bit LONG hashes (md5-prefix), not hex strings: min(long) has a
-    # mutable agg buffer → HashAggregate with map-side combine, where
-    # min(string) would fall back to Sort+SortAggregate over the full
-    # exploded (doc, shingle) set
-    sig = ex.groupBy("doc_id").agg(
+    # explode the RAW shingle runs — min() is multiset-insensitive, and
+    # exploding the distinct array would re-run its O(len²) dedup per
+    # emitted row (the single biggest cost in the naive pipeline)
+    ex = d.select("doc_id", F.explode(shingles_raw(F.col("norm"))).alias("x"))
+    # one md5 per (doc, shingle) row → 31-bit base hash; the N_MINHASH
+    # signatures are universal-hash permutations of it (integer-only).
+    # min(long) has a mutable agg buffer → HashAggregate with map-side
+    # combine (min(string) would fall back to Sort+SortAggregate), and
+    # the md5/conv work is O(shingles), not O(shingles × N_MINHASH).
+    base = (
+        F.conv(F.substring(F.md5(F.col("x")), 1, 8), 16, 10).cast("long")
+        % MINHASH_PRIME
+    )
+    hashed = ex.select("doc_id", base.alias("h"))
+    sig = hashed.groupBy("doc_id").agg(
         *[
-            F.min(
-                F.conv(
-                    F.substring(F.md5(F.concat(F.lit(str(s)), F.col("x"))), 1, 15),
-                    16,
-                    10,
-                ).cast("long")
-            ).alias(f"_mh{s}")
-            for s in range(N_MINHASH)
+            F.min((F.lit(a) * F.col("h") + F.lit(b)) % MINHASH_PRIME).alias(
+                f"_mh{s}"
+            )
+            for s, (a, b) in enumerate(MINHASH_COEFFS)
         ]
     )
     mh = F.array(*[F.col(f"_mh{s}") for s in range(N_MINHASH)])
@@ -357,9 +376,11 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     aggregations — linear in corpus token count, no pairwise work.
     """
     d = norm_docs(documents)
+    # explode raw tokens + row-level distinct: an array_distinct under
+    # explode re-evaluates per emitted row (see minhash_signatures)
     toks = d.select(
-        "doc_id", F.explode(F.array_distinct(F.split("norm", " "))).alias("t")
-    )
+        "doc_id", F.explode(F.split("norm", " ")).alias("t")
+    ).distinct()
     hashed = toks.select(
         "doc_id",
         F.conv(F.substring(F.md5("t"), 1, 8), 16, 10).cast("long").alias("h"),

@@ -45,17 +45,27 @@ def tokens(norm: Column) -> Column:
     return F.split(norm, " ")
 
 
-def shingles(norm: Column, n: int = 3) -> Column:
-    """Distinct character n-gram shingles (the MinHash/Jaccard unit)."""
+def shingles_raw(norm: Column, n: int = 3) -> Column:
+    """Character n-gram runs WITHOUT dedup — the explode-side shingle
+    column. min-aggregations (MinHash) are multiset-insensitive, and an
+    inline ``array_distinct`` under ``explode`` is re-evaluated per
+    OUTPUT row (O(len²) work × every emitted shingle — measured 10× the
+    whole pipeline), so dedup must never sit in an exploded expression."""
     # greatest(...,1) guard: Spark's sequence(1, k) is DESCENDING for k<1
     # (unlike DuckDB generate_series, which yields empty) — pin both
     # engines to a single whole-string shingle for texts shorter than n
-    return F.array_distinct(
-        F.transform(
-            F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-            lambda i: F.substring(norm, i, n),
-        )
+    return F.transform(
+        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
+        lambda i: F.substring(norm, i, n),
     )
+
+
+def shingles(norm: Column, n: int = 3) -> Column:
+    """Distinct character n-gram shingles (the Jaccard set unit) —
+    computed once per document row; array_intersect/array_union treat
+    operands as sets, so this column is for per-doc array comparisons,
+    never for explode (see shingles_raw)."""
+    return F.array_distinct(shingles_raw(norm, n))
 
 
 def token_stats(toks: Column) -> dict[str, Column]:

@@ -340,16 +340,27 @@ ORDER BY a_doc_id, b_doc_id
 )
 
 
-# shared signature CTEs: 60-bit long min-hashes (md5-prefix) in 4 bands,
-# mirroring operators/dedup.minhash_signatures hash-for-hash
-_MINHASH_SIG_SQL = """
-, sigs AS (
-  SELECT doc_id, sh,
-         list_transform(generate_series(0, 15),
-           s -> list_min(list_transform(sh,
-             x -> CAST('0x' || substr(md5(CAST(s AS VARCHAR) || x), 1, 15)
-                       AS BIGINT)))) AS mh
+# shared signature CTEs mirroring operators/dedup.minhash_signatures
+# hash-for-hash: one 31-bit md5-prefix base hash per shingle, 16
+# universal-hash permutations (a·h+b mod p) with the same coefficient
+# table, 4 band hashes over the long signatures
+_MINHASH_A_SQL = "[" + ", ".join(str(a) for a, _ in dedup.MINHASH_COEFFS) + "]"
+_MINHASH_B_SQL = "[" + ", ".join(str(b) for _, b in dedup.MINHASH_COEFFS) + "]"
+_MINHASH_SIG_SQL = f"""
+, based AS (
+  SELECT doc_id,
+         list_transform(sh,
+           x -> CAST('0x' || substr(md5(x), 1, 8) AS BIGINT)
+                % {dedup.MINHASH_PRIME}) AS hb
   FROM docs_n WHERE norm IS NOT NULL
+),
+sigs AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           s -> list_min(list_transform(hb,
+             h -> ({_MINHASH_A_SQL}[s + 1] * h + {_MINHASH_B_SQL}[s + 1])
+                  % {dedup.MINHASH_PRIME}))) AS mh
+  FROM based
 ),
 bands AS (
   SELECT doc_id,
