@@ -33,7 +33,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 PRIORITY_COL = "_src_priority"
@@ -49,25 +49,45 @@ def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: Sequence[st
     return existing.unionByName(fresh)
 
 
+def _keep_one(df: DataFrame, keys: Sequence[str], rep: "F.Column", out_cols: Sequence[str]) -> DataFrame:
+    """One row per key via a min/max-of-struct hash aggregate.
+
+    This is the engine's MERGE kernel shape: a ``row_number`` window would
+    Sort+Exchange the FULL input on (key, 12-column tiebreak) — at 100 TB
+    that is a whole-table sort. A struct min/max agg is a HashAggregate
+    with a map-side partial: duplicate keys co-located in a batch (the
+    rerun/replay case) collapse before the shuffle, and nothing is ever
+    sorted. Struct comparison is field-ordered with NULL smallest, which
+    matches ``ASC NULLS FIRST`` / ``DESC`` tiebreak semantics in the
+    DuckDB oracle twins.
+    """
+    agg = df.groupBy(*keys).agg(rep.alias("_rep"))
+    return agg.select(
+        *[F.col(c) if c in keys else F.col(f"_rep.{c}").alias(c) for c in out_cols]
+    )
+
+
 def upsert_last_writer_wins(
     existing: DataFrame, incoming: DataFrame, keys: Sequence[str]
 ) -> DataFrame:
     """``ON DUPLICATE KEY UPDATE`` semantics: incoming rows replace
     existing rows with the same key; new keys append.
 
-    Implemented as union + per-key ``row_number`` ordered by source
-    priority (incoming=2 > existing=1) — the Spark-native MERGE for
-    plain Parquet (SURVEY.md §4 O10).
+    Implemented as the deduped incoming batch UNION the anti-joined
+    existing table — the Spark-native MERGE for plain Parquet
+    (SURVEY.md §4 O10). Precondition (held by construction for every
+    table these sinks maintain, and by the reference's MySQL PK): the
+    existing side is key-unique, so "drop the keys the batch replaces,
+    append the batch" is exactly last-writer-wins.
+
+    Scale: no sort and no wide shuffle of the table — with a small daily
+    batch AQE broadcasts the incoming keys and the existing side is a
+    pure scan+filter; a row_number-over-union MERGE would instead sort
+    table+batch on the key (a whole-table shuffle at 100 TB).
     """
-    tagged = existing.withColumn(PRIORITY_COL, F.lit(1)).unionByName(
-        incoming.withColumn(PRIORITY_COL, F.lit(2))
-    )
-    w = Window.partitionBy(*keys).orderBy(F.col(PRIORITY_COL).desc())
-    return (
-        tagged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn", PRIORITY_COL)
-    )
+    incoming = dedupe_by_key(incoming, keys)
+    kept = existing.join(incoming.select(*keys), list(keys), "left_anti")
+    return kept.unionByName(incoming.select(*existing.columns))
 
 
 def dedupe_by_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
@@ -75,12 +95,9 @@ def dedupe_by_key(df: DataFrame, keys: Sequence[str]) -> DataFrame:
     min of the full-row struct (unlike ``dropDuplicates``, which keeps an
     arbitrary first-seen row and is therefore not oracle-comparable)."""
     others = [c for c in df.columns if c not in keys]
-    w = Window.partitionBy(*keys).orderBy(*[F.col(c).asc_nulls_first() for c in others])
-    return (
-        df.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    if not others:
+        return df.distinct()
+    return _keep_one(df, keys, F.min(F.struct(*others)), list(df.columns))
 
 
 def write_partitioned(
