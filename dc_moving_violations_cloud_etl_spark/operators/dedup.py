@@ -206,8 +206,12 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     distinct pair → join back shingles → verify. All shuffles are on
     uniform hash keys.
     """
-    sigs = minhash_signatures(documents)
-    bands = sigs.select(
+    # one materialization feeding the self-joined band explode and both
+    # verify branches (see minhash_dedup_assign for the scale rationale)
+    per_doc = (
+        minhash_signatures(documents).select("doc_id", "sh", "bands").persist()
+    )
+    bands = per_doc.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )
     a = bands.alias("a")
@@ -225,7 +229,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sh = norm_docs(documents).select("doc_id", "sh")
+    sh = per_doc.select("doc_id", "sh")
     return (
         cand.join(sh.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("sh", "sh_a"), "a_doc_id")
         .join(sh.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("sh", "sh_b"), "b_doc_id")
@@ -240,7 +244,8 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
 
 
 EMB_COSINE_THRESHOLD = 0.4
-EMB_N_BANDS = 2  # 8 hyperplanes as 2 bands of 4 sign bits (banded LSH)
+EMB_N_BANDS = 4  # 32 hyperplanes as 4 bands of 8 sign bits (banded LSH)
+EMB_N_PLANES = 32
 
 
 def embedding_cosine_pairs(
@@ -248,30 +253,40 @@ def embedding_cosine_pairs(
 ) -> DataFrame:
     """Embedding-cosine near-dup pairs, banded-hyperplane-LSH blocked.
 
-    Plan: 8 deterministic hyperplanes → per-vector 2 band signatures of 4
-    sign bits → posexplode → equi-join on (band_idx, band_sig) — never a
-    cross join — → distinct pair → exact cosine ≥ threshold. The banding
-    (2×4 instead of 1×8) trades candidate volume for recall exactly like
-    MinHash banding; at 100 TB the pair space shrinks from O(n²) to the
-    within-band collision set on uniformly-hashed keys.
+    Plan: 32 deterministic hyperplanes → per-vector 4 band signatures of
+    8 sign bits → posexplode → equi-join on (band_idx, band_sig) — never
+    a cross join — → distinct pair → exact cosine ≥ threshold. Banding
+    trades candidate volume for recall exactly like MinHash banding:
+    8-bit bands give ~256 buckets per band (bucket population n/256, so
+    candidate volume shrinks quadratically vs 4-bit bands) while
+    OR-amplification across 4 bands keeps near-dup recall high
+    (collision prob ≥ 1-(1-p^8)^4 ≈ 0.998 at cos 0.99). At 100 TB the
+    pair space is the within-band collision set on uniform keys, never
+    O(n²).
     """
-    from .similarity import _dot, collect_planes, with_norm
+    from .similarity import _as_double, _dot, with_norm
 
-    planes = collect_planes(embeddings)
-    corpus = with_norm(embeddings)
-    bits = [
-        F.when(_dot(F.col("e"), F.array(*[F.lit(float(x)) for x in p])) > 0, 1).otherwise(0)
-        for p in planes
-    ]
-    width = len(planes) // EMB_N_BANDS
-    band_sigs = F.array(
-        *[
-            sum(bits[b * width + j] * F.lit(2**j) for j in range(width))
-            for b in range(EMB_N_BANDS)
-        ]
+    # hyperplanes as a 32-row broadcast TABLE, not 32×64 literal nodes
+    # baked into one projection — the literal form costs seconds of
+    # driver-side plan compile/codegen and re-pays it per plan branch.
+    # This is also the only shape that works when the quantizer doesn't
+    # fit in an expression (a real trained codebook).
+    planes = embeddings.where(F.col("vec_id").between(1, EMB_N_PLANES)).select(
+        F.col("vec_id").alias("plane_id"), _as_double(F.col("embedding")).alias("pe")
     )
-    banded = corpus.withColumn("bands", band_sigs).select(
-        "vec_id", F.posexplode("bands").alias("band_idx", "band_sig")
+    width = EMB_N_PLANES // EMB_N_BANDS
+    # corpus ⋈ broadcast(planes) → one deterministic left-fold dot per
+    # (vector, plane) row; integer bit/shift aggregation builds the band
+    # signatures (order-insensitive — exact int arithmetic)
+    corpus = with_norm(embeddings).persist()
+    bits = corpus.join(F.broadcast(planes)).select(
+        "vec_id",
+        (((F.col("plane_id") - 1) / width).cast("int")).alias("band_idx"),
+        F.when(_dot(F.col("e"), F.col("pe")) > 0, 1).otherwise(0).alias("bit"),
+        F.expr(f"shiftleft(1, int((plane_id - 1) % {width}))").alias("w"),
+    )
+    banded = bits.groupBy("vec_id", "band_idx").agg(
+        F.sum(F.col("bit") * F.col("w")).cast("int").alias("band_sig")
     )
     a = banded.alias("a")
     b = banded.alias("b")
@@ -330,11 +345,21 @@ def minhash_dedup_assign(documents: DataFrame) -> DataFrame:
     standard web-corpus dedup shape (cluster representative election),
     linear in corpus size end-to-end.
     """
-    sigs = minhash_signatures(documents)
-    bands = sigs.select("doc_id", F.posexplode("bands").alias("band_idx", "band_hash"))
+    # materialize the per-doc signature table once (one narrow row per
+    # doc: id + shingle set + band hashes) and fan it into all three
+    # consumers — the band explode and BOTH sides of the verify join.
+    # Without it each branch re-runs the whole normalize→shingle→md5
+    # pipeline (Spark shares no subtrees across join branches); at
+    # 100 TB this intermediate is exactly the signature table a web-scale
+    # dedup writes to storage between the sketch and cluster passes.
+    per_doc = (
+        minhash_signatures(documents).select("doc_id", "sh", "bands").persist()
+    )
+    bands = per_doc.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
     # keeper election via window min, not groupBy+self-join: one pass
-    # over bands (one shuffle on the band key), so the signature
-    # pipeline upstream is computed once, not once per join branch
+    # over bands (one shuffle on the band key)
     w = Window.partitionBy("band_idx", "band_hash")
     cand = (
         bands.withColumn("keeper_doc_id", F.min("doc_id").over(w))
@@ -342,7 +367,7 @@ def minhash_dedup_assign(documents: DataFrame) -> DataFrame:
         .select("doc_id", "keeper_doc_id")
         .distinct()
     )
-    sh = norm_docs(documents).select("doc_id", "sh")
+    sh = per_doc.select("doc_id", "sh")
     verified = (
         cand.join(sh, "doc_id")
         .join(

@@ -82,27 +82,6 @@ def cosine_topk_bruteforce(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
-def _bucket(e: F.Column, planes: list[list[float]]) -> F.Column:
-    """Sign-pattern bucket id: bit i set iff dot(e, plane_i) > 0."""
-    b = F.lit(0)
-    for i, p in enumerate(planes):
-        pe = F.array(*[F.lit(float(x)) for x in p])
-        b = b + F.when(_dot(e, pe) > 0, F.lit(2**i)).otherwise(F.lit(0))
-    return b
-
-
-def collect_planes(embeddings: DataFrame) -> list[list[float]]:
-    """Deterministic hyperplanes: the embeddings with vec_id 1..N_PLANES
-    (seed-free so the oracle can reproduce bucket assignment)."""
-    rows = (
-        embeddings.where(F.col("vec_id").between(1, N_PLANES))
-        .orderBy("vec_id")
-        .select("embedding")
-        .collect()
-    )
-    return [[float(x) for x in r["embedding"]] for r in rows]
-
-
 def centroids(embeddings: DataFrame) -> DataFrame:
     """Deterministic IVF coarse quantizer: element-wise mean embedding
     per ``label`` (the fixture's stand-in for a trained k-means — in
@@ -151,6 +130,11 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "e", "norm", "cell_id")
+        # materialized once: the probe below consumes the assignment on
+        # both sides of its cell equi-join, and the centroid + argmax
+        # pipeline must not re-run per branch (at scale this is the
+        # stored IVF index, built once, probed many times)
+        .persist()
     )
 
 
@@ -187,9 +171,33 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
 
 def cosine_topk_lsh(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     """Approximate top-k: candidates restricted to the query's LSH
-    bucket (equi-join on bucket id instead of a cross join)."""
-    planes = collect_planes(embeddings)
-    corpus = with_norm(embeddings).withColumn("bucket", _bucket(F.col("e"), planes))
+    bucket (equi-join on bucket id instead of a cross join).
+
+    The hyperplanes live in a broadcast TABLE and the sign-pattern
+    bucket is an integer aggregation over the corpus ⋈ planes join —
+    not 8×dim literal nodes baked into a projection, which costs
+    driver-side plan compile per branch and can't scale to a trained
+    codebook. The bucketed corpus is materialized once for the corpus
+    and query branches."""
+    planes = embeddings.where(F.col("vec_id").between(1, N_PLANES)).select(
+        F.col("vec_id").alias("plane_id"), _as_double(F.col("embedding")).alias("pe")
+    )
+    base = with_norm(embeddings)
+    buckets = (
+        base.join(F.broadcast(planes))
+        .select(
+            "vec_id",
+            F.when(
+                _dot(F.col("e"), F.col("pe")) > 0,
+                F.expr("shiftleft(1, int(plane_id - 1))"),
+            )
+            .otherwise(0)
+            .alias("w"),
+        )
+        .groupBy("vec_id")
+        .agg(F.sum("w").cast("int").alias("bucket"))
+    )
+    corpus = base.join(buckets, "vec_id").persist()
     queries = corpus.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_vec_id"),
         F.col("e").alias("qe"),

@@ -496,7 +496,7 @@ normed AS (
   FROM corpus
 ),
 planes AS (
-  SELECT vec_id AS plane_id, e AS pe FROM corpus WHERE vec_id BETWEEN 1 AND 8
+  SELECT vec_id AS plane_id, e AS pe FROM corpus WHERE vec_id BETWEEN 1 AND 32
 ),
 bits AS (
   SELECT n.vec_id, p.plane_id,
@@ -505,8 +505,8 @@ bits AS (
   FROM normed n, planes p
 ),
 bands AS (
-  SELECT vec_id, CAST((plane_id - 1) // 4 AS INTEGER) AS band_idx,
-         CAST(sum(bit * CAST(pow(2, (plane_id - 1) % 4) AS BIGINT)) AS INTEGER)
+  SELECT vec_id, CAST((plane_id - 1) // 8 AS INTEGER) AS band_idx,
+         CAST(sum(bit * CAST(pow(2, (plane_id - 1) % 8) AS BIGINT)) AS INTEGER)
            AS band_sig
   FROM bits GROUP BY 1, 2
 ),
@@ -527,9 +527,9 @@ SELECT a_vec_id, b_vec_id, cos_sim FROM (
 WHERE cos_sim >= 0.4
 ORDER BY a_vec_id, b_vec_id
 """,
-        doc="Embedding-cosine near-dup pairs: banded hyperplane LSH (2 bands "
-        "x 4 sign bits) prunes the O(n^2) pair space to band collisions; "
-        "exact cosine verifies (the embedding-space analog of MinHash LSH)",
+        doc="Embedding-cosine near-dup pairs: banded hyperplane LSH (4 bands "
+        "x 8 sign bits over 32 planes) prunes the O(n^2) pair space to band "
+        "collisions; exact cosine verifies (the embedding analog of MinHash LSH)",
         tags=("extension", "dedup", "similarity"),
     )
 )
