@@ -113,9 +113,14 @@ def weather_daily(
     """The 9-column ``weather_daily`` daily dimension (FIXTURES.md §1.2)."""
 
     def build() -> DataFrame:
+        # dimension-sized (1 row/day): coalesce to one partition before
+        # the persist — the build's groupBy shuffle otherwise pins the
+        # cache at shuffle.partitions tiny blocks and every downstream
+        # query pays a 32-task stage to scan ~2.5k rows. One partition is
+        # also exactly the broadcast-side layout the joins want.
         return build_weather_daily(
             base(spark, sf_dir, "events"), base(spark, sf_dir, "lineitem")
-        )
+        ).coalesce(1)
 
     if not materialized:
         return build()

@@ -51,6 +51,10 @@ def _load_all() -> None:
         from . import streaming_ops  # noqa: F401
     except ImportError:
         pass
+    try:
+        from . import sql_text  # noqa: F401
+    except ImportError:
+        pass
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

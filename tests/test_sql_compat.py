@@ -1,0 +1,56 @@
+"""MySQL-dialect SQL-text path (sql_compat): translation unit tests +
+end-to-end equivalence with the DataFrame implementations."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dc_moving_violations_cloud_etl_spark import catalog
+from dc_moving_violations_cloud_etl_spark.sql_compat import run_sql, translate
+
+
+def test_field_inlined_any_clause():
+    out = translate("ORDER BY FIELD(wd, 'Mon', 'Tue')")
+    assert "array_position(array('Mon', 'Tue'), wd)" in out
+    assert "FIELD(" not in out
+
+
+def test_field_nested_args_and_case():
+    out = translate("SELECT field(lower(x), concat(a, ','), b) FROM t")
+    assert "array_position(array(concat(a, ','), b), lower(x))" in out
+
+
+def test_dayname_and_date_format_rewritten():
+    out = translate("SELECT DAYNAME(d), DATE_FORMAT(ts, '%Y-%m') FROM t")
+    assert "MYSQL_DAYNAME(d)" in out
+    assert "MYSQL_DATE_FORMAT(ts, '%Y-%m')" in out
+
+
+def test_mysql_text_matches_dataframe_qc(spark, sf_dir):
+    """The MySQL Qc text must produce exactly the DataFrame Qc result."""
+    from dc_moving_violations_cloud_etl_spark.queries.reference import _qc
+    from dc_moving_violations_cloud_etl_spark.queries.sql_text import _QC_MYSQL
+
+    via_text = run_sql(spark, sf_dir, _QC_MYSQL).collect()
+    via_df = _qc(spark, sf_dir).collect()
+    assert [tuple(r) for r in via_text] == [tuple(r) for r in via_df]
+
+
+def test_shims_semantics(spark, sf_dir):
+    """DAYNAME full names; FIELD absent value -> 0; %-format tokens."""
+    catalog.register_all(spark, sf_dir)
+    row = run_sql(
+        spark,
+        sf_dir,
+        """
+        SELECT DAYNAME(DATE'2026-08-13') AS wd,
+               FIELD('x', 'a', 'b') AS missing,
+               FIELD('b', 'a', 'b') AS found,
+               DATE_FORMAT(TIMESTAMP'2026-08-13 14:07:00', '%Y-%m-%d %H:%i')
+                 AS fmt
+        """,
+    ).first()
+    assert row["wd"] == "Thursday"
+    assert row["missing"] == 0
+    assert row["found"] == 2
+    assert row["fmt"] == "2026-08-13 14:07"
