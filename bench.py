@@ -54,6 +54,11 @@ def main() -> None:
     #   pairs at sf0.1), so wall-clock measures result materialization,
     #   not the operator. dedup_minhash_assign benchmarks the same
     #   MinHash+LSH pipeline with the linear keeper-assignment output.
+    # - etl_violations_transform: the row-for-row echo collects the full
+    #   fact table to the driver (600k rows × 13 cols at sf0.1) — it
+    #   measures py4j result materialization, not the transform.
+    #   etl_violations_checksum times the same transform with in-engine
+    #   aggregate verification (constant-size output, the 100 TB shape).
     extras = sorted(
         set(queries)
         - set(HEADLINE)
@@ -61,6 +66,7 @@ def main() -> None:
             "stream_daily_rollup",
             "dedup_minhash_lsh_pairs",
             "dedup_ngram_jaccard_pairs",
+            "etl_violations_transform",
         }
     )
 

@@ -89,6 +89,89 @@ FROM violations
 )
 
 
+def _etl_violations_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE-PATH transform verification: per-month exact aggregates
+    covering all 13 transform columns. The row-for-row echo above is the
+    strongest check at sf0.01, but its cost is driver-side result
+    materialization — at 100 TB nobody ships the table to the driver; a
+    transform is verified by checksumming it in-engine (84 output rows
+    regardless of input scale, all aggregation map-side partial). This is
+    the variant ``bench.py`` times."""
+    v = catalog.violations(spark, sf_dir)
+    epoch_day = F.lit("1970-01-01").cast("date")
+    return (
+        v.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.countDistinct("violation_id").alias("n_ids"),
+            F.min("violation_id").alias("min_id"),
+            F.max("violation_id").alias("max_id"),
+            F.sum(F.unix_timestamp("issue_date")).alias("issue_epoch_sum"),
+            F.sum(F.datediff(F.col("violation_date"), epoch_day)).alias(
+                "vdate_day_sum"
+            ),
+            F.countDistinct("issuing_agency_name").alias("n_agencies"),
+            F.sum(
+                F.when(F.col("accident_indicator") == "Y", 1).otherwise(0)
+            ).alias("n_accident_y"),
+            F.sum(
+                F.when(F.col("accident_indicator").isNull(), 1).otherwise(0)
+            ).alias("n_accident_null"),
+            F.countDistinct("location").alias("n_locations"),
+            F.countDistinct("violation_code").alias("n_codes"),
+            F.sum(F.length("violation_desc")).alias("desc_len_sum"),
+            exact_decimal_sum(F.col("fine_amount")).alias("fine_sum"),
+            # total_paid carries 4 decimal digits (scale-2 × scale-2
+            # decimal product): summing at scale 4 is tie-free; a scale-2
+            # cast would hit .xx5 midpoints that Spark (shortest-repr
+            # HALF_UP) and DuckDB (binary-value rounding) resolve
+            # differently
+            exact_decimal_sum(F.col("total_paid"), scale=4).alias("paid_sum"),
+            exact_decimal_sum(F.col("latitude")).alias("lat_sum"),
+            exact_decimal_sum(F.col("longitude")).alias("lon_sum"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    QuerySpec(
+        "etl_violations_checksum",
+        _etl_violations_checksum,
+        with_ref_views(
+            """
+SELECT month,
+       count(*) AS n_rows,
+       count(DISTINCT violation_id) AS n_ids,
+       min(violation_id) AS min_id,
+       max(violation_id) AS max_id,
+       CAST(sum(CAST(epoch(issue_date) AS BIGINT)) AS BIGINT) AS issue_epoch_sum,
+       CAST(sum(date_diff('day', DATE '1970-01-01', violation_date)) AS BIGINT)
+         AS vdate_day_sum,
+       count(DISTINCT issuing_agency_name) AS n_agencies,
+       CAST(sum(CASE WHEN accident_indicator = 'Y' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accident_y,
+       CAST(sum(CASE WHEN accident_indicator IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_accident_null,
+       count(DISTINCT location) AS n_locations,
+       count(DISTINCT violation_code) AS n_codes,
+       CAST(sum(length(violation_desc)) AS BIGINT) AS desc_len_sum,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE) AS fine_sum,
+       CAST(sum(CAST(total_paid AS DECIMAL(18,4))) AS DOUBLE) AS paid_sum,
+       CAST(sum(CAST(latitude AS DECIMAL(18,2))) AS DOUBLE) AS lat_sum,
+       CAST(sum(CAST(longitude AS DECIMAL(18,2))) AS DOUBLE) AS lon_sum
+FROM violations
+GROUP BY month ORDER BY month
+"""
+        ),
+        doc="C1-C6 scale-path verification: per-month exact aggregate "
+        "checksums over all 13 transform columns (constant-size output; "
+        "how a 100 TB transform is actually verified)",
+        tags=("etl", "transform", "bench"),
+    )
+)
+
+
 def _etl_weather(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = catalog.weather_daily(spark, sf_dir)
     return w.select(
