@@ -49,6 +49,150 @@ def _sql_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return run_sql(spark, sf_dir, _MONTHLY_MYSQL)
 
 
+# The remaining reference query texts that are integer-deterministic
+# (pure counts — no double-sum hash risk on the raw text path), written
+# exactly as the reference ships them (sql/analysis_queries.sql) with
+# only the date literal moved into the fixture's 1995–2001 range per the
+# FIXTURES.md mapping.
+
+# Qb verbatim shape (reference analysis_queries.sql:14-18)
+_QB_MYSQL = """
+SELECT
+    COUNT(*) AS total_tickets_since
+FROM violations
+WHERE violation_date >= '1998-10-01'
+"""
+
+# Qd verbatim (reference analysis_queries.sql:37-43): the fact⋈dimension
+# join through the text path
+_QD_MYSQL = """
+SELECT
+    COUNT(*) AS tickets_on_rainy_days
+FROM violations v
+JOIN weather_daily w
+      ON v.violation_date = w.weather_date
+WHERE w.is_rain = 1
+"""
+
+# Qg verbatim (reference analysis_queries.sql:67-80): MySQL DATE()/HOUR()
+# over a derived table — both exist in Spark SQL with identical semantics
+_QG_MYSQL = """
+SELECT
+    hour_of_day,
+    AVG(tickets_per_hour) AS avg_tickets_per_hour
+FROM (
+    SELECT
+        DATE(issue_date) AS violation_day,
+        HOUR(issue_date) AS hour_of_day,
+        COUNT(*) AS tickets_per_hour
+    FROM violations
+    GROUP BY DATE(issue_date), HOUR(issue_date)
+) AS h
+GROUP BY hour_of_day
+ORDER BY hour_of_day
+"""
+
+# Qh verbatim (reference analysis_queries.sql:82-91): join + conditional
+# aggregation + NULL-aware inequality
+_QH_MYSQL = """
+SELECT
+    w.is_rain,
+    SUM(CASE WHEN v.accident_indicator = 'Y' THEN 1 ELSE 0 END) AS tickets_with_accident,
+    SUM(CASE WHEN v.accident_indicator IS NULL OR v.accident_indicator <> 'Y'
+             THEN 1 ELSE 0 END) AS tickets_without_accident
+FROM violations v
+JOIN weather_daily w
+      ON v.violation_date = w.weather_date
+GROUP BY w.is_rain
+"""
+
+
+def _text_query(mysql_text: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_sql(spark, sf_dir, mysql_text)
+
+    return build
+
+
+register(
+    QuerySpec(
+        "sql_text_qb_since",
+        _text_query(_QB_MYSQL),
+        with_ref_views(
+            """
+SELECT count(*) AS total_tickets_since
+FROM violations WHERE violation_date >= DATE '1998-10-01'
+"""
+        ),
+        doc="Qb VERBATIM MySQL text via sql_compat.run_sql (reference "
+        "analysis_queries.sql:14-18; date literal mapped to fixture range)",
+        tags=("sql-text",),
+    )
+)
+
+register(
+    QuerySpec(
+        "sql_text_qd_rainy",
+        _text_query(_QD_MYSQL),
+        with_ref_views(
+            """
+SELECT count(*) AS tickets_on_rainy_days
+FROM violations v JOIN weather_daily w ON v.violation_date = w.weather_date
+WHERE w.is_rain = 1
+"""
+        ),
+        doc="Qd VERBATIM MySQL text: fact-to-dimension join through the "
+        "text path (reference analysis_queries.sql:37-43)",
+        tags=("sql-text",),
+    )
+)
+
+register(
+    QuerySpec(
+        "sql_text_qg_hourly",
+        _text_query(_QG_MYSQL),
+        with_ref_views(
+            """
+SELECT hour_of_day, avg(tickets_per_hour) AS avg_tickets_per_hour
+FROM (
+  SELECT CAST(issue_date AS DATE) AS violation_day,
+         hour(issue_date) AS hour_of_day,
+         count(*) AS tickets_per_hour
+  FROM violations
+  GROUP BY CAST(issue_date AS DATE), hour(issue_date)
+) h
+GROUP BY hour_of_day
+ORDER BY hour_of_day
+"""
+        ),
+        doc="Qg VERBATIM MySQL text: DATE()/HOUR() two-level aggregation "
+        "through the text path (reference analysis_queries.sql:67-80)",
+        tags=("sql-text",),
+    )
+)
+
+register(
+    QuerySpec(
+        "sql_text_qh_accidents",
+        _text_query(_QH_MYSQL),
+        with_ref_views(
+            """
+SELECT w.is_rain,
+       CAST(sum(CASE WHEN v.accident_indicator = 'Y' THEN 1 ELSE 0 END)
+            AS BIGINT) AS tickets_with_accident,
+       CAST(sum(CASE WHEN v.accident_indicator IS NULL
+                       OR v.accident_indicator <> 'Y'
+                THEN 1 ELSE 0 END) AS BIGINT) AS tickets_without_accident
+FROM violations v JOIN weather_daily w ON v.violation_date = w.weather_date
+GROUP BY w.is_rain
+"""
+        ),
+        doc="Qh VERBATIM MySQL text: conditional aggregation + NULL-aware "
+        "inequality through the text path (reference analysis_queries.sql:82-91)",
+        tags=("sql-text",),
+    )
+)
+
 register(
     QuerySpec(
         "sql_text_qc_weekday",
