@@ -99,26 +99,44 @@ def _etl_violations_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     the variant ``bench.py`` times."""
     v = catalog.violations(spark, sf_dir)
     epoch_day = F.lit("1970-01-01").cast("date")
+    # the PK-uniqueness count runs as its own narrow aggregation: mixing
+    # countDistinct with 19 other aggregates makes Spark group the
+    # partial stage by (month, violation_id) and drag every agg buffer
+    # through 600k groups; standalone it shuffles two columns. The join
+    # back is 84 rows → broadcast.
+    distinct_ids = v.groupBy("month").agg(
+        F.countDistinct("violation_id").alias("n_ids")
+    )
     return (
         v.groupBy("month")
         .agg(
             F.count(F.lit(1)).alias("n_rows"),
-            F.countDistinct("violation_id").alias("n_ids"),
             F.min("violation_id").alias("min_id"),
             F.max("violation_id").alias("max_id"),
             F.sum(F.unix_timestamp("issue_date")).alias("issue_epoch_sum"),
             F.sum(F.datediff(F.col("violation_date"), epoch_day)).alias(
                 "vdate_day_sum"
             ),
-            F.countDistinct("issuing_agency_name").alias("n_agencies"),
+            # one exact DISTINCT only (the PK-uniqueness check): a second
+            # distinct column set would make Spark plan an Expand — a 5×
+            # row multiplication of the fact shuffled per distinct group.
+            # The other string columns are covered value-wise by min/max +
+            # length sums, which stay in the single hash aggregate.
+            F.min("issuing_agency_name").alias("min_agency"),
+            F.max("issuing_agency_name").alias("max_agency"),
+            F.sum(F.length("issuing_agency_name")).alias("agency_len_sum"),
             F.sum(
                 F.when(F.col("accident_indicator") == "Y", 1).otherwise(0)
             ).alias("n_accident_y"),
             F.sum(
                 F.when(F.col("accident_indicator").isNull(), 1).otherwise(0)
             ).alias("n_accident_null"),
-            F.countDistinct("location").alias("n_locations"),
-            F.countDistinct("violation_code").alias("n_codes"),
+            F.min("location").alias("min_location"),
+            F.max("location").alias("max_location"),
+            F.sum(F.length("location")).alias("loc_len_sum"),
+            F.min("violation_code").alias("min_code"),
+            F.max("violation_code").alias("max_code"),
+            F.sum(F.length("violation_code")).alias("code_len_sum"),
             F.sum(F.length("violation_desc")).alias("desc_len_sum"),
             exact_decimal_sum(F.col("fine_amount")).alias("fine_sum"),
             # total_paid carries 4 decimal digits (scale-2 × scale-2
@@ -130,6 +148,7 @@ def _etl_violations_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
             exact_decimal_sum(F.col("latitude")).alias("lat_sum"),
             exact_decimal_sum(F.col("longitude")).alias("lon_sum"),
         )
+        .join(F.broadcast(distinct_ids), "month")
         .orderBy("month")
     )
 
@@ -148,13 +167,19 @@ SELECT month,
        CAST(sum(CAST(epoch(issue_date) AS BIGINT)) AS BIGINT) AS issue_epoch_sum,
        CAST(sum(date_diff('day', DATE '1970-01-01', violation_date)) AS BIGINT)
          AS vdate_day_sum,
-       count(DISTINCT issuing_agency_name) AS n_agencies,
+       min(issuing_agency_name) AS min_agency,
+       max(issuing_agency_name) AS max_agency,
+       CAST(sum(length(issuing_agency_name)) AS BIGINT) AS agency_len_sum,
        CAST(sum(CASE WHEN accident_indicator = 'Y' THEN 1 ELSE 0 END) AS BIGINT)
          AS n_accident_y,
        CAST(sum(CASE WHEN accident_indicator IS NULL THEN 1 ELSE 0 END) AS BIGINT)
          AS n_accident_null,
-       count(DISTINCT location) AS n_locations,
-       count(DISTINCT violation_code) AS n_codes,
+       min(location) AS min_location,
+       max(location) AS max_location,
+       CAST(sum(length(location)) AS BIGINT) AS loc_len_sum,
+       min(violation_code) AS min_code,
+       max(violation_code) AS max_code,
+       CAST(sum(length(violation_code)) AS BIGINT) AS code_len_sum,
        CAST(sum(length(violation_desc)) AS BIGINT) AS desc_len_sum,
        CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE) AS fine_sum,
        CAST(sum(CAST(total_paid AS DECIMAL(18,4))) AS DOUBLE) AS paid_sum,
