@@ -26,9 +26,12 @@ only the (tiny) within-bucket pair set.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from .text import fingerprint, normalized, shingles, shingles_raw, text_hash
 
 N_MINHASH = 16
@@ -57,12 +60,45 @@ def _fan_out(df: DataFrame) -> DataFrame:
     small parquet file → one input split → one task). On a real cluster
     a 100 TB corpus already arrives in thousands of splits and this is a
     no-op; locally it's the difference between 1 and 32 cores on the
-    expression-heavy dedup pipelines."""
-    sc = df.sparkSession.sparkContext
-    target = sc.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    expression-heavy dedup pipelines.
+
+    The split-count probe uses the scan's file listing (``inputFiles`` +
+    ``maxPartitionBytes``), NOT ``df.rdd`` — the RDD conversion would pin
+    a plan node into every dedup DAG just to ask a number.
+    """
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return df.repartition(target)
+    if not files:
+        return df
+    try:
+        max_bytes = _bytes_conf(
+            spark.conf.get("spark.sql.files.maxPartitionBytes")
+        )
+    except Exception:
+        max_bytes = 128 * 1024 * 1024
+    splits = 0
+    for uri in files:
+        p = uri[7:] if uri.startswith("file://") else uri
+        try:
+            size = os.path.getsize(p)
+        except OSError:
+            # non-local / unstatable source: assume well-partitioned
+            return df
+        splits += max(1, -(-size // max_bytes))
+    if splits < target:
         return df.repartition(target)
     return df
+
+
+def _bytes_conf(v: str) -> int:
+    """Parse a Spark byte-size conf value ('134217728', '128m', '1g')."""
+    v = v.strip().lower().removesuffix("b")
+    mult = {"k": 1024, "m": 1024**2, "g": 1024**3, "t": 1024**4}.get(v[-1:], 1)
+    return int(v[:-1] if mult > 1 else v) * mult
 
 
 def norm_docs(documents: DataFrame) -> DataFrame:
@@ -209,7 +245,9 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     # one materialization feeding the self-joined band explode and both
     # verify branches (see minhash_dedup_assign for the scale rationale)
     per_doc = (
-        minhash_signatures(documents).select("doc_id", "sh", "bands").persist()
+        persist_tracked(
+        minhash_signatures(documents).select("doc_id", "sh", "bands")
+    )
     )
     bands = per_doc.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
@@ -278,7 +316,7 @@ def embedding_cosine_pairs(
     # corpus ⋈ broadcast(planes) → one deterministic left-fold dot per
     # (vector, plane) row; integer bit/shift aggregation builds the band
     # signatures (order-insensitive — exact int arithmetic)
-    corpus = with_norm(embeddings).persist()
+    corpus = persist_tracked(with_norm(embeddings))
     bits = corpus.join(F.broadcast(planes)).select(
         "vec_id",
         (((F.col("plane_id") - 1) / width).cast("int")).alias("band_idx"),
@@ -353,7 +391,9 @@ def minhash_dedup_assign(documents: DataFrame) -> DataFrame:
     # 100 TB this intermediate is exactly the signature table a web-scale
     # dedup writes to storage between the sketch and cluster passes.
     per_doc = (
-        minhash_signatures(documents).select("doc_id", "sh", "bands").persist()
+        persist_tracked(
+        minhash_signatures(documents).select("doc_id", "sh", "bands")
+    )
     )
     bands = per_doc.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")

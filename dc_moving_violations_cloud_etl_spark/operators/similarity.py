@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from ..caching import persist_tracked
 from .dedup import _fan_out
 
 TOP_K = 5
@@ -126,15 +127,14 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id").orderBy(
         F.col("cscore").desc(), F.col("cell_id").asc()
     )
-    return (
+    # materialized once: the probe below consumes the assignment on
+    # both sides of its cell equi-join, and the centroid + argmax
+    # pipeline must not re-run per branch (at scale this is the
+    # stored IVF index, built once, probed many times)
+    return persist_tracked(
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "e", "norm", "cell_id")
-        # materialized once: the probe below consumes the assignment on
-        # both sides of its cell equi-join, and the centroid + argmax
-        # pipeline must not re-run per branch (at scale this is the
-        # stored IVF index, built once, probed many times)
-        .persist()
     )
 
 
@@ -197,7 +197,7 @@ def cosine_topk_lsh(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         .groupBy("vec_id")
         .agg(F.sum("w").cast("int").alias("bucket"))
     )
-    corpus = base.join(buckets, "vec_id").persist()
+    corpus = persist_tracked(base.join(buckets, "vec_id"))
     queries = corpus.where(F.col("vec_id") % QUERY_MOD == 0).select(
         F.col("vec_id").alias("query_vec_id"),
         F.col("e").alias("qe"),

@@ -37,24 +37,27 @@ def register(spec: QuerySpec) -> QuerySpec:
 
 def _load_all() -> None:
     # import for side effect of registration
+    import importlib
+    import warnings
+
     from . import reference  # noqa: F401
 
-    try:
-        from . import etl_ops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import extensions  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import streaming_ops  # noqa: F401
-    except ImportError:
-        pass
-    try:
-        from . import sql_text  # noqa: F401
-    except ImportError:
-        pass
+    for mod in ("etl_ops", "extensions", "streaming_ops", "sql_text"):
+        try:
+            importlib.import_module(f".{mod}", __package__)
+        except ModuleNotFoundError as e:
+            # Only a genuinely missing OPTIONAL third-party dep (pandas
+            # et al.) may drop a module from the surface — and loudly. A
+            # missing module of our own package is a packaging/regression
+            # bug and must raise, not silently shrink the query surface.
+            root = __package__.split(".")[0]
+            if (e.name or "").split(".")[0] == root:
+                raise
+            warnings.warn(
+                f"query module {mod!r} skipped (missing optional "
+                f"dependency {e.name!r}): its queries are unregistered",
+                stacklevel=2,
+            )
 
 
 def get_queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -10,7 +10,9 @@ differently:
 
 - ``DAYNAME(d)``      — MySQL returns 'Wednesday'; Spark 4's builtin
   ``dayname`` returns 'Wed' and cannot be shadowed, so the rewrite maps
-  to ``MYSQL_DAYNAME`` (``date_format(d, 'EEEE')``, SURVEY.md §2 G1).
+  to ``MYSQL_DAYNAME`` (locale-free: weekday name from ``dayofweek``,
+  never ``date_format(d,'EEEE')`` which follows the JVM locale;
+  SURVEY.md §2 G1).
 - ``DATE_FORMAT(ts, '%Y-%m')`` — %-token patterns translated to
   JDK patterns inside ``MYSQL_DATE_FORMAT`` (G2/G13).
 - ``FIELD(x, v1, ...)`` — no Spark builtin, and SQL UDFs are rejected
@@ -19,6 +21,16 @@ differently:
   ``coalesce(array_position(array(...), x), 0)`` expression (any arity,
   any clause), preserving the MySQL contract including absent-value →
   0, which sorts first (G5; SURVEY.md §7 hard-part 2).
+
+All rewrites are **string-literal-aware**: quoted strings are never
+rewritten (``WHERE note = 'see DATE_FORMAT(x)'`` stays intact).
+
+``exact_decimal_sums=True`` additionally routes every ``SUM(x)`` through
+``DECIMAL(18,2)`` and back to ``DOUBLE`` — the engine's deterministic-
+aggregation mode (same policy as ``expressions.exact_decimal_sum``:
+double summation is order-dependent, so partial aggregation order would
+make results differ run-to-run; decimal summation is exact). Used for
+the reference's verbatim Qe/Qf money/metric sums.
 
 Known divergence (documented, not shimmed): MySQL's default collation
 makes ``LIKE`` case-insensitive; Spark's is case-sensitive. The
@@ -36,8 +48,13 @@ from pyspark.sql import DataFrame, SparkSession
 from . import catalog
 
 SHIM_DDL = [
+    # locale-free weekday name: element_at over dayofweek (1=Sunday..7),
+    # mirroring expressions.dayname — date_format(d,'EEEE') would follow
+    # the driver JVM's default locale
     """CREATE OR REPLACE TEMPORARY FUNCTION MYSQL_DAYNAME(d DATE)
-       RETURNS STRING RETURN date_format(d, 'EEEE')""",
+       RETURNS STRING RETURN element_at(
+         array('Sunday','Monday','Tuesday','Wednesday','Thursday',
+               'Friday','Saturday'), dayofweek(d))""",
     """CREATE OR REPLACE TEMPORARY FUNCTION MYSQL_DATE_FORMAT(ts TIMESTAMP, fmt STRING)
        RETURNS STRING RETURN date_format(ts,
          replace(replace(replace(replace(replace(fmt,
@@ -50,12 +67,69 @@ _REWRITES = [
 ]
 
 _FIELD_CALL = re.compile(r"\bFIELD\s*\(", re.IGNORECASE)
+_SUM_CALL = re.compile(r"\bSUM\s*\(", re.IGNORECASE)
+
+# every name the engine can register as a temp view (base fixtures +
+# the two reference-shaped derived views)
+_ALL_VIEWS = (*catalog.BASE_TABLES, "violations", "weather_daily")
 
 
 def enable_mysql_compat(spark: SparkSession) -> None:
     """Register the dialect-shim SQL functions (idempotent)."""
     for ddl in SHIM_DDL:
         spark.sql(ddl)
+
+
+def _literal_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end) spans of single/double-quoted string literals."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        ch = text[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != ch:
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _outside(pos: int, spans: list[tuple[int, int]]) -> bool:
+    return not any(s <= pos < e for s, e in spans)
+
+
+def _sub_outside_literals(pat: re.Pattern, repl: str, text: str) -> str:
+    """``pat.sub(repl, text)`` skipping matches inside string literals."""
+    spans = _literal_spans(text)
+    out, last = [], 0
+    for m in pat.finditer(text):
+        if _outside(m.start(), spans):
+            out.append(text[last : m.start()])
+            out.append(repl)
+            last = m.end()
+    out.append(text[last:])
+    return "".join(out)
+
+
+def _closing_paren(text: str, start: int) -> int:
+    """Index one past the ')' matching an already-open paren at
+    ``start`` (quote-aware balanced scan)."""
+    depth, i, quote = 1, start, None
+    while i < len(text) and depth:
+        ch = text[i]
+        if quote:
+            if ch == quote:
+                quote = None
+        elif ch in ("'", '"'):
+            quote = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return i
 
 
 def _split_top_level(args: str) -> list[str]:
@@ -90,40 +164,82 @@ def _inline_field(text: str) -> str:
     expression (SQL UDFs are not allowed inside Sort, where MySQL users
     put FIELD)."""
     while True:
-        m = _FIELD_CALL.search(text)
+        spans = _literal_spans(text)
+        m = next(
+            (
+                m
+                for m in _FIELD_CALL.finditer(text)
+                if _outside(m.start(), spans)
+            ),
+            None,
+        )
         if m is None:
             return text
-        # balanced-paren scan for the closing paren of this call
-        depth, i, quote = 1, m.end(), None
-        while i < len(text) and depth:
-            ch = text[i]
-            if quote:
-                if ch == quote:
-                    quote = None
-            elif ch in ("'", '"'):
-                quote = ch
-            elif ch == "(":
-                depth += 1
-            elif ch == ")":
-                depth -= 1
-            i += 1
+        i = _closing_paren(text, m.end())
         args = _split_top_level(text[m.end() : i - 1])
         x, values = args[0], args[1:]
         repl = f"int(coalesce(array_position(array({', '.join(values)}), {x}), 0))"
         text = text[: m.start()] + repl + text[i:]
 
 
-def translate(text: str) -> str:
+def _route_decimal_sums(text: str) -> str:
+    """SUM(x) → CAST(SUM(CAST((x) AS DECIMAL(18,2))) AS DOUBLE).
+
+    Matches are rewritten right-to-left so the SUM token inside each
+    replacement is never rescanned.
+    """
+    spans = _literal_spans(text)
+    matches = [
+        m for m in _SUM_CALL.finditer(text) if _outside(m.start(), spans)
+    ]
+    for m in reversed(matches):
+        i = _closing_paren(text, m.end())
+        arg = text[m.end() : i - 1]
+        repl = f"CAST(SUM(CAST(({arg}) AS DECIMAL(18,2))) AS DOUBLE)"
+        text = text[: m.start()] + repl + text[i:]
+    return text
+
+
+def translate(text: str, exact_decimal_sums: bool = False) -> str:
     """Rewrite MySQL-only constructs to Spark-executable equivalents."""
     for pat, repl in _REWRITES:
-        text = pat.sub(repl, text)
-    return _inline_field(text)
+        text = _sub_outside_literals(pat, repl, text)
+    text = _inline_field(text)
+    if exact_decimal_sums:
+        text = _route_decimal_sums(text)
+    return text
 
 
-def run_sql(spark: SparkSession, sf_dir: str, text: str) -> DataFrame:
+def referenced_tables(text: str) -> set[str]:
+    """Registrable table/view names a query's text mentions (outside
+    string literals). Conservative word-boundary scan — over-matching a
+    name in a comment costs one cheap extra registration, never a wrong
+    result."""
+    masked = text
+    for s, e in reversed(_literal_spans(text)):
+        masked = masked[:s] + " " * (e - s) + masked[e:]
+    return {
+        name
+        for name in _ALL_VIEWS
+        if re.search(rf"\b{name}\b", masked, re.IGNORECASE)
+    }
+
+
+def run_sql(
+    spark: SparkSession,
+    sf_dir: str,
+    text: str,
+    exact_decimal_sums: bool = False,
+) -> DataFrame:
     """Run one MySQL-dialect query string against the engine's tables
     (``violations`` / ``weather_daily`` + the base fixtures), exactly as
-    a reference user would against their MySQL instance."""
-    catalog.register_all(spark, sf_dir)
+    a reference user would against their MySQL instance.
+
+    Registration is LAZY (only tables the text references) and memoized
+    per (session, sf_dir) in ``catalog.register_views`` — a
+    violations-only query never touches the other fixtures' parquet
+    footers, and repeated text queries re-pay nothing.
+    """
+    catalog.register_views(spark, sf_dir, referenced_tables(text))
     enable_mysql_compat(spark)
-    return spark.sql(translate(text))
+    return spark.sql(translate(text, exact_decimal_sums=exact_decimal_sums))

@@ -19,6 +19,8 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from ..catalog import read_parquet
+
 
 def _stage_dir(path: str, tag: str) -> str:
     """The parquet file-stream source requires a DIRECTORY; the fixtures
@@ -37,7 +39,7 @@ def daily_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     computed by a real streaming query (file source → availableNow →
     memory sink), returned as a batch DataFrame."""
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema  # ts arrives as nanos long
+    schema = read_parquet(spark, path).schema  # ts arrives as nanos long
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"daily_rollup_{tag}"
 
@@ -87,7 +89,7 @@ def late_data_watermark_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     exceeds max(ts) - INTERVAL 1 DAY.
     """
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet(spark, path).schema
     tag = hashlib.md5(f"wm:{sf_dir}".encode()).hexdigest()[:8]
     name = f"late_rollup_{tag}"
 

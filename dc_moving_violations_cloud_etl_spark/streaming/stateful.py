@@ -23,6 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
+from ..catalog import read_parquet
 from .daily import _stage_dir
 
 GAP_MS = 30 * 60 * 1000
@@ -33,54 +34,61 @@ OUTPUT_SCHEMA = (
 STATE_SCHEMA = "start long, last long, n long"
 
 
-def _sessionize_fn(
-    key: tuple[Any, ...],
-    pdfs: Iterator[pd.DataFrame],
-    state: GroupState,
-) -> Iterator[pd.DataFrame]:
-    # nested-in-module is fine for workers IF the package is importable;
-    # keep the body self-contained (only pandas + stdlib) so cloudpickle
-    # by-value shipping also works when it is re-wrapped below
-    (user_id,) = key
-    ts_ms: list[int] = []
-    for pdf in pdfs:
-        ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
-    ts_ms.sort()
+def _make_sessionize_fn():
+    """Build the state function as a CLOSURE so cloudpickle ships it BY
+    VALUE: a module-level function pickles by reference, and workers in
+    a caller-supplied session (the driver's harness) may not have this
+    package on their PYTHONPATH. Body is self-contained (pandas+stdlib
+    only)."""
+    gap_ms = GAP_MS
 
-    if state.exists:
-        start, last, n = state.get
-    else:
-        start = last = -1
-        n = 0
+    def _sessionize_fn(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        ts_ms: list[int] = []
+        for pdf in pdfs:
+            ts_ms.extend(int(t.value // 1_000_000) for t in pdf["ts"])
+        ts_ms.sort()
 
-    out: list[tuple[int, int, int, int]] = []  # (start, last, n)
-    for t in ts_ms:
-        if start < 0:
-            start, last, n = t, t, 1
-        elif t - last >= GAP_MS:
-            out.append((user_id, start, last, n))
-            start, last, n = t, t, 1
+        if state.exists:
+            start, last, n = state.get
         else:
-            last, n = t, n + 1
+            start = last = -1
+            n = 0
 
-    # batch end == stream end under availableNow: flush the open session
-    if start >= 0:
-        out.append((user_id, start, last, n))
-        state.remove()
-    else:
-        state.update((start, last, n))
+        out: list[tuple[int, int, int, int]] = []  # (start, last, n)
+        for t in ts_ms:
+            if start < 0:
+                start, last, n = t, t, 1
+            elif t - last >= gap_ms:
+                out.append((user_id, start, last, n))
+                start, last, n = t, t, 1
+            else:
+                last, n = t, n + 1
 
-    def fmt(ms: int) -> str:
-        return pd.Timestamp(ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S")
+        # batch end == stream end under availableNow: flush the open session
+        if start >= 0:
+            out.append((user_id, start, last, n))
+            state.remove()
+        else:
+            state.update((start, last, n))
 
-    yield pd.DataFrame(
-        {
-            "user_id": [u for u, _, _, _ in out],
-            "session_start": [fmt(s) for _, s, _, _ in out],
-            "session_last": [fmt(e) for _, _, e, _ in out],
-            "n_events": [n for _, _, _, n in out],
-        }
-    )
+        def fmt(ms: int) -> str:
+            return pd.Timestamp(ms, unit="ms").strftime("%Y-%m-%d %H:%M:%S")
+
+        yield pd.DataFrame(
+            {
+                "user_id": [u for u, _, _, _ in out],
+                "session_start": [fmt(s) for _, s, _, _ in out],
+                "session_last": [fmt(e) for _, _, e, _ in out],
+                "n_events": [n for _, _, _, n in out],
+            }
+        )
+
+    return _sessionize_fn
 
 
 def stateful_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -88,7 +96,7 @@ def stateful_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     sink, returned as a batch DataFrame (deterministic under
     availableNow; oracle = gaps-and-islands SQL)."""
     path = f"{sf_dir}/events.parquet"
-    schema = spark.read.parquet(path).schema
+    schema = read_parquet(spark, path).schema
     tag = hashlib.md5(f"state:{sf_dir}".encode()).hexdigest()[:8]
     name = f"stateful_sessions_{tag}"
 
@@ -100,7 +108,7 @@ def stateful_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         events.select("user_id", "ts")
         .groupBy("user_id")
         .applyInPandasWithState(
-            _sessionize_fn,
+            _make_sessionize_fn(),
             outputStructType=OUTPUT_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
