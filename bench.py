@@ -17,6 +17,7 @@ import re
 import sys
 import time
 
+from dc_moving_violations_cloud_etl_spark import caching, catalog
 from dc_moving_violations_cloud_etl_spark.queries import get_queries
 from dc_moving_violations_cloud_etl_spark.session import get_spark
 
@@ -83,6 +84,12 @@ def main() -> None:
         per_query[name] = round(dt, 4)
         if name in names:
             total += dt
+
+    # cache-release hook: a bench run must end with no cached relations
+    # (persisted fact/dim/sketch tables are session-local working set,
+    # not process-lifetime state)
+    catalog.release(spark)
+    assert caching.tracked_count() == 0, "tracked persists survived release"
 
     print(
         json.dumps(

@@ -531,3 +531,102 @@ FROM days GROUP BY 1 ORDER BY 1
         tags=("etl", "generator"),
     )
 )
+
+
+def _is_rain_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §1.4.2 divergence, oracle-exercised: the reference ships
+    TWO is_rain rules — v1 ``precip > 0`` (full load,
+    reference etl/full_load/weather_etl_history.py:85) and v2
+    ``precip > 0 OR 'rain' in conditions`` (daily load, canonical,
+    reference etl/daily_load/weather_etl_daily.py:158-160). The
+    dimension stores v2; this query recomputes v1 per day and reports
+    per-month day counts where the two rules disagree (all-integer →
+    hash-exact)."""
+    from ..expressions import is_rain_v1
+
+    w = catalog.weather_daily(spark, sf_dir)
+    v1 = is_rain_v1(F.col("precip"))
+    return (
+        w.select(
+            F.date_format("weather_date", "yyyy-MM").alias("ym"),
+            v1.alias("v1"),
+            F.col("is_rain").alias("v2"),
+        )
+        .groupBy("ym")
+        .agg(
+            F.count(F.lit(1)).alias("n_days"),
+            F.sum("v1").cast("long").alias("rainy_days_v1"),
+            F.sum("v2").cast("long").alias("rainy_days_v2"),
+            F.sum(F.when(F.col("v1") != F.col("v2"), 1).otherwise(0))
+            .cast("long")
+            .alias("disagree_days"),
+        )
+        .orderBy("ym")
+    )
+
+
+register(
+    QuerySpec(
+        "weather_is_rain_variants",
+        _is_rain_variants,
+        with_ref_views(
+            """
+SELECT strftime(weather_date, '%Y-%m') AS ym,
+       count(*) AS n_days,
+       CAST(sum(CASE WHEN coalesce(precip, 0.0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rainy_days_v1,
+       CAST(sum(is_rain) AS BIGINT) AS rainy_days_v2,
+       CAST(sum(CASE WHEN (CASE WHEN coalesce(precip, 0.0) > 0
+                           THEN 1 ELSE 0 END) <> is_rain
+                     THEN 1 ELSE 0 END) AS BIGINT) AS disagree_days
+FROM weather_daily
+GROUP BY strftime(weather_date, '%Y-%m')
+ORDER BY ym
+"""
+        ),
+        doc="C7 vs C8: per-month disagreement between the reference's two "
+        "is_rain rules (v1 full-load weather_etl_history.py:85; v2 daily-"
+        "load weather_etl_daily.py:158-160 — the canonical rule the "
+        "dimension stores)",
+        tags=("etl", "divergence"),
+    )
+)
+
+
+PAGE_SIZE = 5000
+
+
+def _page_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1/I3 demonstrator: server row count → parallel page-fetch plan
+    (reference violation_etl_history.py:90-103 count-then-page loop).
+    The count is the one legitimate driver-side scalar (mirrors the
+    reference's returnCountOnly request); the plan itself is a
+    distributed range projection."""
+    from ..sources.json_api import plan_pages
+
+    total = catalog.base(spark, sf_dir, "lineitem").count()
+    return plan_pages(spark, total, PAGE_SIZE).orderBy("page_index")
+
+
+register(
+    QuerySpec(
+        "gen_page_plan",
+        _page_plan,
+        with_ref_views(
+            f""",
+t AS (SELECT count(*) AS n FROM lineitem)
+SELECT CAST(r.range AS BIGINT) AS page_index,
+       CAST(r.range * {PAGE_SIZE} AS BIGINT) AS result_offset,
+       CAST(least(t.n - r.range * {PAGE_SIZE}, {PAGE_SIZE}) AS BIGINT)
+         AS result_record_count
+FROM t, range(1000000) r
+WHERE r.range * {PAGE_SIZE} < t.n
+ORDER BY page_index
+"""
+        ),
+        doc="A1/I3 count-then-page planning: row count -> one page-window "
+        "row per fetch task, partition-parallel (reference "
+        "violation_etl_history.py:90-103)",
+        tags=("source", "pagination"),
+    )
+)

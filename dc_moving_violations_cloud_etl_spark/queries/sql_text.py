@@ -237,3 +237,116 @@ ORDER BY ym
         tags=("sql-text", "dialect-shim"),
     )
 )
+
+
+# The three remaining reference texts carry double SUMs (Qe/Qf) or are
+# pure counts (Qa). Qa runs verbatim through the plain text path; Qe/Qf
+# run verbatim under the engine's exact-aggregation mode
+# (``exact_decimal_sums=True``): SUM(x) is routed through DECIMAL(18,2)
+# so the result is order-independent and identical to the DuckDB oracle
+# (same policy the DataFrame twins apply via expressions.exact_decimal_sum).
+
+# Qa verbatim (reference analysis_queries.sql:5-12)
+_QA_MYSQL = """
+SELECT
+    month,
+    issuing_agency_name,
+    COUNT(*) AS tickets_count
+FROM violations
+GROUP BY month, issuing_agency_name
+ORDER BY month, issuing_agency_name
+"""
+
+# Qe verbatim (reference analysis_queries.sql:45-51): DATE_FORMAT shim +
+# GROUP BY alias + ROUND over the routed sum
+_QE_MYSQL = """
+SELECT
+    DATE_FORMAT(weather_date, '%Y-%m') AS year_month_,
+    ROUND(SUM(precip),2) AS total_precipitation
+FROM weather_daily
+GROUP BY year_month_
+ORDER BY year_month_
+"""
+
+# Qf verbatim (reference analysis_queries.sql:54-63): LIKE + 2x NOT LIKE
+_QF_MYSQL = """
+SELECT
+    month,
+    SUM(fine_amount) AS total_fine_over_10mph
+FROM violations
+WHERE violation_desc LIKE '%MPH OVER%'
+  AND violation_desc NOT LIKE '%UP TO TEN MPH OVER%'
+  AND violation_desc NOT LIKE '%1-10 MPH OVER%'
+GROUP BY month
+ORDER BY month
+"""
+
+
+def _text_query_decimal(mysql_text: str):
+    def build(spark: SparkSession, sf_dir: str) -> DataFrame:
+        return run_sql(spark, sf_dir, mysql_text, exact_decimal_sums=True)
+
+    return build
+
+
+register(
+    QuerySpec(
+        "sql_text_qa_monthly_agency",
+        _text_query(_QA_MYSQL),
+        with_ref_views(
+            """
+SELECT month, issuing_agency_name, count(*) AS tickets_count
+FROM violations
+GROUP BY month, issuing_agency_name
+ORDER BY month, issuing_agency_name
+"""
+        ),
+        doc="Qa VERBATIM MySQL text via sql_compat.run_sql "
+        "(reference analysis_queries.sql:5-12)",
+        tags=("sql-text",),
+    )
+)
+
+register(
+    QuerySpec(
+        "sql_text_qe_precip",
+        _text_query_decimal(_QE_MYSQL),
+        with_ref_views(
+            """
+SELECT strftime(weather_date, '%Y-%m') AS year_month_,
+       CAST(round(sum(CAST(precip AS DECIMAL(18,2))), 2) AS DOUBLE)
+         AS total_precipitation
+FROM weather_daily
+GROUP BY strftime(weather_date, '%Y-%m')
+ORDER BY year_month_
+"""
+        ),
+        doc="Qe VERBATIM MySQL text under exact-decimal-sum routing: "
+        "DATE_FORMAT shim, GROUP BY alias, ROUND over the exact sum "
+        "(reference analysis_queries.sql:45-51)",
+        tags=("sql-text", "dialect-shim"),
+    )
+)
+
+register(
+    QuerySpec(
+        "sql_text_qf_speeding_fines",
+        _text_query_decimal(_QF_MYSQL),
+        with_ref_views(
+            """
+SELECT month,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_fine_over_10mph
+FROM violations
+WHERE violation_desc LIKE '%MPH OVER%'
+  AND violation_desc NOT LIKE '%UP TO TEN MPH OVER%'
+  AND violation_desc NOT LIKE '%1-10 MPH OVER%'
+GROUP BY month
+ORDER BY month
+"""
+        ),
+        doc="Qf VERBATIM MySQL text under exact-decimal-sum routing "
+        "(reference analysis_queries.sql:54-63)",
+        tags=("sql-text",),
+    )
+)

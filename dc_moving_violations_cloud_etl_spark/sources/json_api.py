@@ -68,6 +68,30 @@ WEATHER_TIMELINE = T.StructType(
 )
 
 
+def plan_pages(spark, total_count: int, page_size: int = 1000) -> DataFrame:
+    """A1/I3 count-then-page planning (reference
+    etl/full_load/violation_etl_history.py:90-103): the reference asks
+    the server for ``returnCountOnly`` then loops
+    ``resultOffset += resultRecordCount`` serially. The Spark-first
+    shape turns the count into a DataFrame of page windows — one row per
+    fetch task, so a fetch layer (``foreachBatch`` HTTP stage or a
+    mapInPandas fetcher) executes ALL pages partition-parallel instead
+    of one at a time.
+
+    ``spark.range`` is a parallel, shuffle-free source; the windows are
+    pure projections of the page index.
+    """
+    n_pages = max(0, -(-int(total_count) // page_size))
+    return spark.range(n_pages).select(
+        F.col("id").alias("page_index"),
+        (F.col("id") * page_size).alias("result_offset"),
+        F.least(
+            F.lit(int(total_count)) - F.col("id") * page_size,
+            F.lit(page_size).cast("long"),
+        ).alias("result_record_count"),
+    )
+
+
 def arcgis_features(pages: DataFrame, payload_col: str = "payload") -> DataFrame:
     """JSON page payloads → one row per feature's attributes.
 

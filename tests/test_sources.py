@@ -112,3 +112,33 @@ def test_weather_timeline_to_daily_rows(spark):
     got = {r["datetime"]: r["is_rain"] for r in days.collect()}
     # C8 rule: conditions-substring OR precip>0
     assert got == {"2024-12-01": 1, "2024-12-02": 1}
+
+
+def test_count_then_page_plan_end_to_end(spark):
+    """A1/I3: a server row count becomes a parallel page plan whose
+    windows tile [0, total) exactly; fetching each planned page and
+    shredding via arcgis_features recovers every row exactly once
+    (reference violation_etl_history.py:90-103 count-then-page loop)."""
+    from dc_moving_violations_cloud_etl_spark.sources.json_api import plan_pages
+
+    total, page_size = 23, 10
+    plan = plan_pages(spark, total, page_size).orderBy("page_index").collect()
+    assert [r["result_offset"] for r in plan] == [0, 10, 20]
+    assert [r["result_record_count"] for r in plan] == [10, 10, 3]
+    assert sum(r["result_record_count"] for r in plan) == total
+
+    # simulate the fetch layer: one payload per planned window
+    pages = spark.createDataFrame(
+        [
+            (_arcgis_page(range(r["result_offset"], r["result_offset"] + r["result_record_count"])),)
+            for r in plan
+        ],
+        "payload string",
+    )
+    feats = arcgis_features(pages)
+    assert feats.count() == total
+    assert feats.select("OBJECTID").distinct().count() == total
+
+    # degenerate counts
+    assert plan_pages(spark, 0, page_size).count() == 0
+    assert plan_pages(spark, page_size, page_size).count() == 1
