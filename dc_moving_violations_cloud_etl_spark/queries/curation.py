@@ -1,0 +1,421 @@
+"""Corpus-curation pipeline queries: the end-to-end operations a
+training-data pipeline runs BETWEEN the primitive operators (text stats,
+dedup, embeddings) and the final dataset — keep/drop decision cascades,
+deterministic stratified sampling, corpus shape histograms, embedding
+quantization, and TF-IDF term ranking. All oracle-checked.
+
+Scale posture: every query is projections + hash-aggregations +
+equi-joins on uniform keys (md5/text-hash) — no cross joins, no windows
+over the full corpus except per-language top-k (bounded output), no
+driver-side loops. At 100 TB each stage is a shuffle on a uniformly
+distributed key; decision cascades are pure per-row expressions fused
+into the scan by whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from ..operators.text import (
+    STOPWORDS,
+    normalized,
+    quality_bucket,
+    text_hash,
+    token_stats,
+    tokens,
+)
+from .extensions import _DOCS_CTE, _docs
+from .registry import QuerySpec, register
+
+_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
+
+
+# ---------------------------------------------------------------------------
+# keep/drop decision cascade (exact-dup election + quality gate)
+# ---------------------------------------------------------------------------
+
+
+def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship curation shape: exact-dup keeper election (hash
+    groupBy + equi-join back on the uniform text hash) feeding a pure-
+    expression decision cascade, reported as per-(lang, decision)
+    counts. First matching rule wins:
+
+      drop_exact_dup   — another (lower-id) doc has identical normalized
+                         text (the standard min-id keeper election);
+      drop_low_quality — quality bucket 'low' (< 20 tokens);
+      keep             — everything else.
+
+    At 100 TB: one shuffle for the keeper table (map-side partial min),
+    one equi-join on text_hash (uniform), then a constant-size aggregate.
+    """
+    d = _docs(spark, sf_dir)
+    norm = normalized(F.col("text"))
+    toks = tokens(norm)
+    st = token_stats(F.col("toks"))
+    base = d.select(
+        "doc_id", "lang", text_hash(norm).alias("text_hash"), toks.alias("toks")
+    ).select(
+        "doc_id",
+        "lang",
+        "text_hash",
+        st["n_tokens"].alias("n_tokens"),
+        st["stopword_ratio"].alias("stopword_ratio"),
+    )
+    keepers = base.groupBy("text_hash").agg(
+        F.min("doc_id").alias("keeper_doc_id")
+    )
+    decided = base.join(keepers, "text_hash").select(
+        "lang",
+        "n_tokens",
+        F.when(F.col("doc_id") != F.col("keeper_doc_id"), "drop_exact_dup")
+        .when(
+            quality_bucket(F.col("n_tokens"), F.col("stopword_ratio")) == "low",
+            "drop_low_quality",
+        )
+        .otherwise("keep")
+        .alias("decision"),
+    )
+    return (
+        decided.groupBy("lang", "decision")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+        .orderBy("lang", "decision")
+    )
+
+
+register(
+    QuerySpec(
+        "curation_decisions",
+        _curation_decisions,
+        _DOCS_CTE
+        + f"""
+, st AS (
+  SELECT doc_id, lang, text_hash,
+         CAST(len(toks) AS BIGINT) AS n_tokens,
+         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
+           / CAST(len(toks) AS BIGINT) AS stopword_ratio
+  FROM docs_n
+),
+keepers AS (
+  SELECT text_hash, min(doc_id) AS keeper_doc_id FROM st GROUP BY text_hash
+),
+decided AS (
+  SELECT s.lang, s.n_tokens,
+         CASE WHEN s.doc_id <> k.keeper_doc_id THEN 'drop_exact_dup'
+              WHEN s.n_tokens < 20 THEN 'drop_low_quality'
+              ELSE 'keep' END AS decision
+  FROM st s JOIN keepers k ON s.text_hash = k.text_hash
+)
+SELECT lang, decision, count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS total_tokens
+FROM decided GROUP BY lang, decision ORDER BY lang, decision
+""",
+        doc="End-to-end curation decision cascade: exact-dup keeper "
+        "election + quality gate -> per-(lang, decision) doc/token "
+        "counts (integer-exact)",
+        tags=("extension", "curation"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# deterministic stratified sampling
+# ---------------------------------------------------------------------------
+
+# per-language keep percentages — the down/up-weighting step every
+# multilingual training mix applies; hash-mod (not rand()) so the sample
+# is reproducible run-to-run, engine-to-engine, and stable under
+# re-partitioning
+SAMPLE_RATES = {"en": 50, "de": 40, "fr": 40, "es": 30, "zh": 20}
+
+
+def _hash_bucket(c: F.Column) -> F.Column:
+    """doc_id → uniform bucket in [0, 100) via an md5 prefix (portable:
+    the DuckDB twin computes the identical integer)."""
+    return (
+        F.conv(F.substring(F.md5(c.cast("string")), 1, 8), 16, 10).cast("long")
+        % 100
+    )
+
+
+def _stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    rate = F.coalesce(
+        *[
+            F.when(F.col("lang") == lang, F.lit(pct))
+            for lang, pct in SAMPLE_RATES.items()
+        ],
+        F.lit(0),
+    )
+    return (
+        d.withColumn("keep", (_hash_bucket(F.col("doc_id")) < rate).cast("int"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").cast("long").alias("n_sampled"),
+        )
+        .orderBy("lang")
+    )
+
+
+_RATE_SQL = (
+    "CASE "
+    + " ".join(f"WHEN lang = '{l}' THEN {p}" for l, p in SAMPLE_RATES.items())
+    + " ELSE 0 END"
+)
+
+register(
+    QuerySpec(
+        "curation_stratified_sample",
+        _stratified_sample,
+        f"""
+WITH d AS (
+  SELECT lang,
+         CASE WHEN CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                    AS BIGINT) % 100 < {_RATE_SQL}
+              THEN 1 ELSE 0 END AS keep
+  FROM documents
+)
+SELECT lang, count(*) AS n_docs, CAST(sum(keep) AS BIGINT) AS n_sampled
+FROM d GROUP BY lang ORDER BY lang
+""",
+        doc="Deterministic per-language stratified sampling via md5-mod "
+        "buckets (reproducible across engines/partitionings; the "
+        "language-mix reweighting step of a training-data pipeline)",
+        tags=("extension", "curation"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# token-length histogram (power-of-two buckets, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def _token_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus shape report: docs and tokens per power-of-two length
+    bucket. The bucket is ``len(bin(n_tokens))`` — pure integer string
+    length, no floating log2 (engine-exact at bucket boundaries)."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.size(tokens(normalized(F.col("text")))).alias("n_tokens")
+    )
+    bucket = F.length(F.bin(F.col("n_tokens"))).cast("int")
+    return (
+        d.select(bucket.alias("log2_bucket"), "n_tokens")
+        .groupBy("log2_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+        )
+        .orderBy("log2_bucket")
+    )
+
+
+register(
+    QuerySpec(
+        "text_token_length_histogram",
+        _token_length_histogram,
+        _DOCS_CTE
+        + """
+SELECT CAST(len(bin(len(toks))) AS INTEGER) AS log2_bucket,
+       count(*) AS n_docs,
+       CAST(sum(len(toks)) AS BIGINT) AS total_tokens,
+       CAST(min(len(toks)) AS BIGINT) AS min_tokens,
+       CAST(max(len(toks)) AS BIGINT) AS max_tokens
+FROM docs_n GROUP BY 1 ORDER BY 1
+""",
+        doc="Token-length histogram in power-of-two buckets (bucket = "
+        "binary digit count — integer-exact boundaries, no float log2)",
+        tags=("extension", "text"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# int8 embedding quantization
+# ---------------------------------------------------------------------------
+
+
+def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric per-vector int8 quantization (the storage/serving
+    format for 100 TB embedding tables): scale = max|x| / 127,
+    q_i = floor(x_i/scale + 0.5) clamped to [-127, 127]. Every step is
+    a single IEEE flop or exact integer op, so the DuckDB twin matches
+    bit-for-bit; ``floor(x+0.5)`` avoids engine-dependent round-half
+    behavior. Per-row projection — no shuffle."""
+    e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    amax = F.array_max(F.transform(e, F.abs))
+    scale = amax / F.lit(127.0)
+    q = F.transform(
+        e,
+        lambda x: F.when(F.col("amax") == 0.0, F.lit(0).cast("long")).otherwise(
+            F.greatest(
+                F.lit(-127).cast("long"),
+                F.least(
+                    F.lit(127).cast("long"),
+                    F.floor(x / F.col("scale") + F.lit(0.5)),
+                ),
+            )
+        ),
+    )
+    from .. import catalog
+
+    emb = catalog.base(spark, sf_dir, "embeddings")
+    return (
+        emb.withColumn("amax", amax)
+        .withColumn("scale", scale)
+        .select(
+            "vec_id",
+            F.size("embedding").alias("n_dims"),
+            F.round("scale", 6).alias("scale_r6"),
+            q.alias("q"),
+        )
+        .select(
+            "vec_id",
+            "n_dims",
+            "scale_r6",
+            F.aggregate(
+                "q", F.lit(0).cast("long"), lambda acc, x: acc + x
+            ).alias("q_sum"),
+            F.array_min("q").cast("long").alias("q_min"),
+            F.array_max("q").cast("long").alias("q_max"),
+        )
+        .orderBy("vec_id")
+    )
+
+
+register(
+    QuerySpec(
+        "embedding_quantize_int8",
+        _quantize_int8,
+        """
+WITH e AS (
+  SELECT vec_id,
+         list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
+  FROM embeddings
+),
+s AS (
+  SELECT vec_id, ed,
+         list_max(list_transform(ed, x -> abs(x))) AS amax,
+         list_max(list_transform(ed, x -> abs(x))) / 127.0 AS scale
+  FROM e
+),
+q AS (
+  SELECT vec_id, ed, amax, scale,
+         list_transform(ed, x ->
+           CASE WHEN amax = 0 THEN 0
+                ELSE greatest(-127, least(127,
+                       CAST(floor(x / scale + 0.5) AS BIGINT))) END) AS qv
+  FROM s
+)
+SELECT vec_id,
+       CAST(len(ed) AS INTEGER) AS n_dims,
+       round(scale, 6) AS scale_r6,
+       CAST(list_sum(qv) AS BIGINT) AS q_sum,
+       CAST(list_min(qv) AS BIGINT) AS q_min,
+       CAST(list_max(qv) AS BIGINT) AS q_max
+FROM q ORDER BY vec_id
+""",
+        doc="Symmetric per-vector int8 quantization of the embedding "
+        "column: scale/clamp/floor(x+0.5) (engine-exact), per-vector "
+        "checksum columns",
+        tags=("extension", "embedding"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF top terms per language
+# ---------------------------------------------------------------------------
+
+TFIDF_K = 5
+
+
+def _tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level TF-IDF: explode tokens once, aggregate document
+    frequency globally and term frequency per language, score
+    tf·ln(N/df), keep top-5 per language.
+
+    Scale: the explode+agg pair is the canonical map-side-combinable
+    token count (shuffle carries only (token, partial count) rows); the
+    window runs over per-(lang, token) aggregates — corpus-size
+    independent. Scores are rounded to 6 dp before ranking so the libm
+    ``ln`` of both engines agrees; ties break on the token string."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    # corpus size as a broadcast 1-row aggregate, not a driver action —
+    # the plan stays a single distributed DAG
+    n_corpus = d.agg(F.count(F.lit(1)).cast("double").alias("n_corpus"))
+    tok = d.select("doc_id", "lang", F.explode("toks").alias("token"))
+    df_table = tok.groupBy("token").agg(
+        F.countDistinct("doc_id").alias("df")
+    )
+    tf_table = tok.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    scored = (
+        tf_table.join(df_table, "token")
+        .crossJoin(F.broadcast(n_corpus))
+        .select(
+            "lang",
+            "token",
+            "tf",
+            F.round(
+                F.col("tf")
+                * F.log(F.col("n_corpus") / F.col("df").cast("double")),
+                6,
+            ).alias("tfidf_r6"),
+        )
+    )
+    w = Window.partitionBy("lang").orderBy(
+        F.col("tfidf_r6").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= TFIDF_K)
+        .select("lang", "rank", "token", "tf", "tfidf_r6")
+        .orderBy("lang", "rank")
+    )
+
+
+register(
+    QuerySpec(
+        "text_tfidf_top_terms",
+        _tfidf_top_terms,
+        _DOCS_CTE
+        + f"""
+, tok AS (
+  SELECT doc_id, lang, unnest(toks) AS token FROM docs_n
+),
+dft AS (
+  SELECT token, count(DISTINCT doc_id) AS df FROM tok GROUP BY token
+),
+tft AS (
+  SELECT lang, token, count(*) AS tf FROM tok GROUP BY lang, token
+),
+scored AS (
+  SELECT t.lang, t.token, t.tf,
+         round(t.tf * ln((SELECT CAST(count(*) AS DOUBLE) FROM docs_n)
+                          / CAST(d.df AS DOUBLE)), 6) AS tfidf_r6
+  FROM tft t JOIN dft d ON t.token = d.token
+),
+ranked AS (
+  SELECT *, row_number() OVER (PARTITION BY lang
+              ORDER BY tfidf_r6 DESC, token ASC) AS rank
+  FROM scored
+)
+SELECT lang, CAST(rank AS INTEGER) AS rank, token, tf, tfidf_r6
+FROM ranked WHERE rank <= {TFIDF_K} ORDER BY lang, rank
+""",
+        doc="Corpus TF-IDF top-5 terms per language: one token explode, "
+        "map-side-combined df/tf aggregates, bounded per-language window",
+        tags=("extension", "text"),
+    )
+)

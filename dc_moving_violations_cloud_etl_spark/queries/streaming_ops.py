@@ -87,3 +87,33 @@ ORDER BY 1, 2
         tags=("streaming",),
     )
 )
+
+
+from ..streaming.upsert import incremental_upsert_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_foreachbatch_upsert",
+        incremental_upsert_streaming,
+        """
+WITH ranked AS (
+  SELECT user_id, ts, event_id, event_type, value,
+         row_number() OVER (PARTITION BY user_id
+                            ORDER BY ts DESC, event_id DESC) AS rn,
+         count(*) OVER (PARTITION BY user_id) AS n_user_events
+  FROM events
+)
+SELECT user_id,
+       strftime(ts, '%Y-%m-%d %H:%M:%S') AS last_ts,
+       event_type AS last_event_type,
+       value AS last_value,
+       CAST(n_user_events AS BIGINT) AS n_events
+FROM ranked WHERE rn = 1 ORDER BY user_id
+""",
+        doc="The reference's daily fetch->UPSERT loop (reference "
+        "violation_etl_daily.py:318-365) as streaming: foreachBatch "
+        "merges associative per-key state (last-event struct + count) "
+        "into a keyed parquet store; deterministic under availableNow",
+        tags=("streaming", "sink", "upsert"),
+    )
+)

@@ -1,0 +1,86 @@
+"""Curation-pipeline operator tests: the mechanics the oracle-parity
+sweep can't see — merge associativity of the foreachBatch upsert state,
+quantization edge cases, sampling determinism."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dc_moving_violations_cloud_etl_spark import catalog
+from dc_moving_violations_cloud_etl_spark.streaming.upsert import _batch_aggregate
+
+
+def _final(df):
+    return df.select(
+        "user_id",
+        F.col("last.ts").alias("ts"),
+        F.col("last.event_id").alias("event_id"),
+        F.col("n_events").cast("long").alias("n_events"),
+    )
+
+
+def test_foreachbatch_merge_state_is_associative(spark, sf_dir):
+    """Any micro-batch slicing of the input must produce the same store:
+    merge(agg(A), agg(B)) == agg(A ∪ B). This is the property that makes
+    the foreachBatch upsert correct under arbitrary trigger slicing."""
+    ev = catalog.base(spark, sf_dir, "events")
+    a = ev.where(F.col("event_id") % 2 == 0)
+    b = ev.where(F.col("event_id") % 2 == 1)
+
+    merged_sliced = (
+        _batch_aggregate(a)
+        .unionByName(_batch_aggregate(b))
+        .groupBy("user_id")
+        .agg(F.max("last").alias("last"), F.sum("n_events").alias("n_events"))
+    )
+    merged_once = _batch_aggregate(ev)
+
+    got = sorted(map(tuple, _final(merged_sliced).collect()))
+    want = sorted(map(tuple, _final(merged_once).collect()))
+    assert got == want and len(got) > 0
+
+
+def test_quantize_int8_edges(spark, sf_dir, tmp_path):
+    """Zero vectors quantize to all-zero (no div-by-zero); values at the
+    scale extreme hit exactly ±127; reconstruction stays within scale/2."""
+    import pandas as pd
+
+    from dc_moving_violations_cloud_etl_spark.queries.curation import _quantize_int8
+
+    pdf = pd.DataFrame(
+        {
+            "vec_id": [1, 2, 3],
+            "embedding": [
+                [0.0, 0.0, 0.0],  # zero vector
+                [1.0, -1.0, 0.5],  # symmetric extremes
+                [0.1, 0.2, -0.4],
+            ],
+            "label": [0, 0, 0],
+        }
+    )
+    path = str(tmp_path / "embeddings.parquet")
+    pdf.to_parquet(path)
+    out = {r["vec_id"]: r for r in _quantize_int8(spark, str(tmp_path)).collect()}
+
+    assert out[1]["q_sum"] == 0 and out[1]["q_min"] == 0 and out[1]["q_max"] == 0
+    # [1, -1, 0.5] at scale 1/127 → [127, -127, 64 (63.5 rounds up)]
+    assert out[2]["q_max"] == 127 and out[2]["q_min"] == -127
+    assert out[2]["q_sum"] == 64
+    # [0.1, 0.2, -0.4] at scale 0.4/127: 0.2/(0.4/127) is 63.4999…
+    # in IEEE doubles (not the real-arithmetic 63.5) → floor(+0.5) = 63.
+    # Deterministic: identical double sequence in Spark and the oracle.
+    assert (out[3]["q_min"], out[3]["q_max"], out[3]["q_sum"]) == (-127, 63, -32)
+
+
+def test_stratified_sample_deterministic(spark, sf_dir):
+    """Hash-mod sampling is reproducible run-to-run and never exceeds
+    the stratum size."""
+    from dc_moving_violations_cloud_etl_spark.queries.curation import (
+        _stratified_sample,
+    )
+
+    r1 = sorted(map(tuple, _stratified_sample(spark, sf_dir).collect()))
+    r2 = sorted(map(tuple, _stratified_sample(spark, sf_dir).collect()))
+    assert r1 == r2 and len(r1) > 0
+    for _lang, n_docs, n_sampled in r1:
+        assert 0 <= n_sampled <= n_docs
