@@ -42,7 +42,14 @@ def _load_all() -> None:
 
     from . import reference  # noqa: F401
 
-    for mod in ("etl_ops", "extensions", "curation", "streaming_ops", "sql_text"):
+    for mod in (
+        "etl_ops",
+        "extensions",
+        "curation",
+        "temporal",
+        "streaming_ops",
+        "sql_text",
+    ):
         try:
             importlib.import_module(f".{mod}", __package__)
         except ModuleNotFoundError as e:
