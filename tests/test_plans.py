@@ -72,3 +72,24 @@ def test_no_cartesian_products_anywhere(spark, sf_dir):
             continue  # streaming queries execute at build time
         plan = _plan(spec.build(spark, sf_dir))
         assert "CartesianProduct" not in plan, name
+
+
+def test_asof_join_plans_no_join_operator(spark, sf_dir):
+    """The as-of join must compile to union + ONE windowed carry — no
+    join node at all (a naive inequality join would plan a per-key
+    nested loop)."""
+    plan = _plan(QUERIES["asof_click_before_error"].build(spark, sf_dir))
+    for node in ("SortMergeJoin", "BroadcastHashJoin", "ShuffledHashJoin",
+                 "BroadcastNestedLoopJoin", "CartesianProduct"):
+        assert node not in plan
+    assert "Window" in plan
+
+
+def test_range_join_plans_hash_equi_join(spark, sf_dir):
+    """The bounded range join must plan a HASH equi-join on
+    (key, bucket) — never the nested-loop/cartesian a raw inequality
+    join degenerates to."""
+    plan = _plan(QUERIES["range_click_before_error"].build(spark, sf_dir))
+    assert "HashJoin" in plan  # Broadcast- or Shuffled-, both are equi
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
