@@ -419,3 +419,218 @@ FROM ranked WHERE rank <= {TFIDF_K} ORDER BY lang, rank
         tags=("extension", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination (word-8-gram overlap semi-join)
+# ---------------------------------------------------------------------------
+
+SHINGLE_WORDS = 8
+BENCH_MOD = 50  # doc_id % 50 == 0 plays the held-out benchmark set
+
+
+def _word_shingles(toks: F.Column) -> F.Column:
+    """Word n-gram shingles (the decontamination match unit). Short docs
+    collapse to one whole-doc shingle (greatest guard — same semantics
+    in the DuckDB twin)."""
+    return F.transform(
+        F.sequence(
+            F.lit(1),
+            F.greatest(F.size(toks) - (SHINGLE_WORDS - 1), F.lit(1)),
+        ),
+        lambda i: F.md5(F.concat_ws(" ", F.slice(toks, i, SHINGLE_WORDS))),
+    )
+
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-set decontamination: flag corpus docs sharing any word-
+    8-gram with the benchmark set. The real pipeline shape at 100 TB:
+    explode corpus shingle HASHES (uniform keys), semi-join against the
+    (small, broadcast) distinct benchmark shingle set, aggregate hit
+    counts — corpus-linear, one broadcast join, no pairwise compare."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    bench_hashes = (
+        d.where(F.col("doc_id") % BENCH_MOD == 0)
+        .select(F.explode(_word_shingles(F.col("toks"))).alias("h"))
+        .distinct()
+    )
+    corpus = d.where(F.col("doc_id") % BENCH_MOD != 0)
+    hits = (
+        corpus.select(
+            "doc_id", "lang", F.explode(_word_shingles(F.col("toks"))).alias("h")
+        )
+        .join(F.broadcast(bench_hashes), "h")
+        .groupBy("doc_id", "lang")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        corpus.select("doc_id", "lang")
+        .join(hits.select("doc_id", "n_hits"), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs_checked"),
+            F.count("n_hits").cast("long").alias("n_contaminated"),
+            F.coalesce(F.sum("n_hits"), F.lit(0)).cast("long").alias("n_hit_shingles"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "curation_decontaminate",
+        _decontaminate,
+        _DOCS_CTE
+        + f"""
+, ws AS (
+  SELECT doc_id, lang,
+         list_transform(
+           generate_series(1, greatest(len(toks) - {SHINGLE_WORDS - 1}, 1)),
+           i -> md5(array_to_string(toks[i : i + {SHINGLE_WORDS - 1}], ' '))
+         ) AS sh8
+  FROM docs_n
+),
+bench AS (
+  SELECT DISTINCT unnest(sh8) AS h FROM ws WHERE doc_id % {BENCH_MOD} = 0
+),
+corpus AS (SELECT * FROM ws WHERE doc_id % {BENCH_MOD} <> 0),
+hits AS (
+  SELECT c.doc_id, c.lang, count(*) AS n_hits
+  FROM (SELECT doc_id, lang, unnest(sh8) AS h FROM corpus) c
+  JOIN bench b ON c.h = b.h
+  GROUP BY c.doc_id, c.lang
+)
+SELECT c.lang,
+       count(*) AS n_docs_checked,
+       CAST(count(h.n_hits) AS BIGINT) AS n_contaminated,
+       CAST(coalesce(sum(h.n_hits), 0) AS BIGINT) AS n_hit_shingles
+FROM corpus c LEFT JOIN hits h ON c.doc_id = h.doc_id
+GROUP BY c.lang ORDER BY c.lang
+""",
+        doc="Benchmark decontamination: corpus docs sharing any word-8-"
+        "gram with the held-out set (doc_id%50==0), via exploded shingle "
+        "hashes semi-joined against the broadcast benchmark set",
+        tags=("extension", "curation", "decontamination"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# sequence chunking plan (fixed window + stride)
+# ---------------------------------------------------------------------------
+
+CHUNK_TOKENS = 64
+CHUNK_STRIDE = 48
+
+
+def _chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-packing prep: split each doc into CHUNK_TOKENS-token
+    windows every CHUNK_STRIDE tokens (16-token overlap), reported as
+    per-language chunk/token totals. Pure per-row array arithmetic —
+    no shuffle before the final tiny aggregate."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    n = F.size(F.col("toks"))
+    starts = F.sequence(
+        F.lit(0), F.greatest(n - 1, F.lit(0)), F.lit(CHUNK_STRIDE)
+    )
+    chunk_lens = F.transform(
+        starts, lambda s: F.least(F.lit(CHUNK_TOKENS), n - s)
+    )
+    per_doc = d.select(
+        "lang",
+        F.size(starts).alias("n_chunks"),
+        F.aggregate(
+            chunk_lens, F.lit(0).cast("long"), lambda acc, x: acc + x
+        ).alias("chunk_tokens"),
+    )
+    return (
+        per_doc.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chunks").cast("long").alias("n_chunks"),
+            F.sum("chunk_tokens").cast("long").alias("total_chunk_tokens"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "curation_chunk_plan",
+        _chunk_plan,
+        _DOCS_CTE
+        + f"""
+, per_doc AS (
+  SELECT lang,
+         len(generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE}))
+           AS n_chunks,
+         list_sum(list_transform(
+           generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE}),
+           s -> least({CHUNK_TOKENS}, len(toks) - s))) AS chunk_tokens
+  FROM docs_n
+)
+SELECT lang, count(*) AS n_docs,
+       CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+        doc=f"Sequence-packing chunk plan: {CHUNK_TOKENS}-token windows "
+        f"every {CHUNK_STRIDE} tokens, per-language chunk/token totals "
+        "(integer-exact)",
+        tags=("extension", "curation"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# within-doc repetition ratio (dup char-3-gram fraction)
+# ---------------------------------------------------------------------------
+
+
+def _repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc repetition signal: fraction of character-3-gram
+    occurrences that are duplicates (1 - distinct/total). High values
+    flag boilerplate/spam — a standard corpus quality feature. Counts
+    are exact integers; the ratio is one division + subtraction,
+    rounded to 6 dp (engine-identical)."""
+    from ..operators.text import shingles
+
+    d = _docs(spark, sf_dir)
+    norm = normalized(F.col("text"))
+    n_raw = F.greatest(F.length(norm) - 2, F.lit(1))
+    n_dist = F.size(shingles(norm))
+    return d.select(
+        "doc_id",
+        "lang",
+        n_raw.cast("long").alias("n_raw_shingles"),
+        n_dist.cast("long").alias("n_distinct_shingles"),
+        F.round(
+            F.lit(1.0) - n_dist.cast("double") / n_raw.cast("double"), 6
+        ).alias("repetition_r6"),
+    ).orderBy("doc_id")
+
+
+register(
+    QuerySpec(
+        "text_repetition_ratio",
+        _repetition_ratio,
+        _DOCS_CTE
+        + """
+SELECT doc_id, lang,
+       CAST(greatest(len(norm) - 2, 1) AS BIGINT) AS n_raw_shingles,
+       CAST(len(sh) AS BIGINT) AS n_distinct_shingles,
+       round(1.0 - CAST(len(sh) AS DOUBLE)
+                   / CAST(greatest(len(norm) - 2, 1) AS DOUBLE), 6)
+         AS repetition_r6
+FROM docs_n ORDER BY doc_id
+""",
+        doc="Within-doc repetition ratio (duplicate char-3-gram "
+        "fraction) — boilerplate/spam quality signal, per-row "
+        "projection only",
+        tags=("extension", "curation", "text"),
+    )
+)
