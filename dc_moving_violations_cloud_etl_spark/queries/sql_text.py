@@ -350,3 +350,52 @@ ORDER BY month
         tags=("sql-text",),
     )
 )
+
+
+# MySQL's default collation makes LIKE case-INsensitive; a reference user
+# writes lowercase patterns against the uppercase violation_desc data and
+# still matches. ci_like=True closes that documented divergence (LIKE →
+# ILIKE, literal-aware); this entry proves it: same result set as Qf with
+# the patterns lowercased.
+_QF_CI_MYSQL = """
+SELECT
+    month,
+    SUM(fine_amount) AS total_fine_over_10mph
+FROM violations
+WHERE violation_desc LIKE '%mph over%'
+  AND violation_desc NOT LIKE '%up to ten mph over%'
+  AND violation_desc NOT LIKE '%1-10 mph over%'
+GROUP BY month
+ORDER BY month
+"""
+
+
+def _sql_qf_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return run_sql(
+        spark, sf_dir, _QF_CI_MYSQL, exact_decimal_sums=True, ci_like=True
+    )
+
+
+register(
+    QuerySpec(
+        "sql_text_qf_ci_like",
+        _sql_qf_ci,
+        with_ref_views(
+            """
+SELECT month,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS total_fine_over_10mph
+FROM violations
+WHERE violation_desc ILIKE '%mph over%'
+  AND violation_desc NOT ILIKE '%up to ten mph over%'
+  AND violation_desc NOT ILIKE '%1-10 mph over%'
+GROUP BY month
+ORDER BY month
+"""
+        ),
+        doc="Qf with MySQL case-INsensitive LIKE semantics (lowercase "
+        "patterns match uppercase data): ci_like mode rewrites LIKE -> "
+        "ILIKE, closing the documented collation divergence",
+        tags=("sql-text", "dialect-shim"),
+    )
+)

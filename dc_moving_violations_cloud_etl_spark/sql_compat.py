@@ -68,6 +68,7 @@ _REWRITES = [
 
 _FIELD_CALL = re.compile(r"\bFIELD\s*\(", re.IGNORECASE)
 _SUM_CALL = re.compile(r"\bSUM\s*\(", re.IGNORECASE)
+_LIKE_TOKEN = re.compile(r"\b(NOT\s+)?LIKE\b", re.IGNORECASE)
 
 # every name the engine can register as a temp view (base fixtures +
 # the two reference-shaped derived views)
@@ -100,14 +101,15 @@ def _outside(pos: int, spans: list[tuple[int, int]]) -> bool:
     return not any(s <= pos < e for s, e in spans)
 
 
-def _sub_outside_literals(pat: re.Pattern, repl: str, text: str) -> str:
-    """``pat.sub(repl, text)`` skipping matches inside string literals."""
+def _sub_outside_literals(pat: re.Pattern, repl, text: str) -> str:
+    """``pat.sub(repl, text)`` skipping matches inside string literals;
+    ``repl`` may be a string or a match→string callable."""
     spans = _literal_spans(text)
     out, last = [], 0
     for m in pat.finditer(text):
         if _outside(m.start(), spans):
             out.append(text[last : m.start()])
-            out.append(repl)
+            out.append(repl(m) if callable(repl) else repl)
             last = m.end()
     out.append(text[last:])
     return "".join(out)
@@ -200,11 +202,27 @@ def _route_decimal_sums(text: str) -> str:
     return text
 
 
-def translate(text: str, exact_decimal_sums: bool = False) -> str:
-    """Rewrite MySQL-only constructs to Spark-executable equivalents."""
+def translate(
+    text: str,
+    exact_decimal_sums: bool = False,
+    ci_like: bool = False,
+) -> str:
+    """Rewrite MySQL-only constructs to Spark-executable equivalents.
+
+    ``ci_like=True`` emulates MySQL's default case-insensitive collation
+    for pattern matching by rewriting ``[NOT] LIKE`` → ``[NOT] ILIKE``
+    (closing the one documented dialect divergence for ASCII patterns;
+    full accent-insensitive parity would collate columns UTF8_LCASE).
+    """
     for pat, repl in _REWRITES:
         text = _sub_outside_literals(pat, repl, text)
     text = _inline_field(text)
+    if ci_like:
+        text = _sub_outside_literals(
+            _LIKE_TOKEN,
+            lambda m: ("NOT ILIKE" if m.group(1) else "ILIKE"),
+            text,
+        )
     if exact_decimal_sums:
         text = _route_decimal_sums(text)
     return text
@@ -230,6 +248,7 @@ def run_sql(
     sf_dir: str,
     text: str,
     exact_decimal_sums: bool = False,
+    ci_like: bool = False,
 ) -> DataFrame:
     """Run one MySQL-dialect query string against the engine's tables
     (``violations`` / ``weather_daily`` + the base fixtures), exactly as
@@ -242,4 +261,6 @@ def run_sql(
     """
     catalog.register_views(spark, sf_dir, referenced_tables(text))
     enable_mysql_compat(spark)
-    return spark.sql(translate(text, exact_decimal_sums=exact_decimal_sums))
+    return spark.sql(
+        translate(text, exact_decimal_sums=exact_decimal_sums, ci_like=ci_like)
+    )

@@ -54,3 +54,32 @@ def test_shims_semantics(spark, sf_dir):
     assert row["missing"] == 0
     assert row["found"] == 2
     assert row["fmt"] == "2026-08-13 14:07"
+
+
+def test_translate_ci_like_rewrites_outside_literals():
+    from dc_moving_violations_cloud_etl_spark.sql_compat import translate
+
+    out = translate(
+        "SELECT * FROM t WHERE a LIKE '%x%' AND b NOT LIKE 'say LIKE this'",
+        ci_like=True,
+    )
+    assert "a ILIKE '%x%'" in out
+    assert "b NOT ILIKE 'say LIKE this'" in out  # literal content untouched
+
+
+def test_translate_decimal_sums_and_literals():
+    from dc_moving_violations_cloud_etl_spark.sql_compat import translate
+
+    out = translate("SELECT SUM(x + SUM_NOT(y)), 'SUM(z)' FROM t",
+                    exact_decimal_sums=True)
+    # literal untouched; SUM( routed; SUM_NOT untouched (word boundary)
+    assert "'SUM(z)'" in out
+    assert "CAST(SUM(CAST((x + SUM_NOT(y)) AS DECIMAL(18,2))) AS DOUBLE)" in out
+
+
+def test_translate_skips_rewrites_inside_literals():
+    from dc_moving_violations_cloud_etl_spark.sql_compat import translate
+
+    out = translate("SELECT DAYNAME(d), 'see DATE_FORMAT(x)' FROM t")
+    assert "MYSQL_DAYNAME(d)" in out
+    assert "'see DATE_FORMAT(x)'" in out
