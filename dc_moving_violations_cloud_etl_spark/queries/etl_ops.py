@@ -630,3 +630,49 @@ ORDER BY page_index
         tags=("source", "pagination"),
     )
 )
+
+
+def _salted_join_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted fact⋈dim join (operators/skew.salted_join): result is
+    identical to the plain equi-join — the oracle IS the plain join —
+    while the shuffle spreads each hot key over 8 salt partitions
+    (manual fallback for skew AQE can't fix; salt is a pure row hash,
+    deterministic under task retry)."""
+    from ..operators.skew import salted_join
+
+    li = catalog.base(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_quantity"
+    )
+    orders = catalog.base(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    return (
+        salted_join(li, orders, "l_orderkey", salt_col="l_linenumber", salt=8)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.sum(F.col("l_quantity").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("qty_sum"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    QuerySpec(
+        "salted_join_summary",
+        _salted_join_summary,
+        """
+SELECT o.o_orderpriority,
+       count(*) AS n_rows,
+       CAST(sum(CAST(l.l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty_sum
+FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
+""",
+        doc="Skew-salted join (8-way deterministic salt on the fact, "
+        "dimension replicated per salt) whose result equals the plain "
+        "equi-join — the explicit skew fallback beside session AQE",
+        tags=("etl", "join", "skew"),
+    )
+)

@@ -934,3 +934,47 @@ FROM x ORDER BY doc_id, frame_idx
         tags=("extension", "multimodal"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# exact percentile report (sort-based, interpolated)
+# ---------------------------------------------------------------------------
+
+
+def _value_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated p50/p90/p99 of event value per type. Spark's
+    ``percentile`` is the exact sort-based aggregate (not the t-digest
+    approx): at 100 TB one uses approx_percentile, but the exact variant
+    is the verifiable baseline, and its interpolation arithmetic matches
+    DuckDB's quantile_cont at 6 dp (empirically bit-equal here)."""
+    ev = catalog.base(spark, sf_dir, "events")
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50_r6"),
+            F.round(F.expr("percentile(value, 0.9)"), 6).alias("p90_r6"),
+            F.round(F.expr("percentile(value, 0.99)"), 6).alias("p99_r6"),
+            F.count(F.lit(1)).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "events_value_percentiles",
+        _value_percentiles,
+        """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_r6,
+       round(quantile_cont(value, 0.9), 6) AS p90_r6,
+       round(quantile_cont(value, 0.99), 6) AS p99_r6,
+       count(*) AS n_events
+FROM events GROUP BY event_type ORDER BY event_type
+""",
+        doc="Exact interpolated percentile report (p50/p90/p99 of event "
+        "value per type) — the verifiable baseline for approx_percentile "
+        "at scale",
+        tags=("extension", "analytics"),
+    )
+)
