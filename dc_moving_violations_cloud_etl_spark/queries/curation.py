@@ -634,3 +634,71 @@ FROM docs_n ORDER BY doc_id
         tags=("extension", "curation", "text"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF surface (Spark 4): the chunker as a SQL-callable table fn
+# ---------------------------------------------------------------------------
+
+
+def _udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chunk plan re-expressed through Spark 4's Python UDTF surface:
+    a table function registered for SQL LATERAL use (the extension point
+    for 1→N row generators too procedural for expressions). The class is
+    defined INSIDE this function so cloudpickle ships it by value —
+    identical worker-robustness rule as the pandas UDFs. Semantics are
+    the same window/stride walk as ``curation_chunk_plan``, so the same
+    oracle covers it (cross-checking UDTF output against the declarative
+    twin)."""
+    from pyspark.sql.functions import udtf
+
+    chunk, stride = CHUNK_TOKENS, CHUNK_STRIDE
+
+    @udtf(returnType="chunk_idx int, chunk_tokens int")
+    class ChunkPlan:
+        def eval(self, toks):
+            n = len(toks) if toks else 1
+            for i, s in enumerate(range(0, max(n - 1, 0) + 1, stride)):
+                yield i, min(chunk, n - s)
+
+    spark.udtf.register("chunk_plan_udtf", ChunkPlan)
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    d.createOrReplaceTempView("_docs_toks")
+    return spark.sql(
+        """
+        SELECT d.lang,
+               count(*) AS n_chunks,
+               CAST(sum(c.chunk_tokens) AS BIGINT) AS total_chunk_tokens
+        FROM _docs_toks d, LATERAL chunk_plan_udtf(d.toks) c
+        GROUP BY d.lang ORDER BY d.lang
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "udtf_chunk_explode",
+        _udtf_chunk_explode,
+        _DOCS_CTE
+        + f"""
+, per_doc AS (
+  SELECT lang,
+         len(generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE}))
+           AS n_chunks,
+         list_sum(list_transform(
+           generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE}),
+           s -> least({CHUNK_TOKENS}, len(toks) - s))) AS chunk_tokens
+  FROM docs_n
+)
+SELECT lang, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
+       CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens
+FROM per_doc GROUP BY lang ORDER BY lang
+""",
+        doc="Spark 4 Python UDTF surface: the window/stride chunker as a "
+        "SQL LATERAL table function (by-value pickled class), verified "
+        "against the declarative twin's oracle",
+        tags=("extension", "udtf"),
+    )
+)
