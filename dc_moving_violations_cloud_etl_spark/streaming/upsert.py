@@ -25,7 +25,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import read_parquet
-from .daily import _stage_dir
 
 
 def _batch_aggregate(df: DataFrame) -> DataFrame:
@@ -39,16 +38,46 @@ def _batch_aggregate(df: DataFrame) -> DataFrame:
     )
 
 
+def _stage_split(spark: SparkSession, path: str, tag: str) -> str:
+    """Stage the events fixture as TWO parquet files (even/odd event_id)
+    so ``maxFilesPerTrigger=1`` drives REAL multi-batch execution: the
+    second micro-batch exercises the store read-merge-rewrite path, not
+    just the initial write. Staged once per (fixture, tag); the split is
+    deterministic so re-runs see identical batches."""
+    d = f"/tmp/spark_graft_stream/split_{tag}"
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        src = read_parquet(spark, path)
+        for i in (0, 1):
+            (
+                src.where(F.col("event_id") % 2 == i)
+                .coalesce(1)
+                .write.mode("append")
+                .parquet(d)
+            )
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
 def incremental_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """events stream → foreachBatch merge into a keyed parquet store →
-    final per-user last-event table."""
+    final per-user last-event table. The input is staged as two files
+    and read one file per trigger, so the merge genuinely runs
+    incrementally across micro-batches (associativity makes the final
+    store independent of the slicing — proven in tests)."""
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet(spark, path).schema
     tag = hashlib.md5(f"upsert:{sf_dir}".encode()).hexdigest()[:8]
     store = f"/tmp/spark_graft_stream/store_{tag}"
     shutil.rmtree(store, ignore_errors=True)
 
-    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    events = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stage_split(spark, path, tag))
+    )
     if dict(events.dtypes).get("ts") == "bigint":
         events = events.withColumn(
             "ts", F.timestamp_micros(F.expr("ts div 1000"))
