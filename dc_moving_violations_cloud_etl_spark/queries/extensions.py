@@ -978,3 +978,111 @@ FROM events GROUP BY event_type ORDER BY event_type
         tags=("extension", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ANN quality measurement: LSH recall vs the exact baseline
+# ---------------------------------------------------------------------------
+
+
+def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN against the brute-force exact
+    baseline — the measurement that justifies (or vetoes) the bucketed
+    scale path. Three one-row aggregates cross-joined (all broadcast);
+    the only non-integer output is one division rounded to 6 dp."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    lsh = similarity.cosine_topk_lsh(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    matched = exact.join(lsh, ["query_vec_id", "neighbor_vec_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_lsh))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_exact_pairs",
+            "n_lsh_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_lsh_recall",
+        _lsh_recall,
+        _EMB_CTE
+        + """
+, bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+planes8 AS (
+  SELECT vec_id AS plane_id, e AS pe FROM corpus WHERE vec_id BETWEEN 1 AND 8
+),
+lbuckets AS (
+  SELECT n.vec_id,
+         sum(CASE WHEN list_sum(list_transform(generate_series(1, len(n.e)),
+                    i -> n.e[i] * p.pe[i])) > 0
+                  THEN CAST(pow(2, p.plane_id - 1) AS INTEGER) ELSE 0 END) AS bucket
+  FROM normed n, planes8 p GROUP BY n.vec_id
+),
+lbucketed AS (
+  SELECT n.vec_id, n.e, n.nrm, b.bucket
+  FROM normed n JOIN lbuckets b USING (vec_id)
+),
+lq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm, bucket AS qbucket
+  FROM lbucketed WHERE vec_id % 100 = 0
+),
+lscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM lbucketed c JOIN lq q ON c.bucket = q.qbucket
+),
+lsh AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM lscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact e JOIN lsh l USING (query_vec_id, neighbor_vec_id)
+)
+SELECT CAST((SELECT count(*) FROM exact) AS BIGINT) AS n_exact_pairs,
+       CAST((SELECT count(*) FROM lsh) AS BIGINT) AS n_lsh_pairs,
+       CAST(m.n_matched AS BIGINT) AS n_matched,
+       round(CAST(m.n_matched AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6
+FROM m
+""",
+        doc="Recall@5 of LSH-bucketed ANN vs the brute-force exact "
+        "baseline — the quality metric justifying the bucketed scale "
+        "path (documented recall trade, now measured)",
+        tags=("extension", "similarity", "quality"),
+    )
+)
