@@ -475,3 +475,87 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def minhash_band_star_edges(documents: DataFrame) -> DataFrame:
+    """Linear-size edge set with the SAME connectivity as the full LSH
+    band-collision graph: within each (band, hash) bucket every member
+    links to the bucket MIN doc (star), so bucket cliques — quadratic in
+    cluster size — are replaced by ≤ N_BANDS edges per doc. Components
+    of the star union equal components of the clique union."""
+    per_doc = persist_tracked(
+        minhash_signatures(documents).select("doc_id", "bands")
+    )
+    bands = per_doc.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    roots = bands.groupBy("band_idx", "band_hash").agg(
+        F.min("doc_id").alias("root")
+    )
+    return (
+        bands.join(roots, ["band_idx", "band_hash"])
+        .where(F.col("doc_id") != F.col("root"))
+        .select("doc_id", "root")
+        .distinct()
+    )
+
+
+def dedup_components(documents: DataFrame, max_iter: int = 30) -> DataFrame:
+    """TRANSITIVE dup clusters: connected components of the MinHash band
+    graph via iterative min-label propagation — the clustering step a
+    web-scale dedup runs after candidate generation (keeper election in
+    ``minhash_dedup_assign`` is the one-hop approximation; this is the
+    fixpoint).
+
+    Iterative-algorithm posture: per round ONE equi-join + ONE min-agg
+    over the (linear) star edges; ``localCheckpoint`` truncates lineage
+    so the plan doesn't deepen with rounds (on a cluster: checkpoint to
+    durable storage instead); convergence is detected with a monotone
+    scalar (labels only decrease ⇒ sum(label) strictly decreases until
+    the fixpoint) — one tiny action per round, the legitimate driver
+    scalar of an iterative algorithm.
+    """
+    edges = minhash_band_star_edges(documents)
+    sym = persist_tracked(
+        edges.select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
+        .unionByName(
+            edges.select(F.col("root").alias("a"), F.col("doc_id").alias("b"))
+        )
+    )
+    labels = (
+        sym.select(F.col("a").alias("doc_id"))
+        .distinct()
+        .withColumn("label", F.col("doc_id"))
+        .localCheckpoint()
+    )
+    prev_sum = None
+    for _ in range(max_iter):
+        pulled = (
+            sym.join(labels, sym.a == labels.doc_id)
+            .groupBy(F.col("b").alias("doc_id"))
+            .agg(F.min("label").alias("nbr_min"))
+        )
+        labels = (
+            labels.alias("l")
+            .join(pulled.alias("p"), "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("l.label"),
+                    F.coalesce(F.col("p.nbr_min"), F.col("l.label")),
+                ).alias("label"),
+            )
+            .localCheckpoint()
+        )
+        cur_sum = labels.agg(F.sum("label")).collect()[0][0]
+        if cur_sum == prev_sum:
+            break
+        prev_sum = cur_sum
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("doc_id").alias("max_doc_id"),
+        )
+        .orderBy("component_id")
+    )

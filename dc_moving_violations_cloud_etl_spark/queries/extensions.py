@@ -1086,3 +1086,44 @@ FROM m
         tags=("extension", "similarity", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# transitive dup clusters: connected components of the band graph
+# ---------------------------------------------------------------------------
+
+
+register(
+    QuerySpec(
+        "dedup_components",
+        lambda spark, sf_dir: dedup.dedup_components(_docs(spark, sf_dir)),
+        (_DOCS_CTE + _MINHASH_SIG_SQL).replace("WITH ", "WITH RECURSIVE ", 1)
+        + """
+, bucket_min AS (
+  SELECT band_idx, band_hash, min(doc_id) AS root
+  FROM bands GROUP BY 1, 2
+),
+star AS (
+  SELECT DISTINCT b.doc_id AS a, m.root AS b
+  FROM bands b JOIN bucket_min m USING (band_idx, band_hash)
+  WHERE b.doc_id <> m.root
+),
+sym AS (SELECT a, b FROM star UNION SELECT b AS a, a AS b FROM star),
+reach AS (
+  SELECT a AS x, a AS y FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.x, e.b AS y FROM reach r JOIN sym e ON r.y = e.a
+),
+comp AS (SELECT x AS doc_id, min(y) AS component_id FROM reach GROUP BY x)
+SELECT component_id, count(*) AS n_members,
+       max(doc_id) AS max_doc_id
+FROM comp GROUP BY component_id ORDER BY component_id
+""",
+        doc="TRANSITIVE dup clusters: connected components of the MinHash "
+        "band graph — linear star edges per bucket, iterative min-label "
+        "propagation with localCheckpoint lineage truncation and a "
+        "monotone-scalar convergence test; oracle = DuckDB RECURSIVE CTE "
+        "transitive closure (independent fixpoint computation)",
+        tags=("extension", "dedup", "iterative"),
+    )
+)
