@@ -69,7 +69,12 @@ def incremental_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     store independent of the slicing — proven in tests)."""
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet(spark, path).schema
-    tag = hashlib.md5(f"upsert:{sf_dir}".encode()).hexdigest()[:8]
+    # tag includes the fixture file's identity (size + mtime) so a
+    # regenerated fixture never reuses a stale staged copy
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"upsert:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
     store = f"/tmp/spark_graft_stream/store_{tag}"
     shutil.rmtree(store, ignore_errors=True)
 
