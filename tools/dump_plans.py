@@ -23,6 +23,14 @@ AUDITED = [
     ("asof_click_before_error", "union + single windowed carry; zero join nodes"),
     ("range_click_before_error", "hash equi-join on (key, bucket); no nested loop"),
     ("salted_join_summary", "join key carries the salt column"),
+    (
+        "curation_decisions",
+        "single tokenize branch; keeper election as partial+final min-agg",
+    ),
+    (
+        "text_tfidf_top_terms",
+        "map-side-combined tf/df aggregates; corpus size broadcast, not collected",
+    ),
 ]
 
 
