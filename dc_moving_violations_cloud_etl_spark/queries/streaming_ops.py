@@ -117,3 +117,48 @@ FROM ranked WHERE rn = 1 ORDER BY user_id
         tags=("streaming", "sink", "upsert"),
     )
 )
+
+
+from ..streaming.daily import session_window_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_session_window",
+        session_window_streaming,
+        """
+WITH mx AS (SELECT max(ts) - INTERVAL 1 DAY AS wm FROM events),
+marked AS (
+  SELECT user_id, ts,
+         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL
+              OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                 >= INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+),
+numbered AS (
+  SELECT user_id, ts,
+         sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                          ROWS UNBOUNDED PRECEDING) AS sid
+  FROM marked
+),
+sess AS (
+  SELECT user_id,
+         min(ts) AS s,
+         max(ts) + INTERVAL 30 MINUTE AS e,
+         count(*) AS n_events
+  FROM numbered GROUP BY user_id, sid
+)
+SELECT user_id,
+       strftime(s, '%Y-%m-%d %H:%M:%S') AS session_start,
+       strftime(e, '%Y-%m-%d %H:%M:%S') AS session_end,
+       n_events
+FROM sess, mx WHERE e < wm
+ORDER BY user_id, session_start
+""",
+        doc="Native streaming session_window (30-min gap, 1-day watermark, "
+        "APPEND): Spark's built-in merging-session state machine beside "
+        "the custom stateful twin; append emits sessions whose end the "
+        "final watermark passed (deterministic under availableNow)",
+        tags=("streaming", "session"),
+    )
+)

@@ -123,3 +123,56 @@ def late_data_watermark_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
         )
         .orderBy("event_day")
     )
+
+
+def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native streaming sessionization: ``session_window`` (30-min gap)
+    per user under a 1-day watermark in APPEND mode — Spark's built-in
+    merging-session state machine, complementing the custom
+    ``applyInPandasWithState`` twin. Append emits exactly the sessions
+    whose window end (last event + gap) the final watermark
+    (max ts − 1 day) has passed — deterministic under availableNow, so
+    the DuckDB gaps-and-islands oracle filters on the same cutoff."""
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = hashlib.md5(f"sessw:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"session_window_{tag}"
+
+    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    if dict(events.dtypes).get("ts") == "bigint":
+        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.session_window("ts", "30 minutes").alias("win"), F.col("user_id")
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    return (
+        spark.table(name)
+        .select(
+            "user_id",
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_start"
+            ),
+            F.date_format("win.end", "yyyy-MM-dd HH:mm:ss").alias(
+                "session_end"
+            ),
+            "n_events",
+        )
+        .orderBy("user_id", "session_start")
+    )
