@@ -162,3 +162,36 @@ ORDER BY user_id, session_start
         tags=("streaming", "session"),
     )
 )
+
+
+from ..streaming.joins import interval_join_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_interval_join",
+        interval_join_streaming,
+        """
+WITH errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events
+  WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+)
+SELECT e.user_id,
+       count(*) AS n_pairs,
+       CAST(count(DISTINCT e.error_id) AS BIGINT) AS n_errors_matched
+FROM errors e JOIN clicks c
+  ON e.user_id = c.user_id
+ AND c.ts >= e.ts - INTERVAL 300 SECOND
+ AND c.ts <= e.ts - INTERVAL 1 SECOND
+GROUP BY e.user_id ORDER BY e.user_id
+""",
+        doc="Stream-stream interval join: two watermarked event streams "
+        "joined on key + bounded time range (state expires at the range "
+        "horizon — the shape that keeps join state finite at scale); "
+        "emitted pairs equal the batch range join under availableNow",
+        tags=("streaming", "join"),
+    )
+)

@@ -1,0 +1,100 @@
+"""Stream-stream interval join — the two-moving-inputs join Structured
+Streaming is specifically built for: two watermarked event streams
+joined on key + a bounded time-range condition. The watermark + range
+bound is what lets the engine EXPIRE join state (without them a
+stream-stream join buffers both sides forever — the 100 TB failure
+mode); with ``availableNow`` an inner join emits exactly the batch
+range-join's pairs, so the result is deterministic and oracle-checked
+against the plain inequality join on microsecond-exact timestamps.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import read_parquet
+from .daily import _stage_dir
+
+LOWER_S = 1
+UPPER_S = 300
+
+
+def interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """errors stream ⋈ clicks stream (same user, click 1..300 s before
+    the error, exact timestamps) → per-user pair counts.
+
+    Both sides carry a 1-hour watermark; the range condition bounds the
+    buffered state to ~5 minutes of the other stream per key. The
+    per-user aggregate runs as a batch query over the emitted pairs
+    (chaining an aggregate behind a stream-stream join is a second
+    stateful operator — separable here, and the join is the capability
+    under test)."""
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = hashlib.md5(f"ssjoin:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"interval_join_{tag}"
+    stage = _stage_dir(path, tag)
+
+    def _stream():
+        ev = spark.readStream.schema(schema).parquet(stage)
+        if dict(ev.dtypes).get("ts") == "bigint":
+            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return ev
+
+    errors = (
+        _stream()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+
+    pairs = errors.join(
+        clicks,
+        F.expr(
+            f"""
+            e_user = c_user AND
+            c_ts >= e_ts - INTERVAL {UPPER_S} SECONDS AND
+            c_ts <= e_ts - INTERVAL {LOWER_S} SECONDS
+            """
+        ),
+        "inner",
+    )
+
+    q = (
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    return (
+        spark.table(name)
+        .groupBy(F.col("e_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.countDistinct("error_id").cast("long").alias("n_errors_matched"),
+        )
+        .orderBy("user_id")
+    )
