@@ -1,0 +1,331 @@
+"""Corpus finalization operators: the steps between a curated document
+set and training shards — deterministic shuffle + split assignment, PII
+redaction, and greedy sequence packing. All oracle-checked.
+
+Scale posture: shuffle/split is pure per-row hashing plus windows
+partitioned by (split, shard) — shard count bounds every window
+partition, so no global sort and no single-partition window at any
+corpus size. Redaction is a per-row regex projection fused into the
+scan. Packing is sequential *within a shard only* (applyInPandas per
+(lang, shard) group, Arrow-batched) — the classic way to keep an
+inherently order-dependent fold embarrassingly parallel at 100 TB.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..operators.text import normalized, tokens
+from .extensions import _docs
+from .registry import QuerySpec, register
+
+# ---------------------------------------------------------------------------
+# deterministic corpus shuffle + train/valid/test split
+# ---------------------------------------------------------------------------
+
+# hash-bucket split percentages (cumulative): train 90, valid 5, test 5
+_TRAIN_PCT, _VALID_PCT = 90, 95
+_N_SHARDS = 8
+
+
+def _md5_mod(c: F.Column, salt: str, mod: int) -> F.Column:
+    """Uniform bucket in [0, mod) from an md5 prefix of ``salt || value``
+    — portable: the DuckDB twin computes the identical integer."""
+    h = F.md5(F.concat(F.lit(salt), c.cast("string")))
+    return F.conv(F.substring(h, 1, 8), 16, 10).cast("long") % mod
+
+
+def _shuffle_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Split assignment + within-shard shuffle order for every document:
+
+    - ``split``   — train/valid/test by md5-mod bucket (90/5/5): stable
+      under re-partitioning, reruns, and engine swaps — the property
+      rand()-based splits lack;
+    - ``shard``   — md5-mod of a *differently salted* hash, so shard and
+      split are independent;
+    - ``position``— rank of the doc's shuffle key within (split, shard):
+      the deterministic "global shuffle" every training run needs,
+      computed with windows partitioned by (split, shard) — each window
+      partition is corpus/N_SHARDS, never the whole corpus, so the sort
+      is a bounded per-partition operation at any scale.
+    """
+    d = _docs(spark, sf_dir).select("doc_id", "lang")
+    keyed = d.select(
+        "doc_id",
+        "lang",
+        F.when(_md5_mod(F.col("doc_id"), "split:", 100) < _TRAIN_PCT, "train")
+        .when(_md5_mod(F.col("doc_id"), "split:", 100) < _VALID_PCT, "valid")
+        .otherwise("test")
+        .alias("split"),
+        F.md5(F.concat(F.lit("shuffle:"), F.col("doc_id").cast("string"))).alias(
+            "shuffle_key"
+        ),
+    ).withColumn("shard", _md5_mod(F.col("doc_id"), "shard:", _N_SHARDS))
+    w = Window.partitionBy("split", "shard").orderBy("shuffle_key", "doc_id")
+    return keyed.select(
+        "doc_id",
+        "lang",
+        "split",
+        "shard",
+        F.row_number().over(w).cast("long").alias("position"),
+    ).orderBy("doc_id")
+
+
+register(
+    QuerySpec(
+        "curation_shuffle_split",
+        _shuffle_split,
+        f"""
+WITH keyed AS (
+  SELECT doc_id, lang,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < {_TRAIN_PCT} THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < {_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split,
+         md5('shuffle:' || CAST(doc_id AS VARCHAR)) AS shuffle_key,
+         CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_N_SHARDS} AS shard
+  FROM documents
+)
+SELECT doc_id, lang, split, shard,
+       CAST(row_number() OVER (PARTITION BY split, shard
+                               ORDER BY shuffle_key, doc_id) AS BIGINT)
+         AS position
+FROM keyed ORDER BY doc_id
+""",
+        doc="Deterministic corpus shuffle + train/valid/test assignment: "
+        "md5-mod split buckets (90/5/5), independent md5 shards, and a "
+        "within-(split,shard) shuffle rank — reproducible across engines "
+        "and partitionings, no global sort at any corpus size",
+        tags=("extension", "curation"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# PII redaction
+# ---------------------------------------------------------------------------
+
+# patterns chosen to parse identically under Java regex (Spark) and RE2
+# (DuckDB): character classes, bounded repetition, \b — no lookarounds
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+1-[0-9]{3}-[0-9]{3}-[0-9]{4}"
+_IP_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+
+
+def _redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: count and mask emails, NANP phone numbers, and
+    IPv4 addresses. The fixture corpus is synthetic, so each doc is
+    first AUGMENTED with deterministic doc_id-derived PII (an email, a
+    phone, an IP) — the redaction round-trip then provably fires on
+    every row, and the md5 of the redacted text pins the output
+    byte-for-byte against the oracle.
+
+    Per-row regex projection — fused into the scan by codegen, no
+    shuffle; at 100 TB this runs at full scan bandwidth.
+    """
+    d = _docs(spark, sf_dir)
+    did = F.col("doc_id")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        did.cast("string"),
+        F.lit("@example.com call +1-202-555-"),
+        F.lpad((did % 10000).cast("string"), 4, "0"),
+        F.lit(" node 10."),
+        (did % 256).cast("string"),
+        F.lit(".0."),
+        ((did * 7) % 256).cast("string"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(aug, _EMAIL_RE, "<EMAIL>"), _PHONE_RE, "<PHONE>"
+        ),
+        _IP_RE,
+        "<IP>",
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.regexp_count(aug, F.lit(_IP_RE)).cast("long").alias("n_ips"),
+        F.length(red).cast("long").alias("redacted_len"),
+        F.md5(red).alias("redacted_hash"),
+    ).orderBy("doc_id")
+
+
+register(
+    QuerySpec(
+        "text_redact_pii",
+        _redact_pii,
+        f"""
+WITH aug AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@example.com call +1-202-555-'
+              || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+              || ' node 10.' || CAST(doc_id % 256 AS VARCHAR)
+              || '.0.' || CAST((doc_id * 7) % 256 AS VARCHAR) AS t
+  FROM documents
+),
+red AS (
+  SELECT doc_id, t,
+         regexp_replace(regexp_replace(regexp_replace(t,
+           '{_EMAIL_RE}', '<EMAIL>', 'g'),
+           '\\+1-[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}', '<PHONE>', 'g'),
+           '{_IP_RE}', '<IP>', 'g') AS r
+  FROM aug
+)
+SELECT doc_id,
+       CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+       CAST(len(regexp_extract_all(t, '\\+1-[0-9]{{3}}-[0-9]{{3}}-[0-9]{{4}}'))
+            AS BIGINT) AS n_phones,
+       CAST(len(regexp_extract_all(t, '{_IP_RE}')) AS BIGINT) AS n_ips,
+       CAST(len(r) AS BIGINT) AS redacted_len,
+       md5(r) AS redacted_hash
+FROM red ORDER BY doc_id
+""",
+        doc="PII redaction: inject deterministic doc_id-derived "
+        "email/phone/IP then count + mask them (regex dialect chosen to "
+        "agree between Java regex and RE2); md5 of the redacted text "
+        "checks the scrub byte-for-byte",
+        tags=("extension", "text"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# greedy sequence packing
+# ---------------------------------------------------------------------------
+
+_PACK_BUDGET = 256
+_PACK_SHARDS = 4
+
+_PACK_SCHEMA = StructType(
+    [
+        StructField("lang", StringType()),
+        StructField("shard", IntegerType()),
+        StructField("bin_id", LongType()),
+        StructField("n_docs", LongType()),
+        StructField("bin_tokens", LongType()),
+    ]
+)
+
+
+def _make_pack_fn(budget: int):
+    """Build the per-group packing function as a CLOSURE so cloudpickle
+    ships it by value (a module-level function would be pickled by
+    reference and require the package importable on every worker)."""
+
+    def pack_group(pdf: pd.DataFrame) -> pd.DataFrame:
+        # Greedy first-fit-in-order packing of one (lang, shard) group:
+        # docs in doc_id order; a doc that would overflow the budget
+        # opens the next bin (an oversized doc gets a bin to itself).
+        # The order-dependence lives HERE, inside one bounded shard,
+        # never across the corpus.
+        pdf = pdf.sort_values("doc_id")
+        bin_id, fill = 1, 0
+        bins: dict[int, list[int]] = {}
+        for n in pdf["n_tokens"]:
+            n = int(n)
+            if fill > 0 and fill + n > budget:
+                bin_id += 1
+                fill = 0
+            fill += n
+            agg = bins.setdefault(bin_id, [0, 0])
+            agg[0] += 1
+            agg[1] += n
+        lang = pdf["lang"].iloc[0]
+        shard = int(pdf["shard"].iloc[0])
+        return pd.DataFrame(
+            [
+                (lang, shard, b, n_docs, tok)
+                for b, (n_docs, tok) in sorted(bins.items())
+            ],
+            columns=["lang", "shard", "bin_id", "n_docs", "bin_tokens"],
+        )
+
+    return pack_group
+
+
+def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy sequence packing into fixed token-budget bins — the step
+    that turns a shuffled corpus into training sequences. Packing is an
+    order-dependent fold, so it CANNOT be a hash aggregation; the scale
+    answer is to bound the sequential region: pack independently per
+    (lang, shard) where shard is an md5-mod bucket. Each group is
+    corpus/(langs×shards) and the groups pack in parallel via
+    ``applyInPandas`` (Arrow-batched, one shuffle on the group key).
+
+    Oracle: DuckDB computes the identical fold as a recursive CTE.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        F.size(tokens(normalized(F.col("text")))).alias("n_tokens"),
+    )
+    sharded = d.withColumn(
+        "shard", _md5_mod(F.col("doc_id"), "pack:", _PACK_SHARDS).cast("int")
+    )
+    packed = sharded.groupBy("lang", "shard").applyInPandas(
+        _make_pack_fn(_PACK_BUDGET), schema=_PACK_SCHEMA
+    )
+    return packed.orderBy("lang", "shard", "bin_id")
+
+
+register(
+    QuerySpec(
+        "curation_pack_sequences",
+        _pack_sequences,
+        f"""
+WITH RECURSIVE st AS (
+  SELECT lang,
+         CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_PACK_SHARDS} AS INTEGER) AS shard,
+         doc_id,
+         CAST(len(string_split(
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS n_tokens
+  FROM documents
+),
+seq AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM st
+),
+pack AS (
+  SELECT lang, shard, rn, n_tokens,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.lang, s.shard, s.rn, s.n_tokens,
+         CASE WHEN p.fill + s.n_tokens > {_PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + s.n_tokens > {_PACK_BUDGET}
+              THEN s.n_tokens ELSE p.fill + s.n_tokens END
+  FROM seq s
+  JOIN pack p ON s.lang = p.lang AND s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT lang, shard, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM pack GROUP BY lang, shard, bin_id
+ORDER BY lang, shard, bin_id
+""",
+        doc=f"Greedy sequence packing into {_PACK_BUDGET}-token bins per "
+        "(lang, md5-shard): the order-dependent fold runs inside bounded "
+        "shards via applyInPandas while shards pack in parallel; oracle "
+        "is the identical fold as a DuckDB recursive CTE",
+        tags=("extension", "curation", "pandas-udf"),
+    )
+)

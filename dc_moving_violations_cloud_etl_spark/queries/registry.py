@@ -46,6 +46,7 @@ def _load_all() -> None:
         "etl_ops",
         "extensions",
         "curation",
+        "corpus_ops",
         "temporal",
         "streaming_ops",
         "sql_text",

@@ -164,6 +164,27 @@ ORDER BY user_id, session_start
 )
 
 
+from ..streaming.dedup import dedup_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_dedup_watermark",
+        dedup_streaming,
+        """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS event_day,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique_events
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+        doc="Streaming exact dedup: dropDuplicatesWithinWatermark on "
+        "event_id over a doubled source (every event arrives twice); "
+        "per-key state is evicted at the 1-day watermark horizon — the "
+        "bounded-state shape exact dedup needs on an unbounded feed",
+        tags=("streaming", "dedup", "watermark"),
+    )
+)
+
+
 from ..streaming.joins import interval_join_streaming  # noqa: E402
 
 register(
