@@ -50,13 +50,22 @@ def shingles_raw(norm: Column, n: int = 3) -> Column:
     column. min-aggregations (MinHash) are multiset-insensitive, and an
     inline ``array_distinct`` under ``explode`` is re-evaluated per
     OUTPUT row (O(len²) work × every emitted shingle — measured 10× the
-    whole pipeline), so dedup must never sit in an exploded expression."""
-    # greatest(...,1) guard: Spark's sequence(1, k) is DESCENDING for k<1
-    # (unlike DuckDB generate_series, which yields empty) — pin both
-    # engines to a single whole-string shingle for texts shorter than n
-    return F.transform(
-        F.sequence(F.lit(1), F.greatest(F.length(norm) - (n - 1), F.lit(1))),
-        lambda i: F.substring(norm, i, n),
+    whole pipeline), so dedup must never sit in an exploded expression.
+
+    Overlapping n-grams via a zero-width lookahead regex — Java's
+    ``find()`` advances one position past an empty match, so
+    ``(?=(.{n}))`` captures the gram starting at every offset, in
+    position order, exactly like the substring walk it replaces. One
+    regex call generates ~40 lines of janino vs the unrolled
+    transform/sequence lambda whose whole-stage class took seconds to
+    compile per plan (measured 3-8x wall-clock on the shingle queries;
+    identical output verified element-for-element at sf0.1). Normalized
+    text has no newlines (``\\s+`` collapsed), so ``.`` never excludes
+    a char. Texts shorter than n pin both engines to a single
+    whole-string shingle, matching the DuckDB twin's guard."""
+    pat = f"(?=(.{{{n}}}))"
+    return F.when(F.length(norm) < n, F.array(norm)).otherwise(
+        F.regexp_extract_all(norm, F.lit(pat), F.lit(1))
     )
 
 
