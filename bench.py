@@ -73,6 +73,13 @@ def main() -> None:
 
     # warm-up: session/code paths, parquet footer caches
     queries[names[0]](spark, sf_dir).collect()
+    # warm the Python worker pool too (spark.python.worker.reuse keeps it
+    # alive session-long, as on a long-running cluster): without this the
+    # first Arrow-batched query pays ~5-30s of daemon/fork/import cost
+    # that is startup, not operator time
+    spark.createDataFrame([(1,)], "x int").mapInPandas(
+        lambda it: (b[["x"]] for b in it), "x int"
+    ).collect()
 
     per_query: dict[str, float] = {}
     total = 0.0

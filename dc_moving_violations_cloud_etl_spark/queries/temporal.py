@@ -192,3 +192,127 @@ ORDER BY day, hour
         tags=("extension", "temporal", "rollup"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# trailing 7-day rolling window per user (RANGE frame)
+# ---------------------------------------------------------------------------
+
+
+def _user_rolling_7d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user trailing-7-day activity features (the sliding-window
+    aggregate behind rate limits, engagement scores, and per-entity
+    training features): events pre-aggregated to (user, day), then a
+    RANGE frame over day number sums the trailing week — the frame is
+    value-based, so gap days neither break nor pad the window.
+
+    Scale: the pre-aggregation shrinks the window input from events to
+    user x active-day rows BEFORE any sort, and the window partitions
+    by user — per-partition state is one user's days, never the table.
+    Decimal-routed value sums keep the double output order-independent.
+    """
+    from pyspark.sql import Window
+
+    ev = _events(spark, sf_dir)
+    daily = (
+        ev.select(
+            "user_id",
+            F.date_trunc("day", "ts").cast("date").alias("day"),
+            "value",
+        )
+        .groupBy("user_id", "day")
+        .agg(
+            F.count(F.lit(1)).alias("n_day"),
+            F.sum(F.col("value").cast("decimal(18,2)")).alias("v_day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_date(F.col("day")))
+        .rangeBetween(-6, 0)
+    )
+    return daily.select(
+        "user_id",
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        F.col("n_day").cast("long").alias("n_day"),
+        F.sum("n_day").over(w).cast("long").alias("n_7d"),
+        F.sum("v_day").over(w).cast("double").alias("value_7d"),
+    ).orderBy("user_id", "day")
+
+
+register(
+    QuerySpec(
+        "events_user_rolling_7d",
+        _user_rolling_7d,
+        """
+WITH daily AS (
+  SELECT user_id, date_trunc('day', ts) AS day,
+         count(*) AS n_day,
+         sum(CAST(value AS DECIMAL(18,2))) AS v_day
+  FROM events GROUP BY 1, 2
+)
+SELECT user_id,
+       strftime(day, '%Y-%m-%d') AS day,
+       CAST(n_day AS BIGINT) AS n_day,
+       CAST(sum(n_day) OVER w AS BIGINT) AS n_7d,
+       CAST(sum(v_day) OVER w AS DOUBLE) AS value_7d
+FROM daily
+WINDOW w AS (PARTITION BY user_id ORDER BY day
+             RANGE BETWEEN INTERVAL 6 DAY PRECEDING AND CURRENT ROW)
+ORDER BY user_id, day
+""",
+        doc="Trailing 7-day rolling count/sum per user via a value-based "
+        "RANGE frame over pre-aggregated user-days (window input shrunk "
+        "before the sort; partitioned by user so state stays bounded)",
+        tags=("extension", "temporal", "window"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# daily event-type pivot (explicit value list — no discovery pass)
+# ---------------------------------------------------------------------------
+
+_PIVOT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+def _pivot_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide daily activity matrix: one row per day, one count column per
+    event type. The pivot values are EXPLICIT — with an unspecified
+    list, Spark first runs a distinct scan to discover them (an extra
+    full pass at 100 TB) and the output schema becomes data-dependent;
+    pinning the list keeps the plan a single pass and the schema stable.
+    """
+    ev = _events(spark, sf_dir)
+    piv = (
+        ev.select(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("day"), "event_type")
+        .groupBy("day")
+        .pivot("event_type", _PIVOT_TYPES)
+        .count()
+        .na.fill(0, [t for t in _PIVOT_TYPES])
+    )
+    renamed = piv.select(
+        "day", *[F.col(t).cast("long").alias(f"n_{t}") for t in _PIVOT_TYPES]
+    )
+    return renamed.orderBy("day")
+
+
+register(
+    QuerySpec(
+        "events_pivot_daily",
+        _pivot_daily,
+        """
+SELECT strftime(date_trunc('day', ts), '%Y-%m-%d') AS day,
+       CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_click,
+       CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS n_error,
+       CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS n_purchase,
+       CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS n_signup,
+       CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_view
+FROM events GROUP BY 1 ORDER BY 1
+""",
+        doc="Daily x event-type pivot with an explicit value list (single "
+        "pass, stable schema — no distinct-discovery scan); nulls filled "
+        "to 0 so absent types are exact zero counts",
+        tags=("extension", "temporal", "pivot"),
+    )
+)

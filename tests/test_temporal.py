@@ -74,3 +74,74 @@ def test_range_join_matches_brute_force(spark):
     )
     assert got == brute and len(got) > 0
     assert len(got) == len(set(got))  # no duplicate pairs from bucketing
+
+
+def test_user_rolling_7d_oracle_parity(spark, sf_dir, ddb):
+    from dc_moving_violations_cloud_etl_spark.queries.registry import (
+        QUERIES,
+        get_queries,
+    )
+    from dc_moving_violations_cloud_etl_spark.queries.temporal import (
+        _user_rolling_7d,
+    )
+
+    from .conftest import assert_df_matches_oracle
+
+    get_queries()
+    assert_df_matches_oracle(
+        _user_rolling_7d(spark, sf_dir),
+        ddb,
+        QUERIES["events_user_rolling_7d"].oracle,
+        "events_user_rolling_7d",
+    )
+
+
+def test_rolling_7d_range_frame_spans_gaps(spark):
+    """A value-based RANGE frame must include only days within 6 of the
+    current day — a rows-based frame would wrongly count across gaps."""
+    from dc_moving_violations_cloud_etl_spark.queries.temporal import (
+        _user_rolling_7d,
+    )
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        # user 1: days 1, 2, then a jump to day 20 — the day-20 window
+        # must NOT include days 1-2
+        rows = [
+            (1, "2024-01-01 10:00:00", 1, "click", 1.0, "{}"),
+            (2, "2024-01-02 10:00:00", 1, "click", 1.0, "{}"),
+            (3, "2024-01-20 10:00:00", 1, "click", 1.0, "{}"),
+        ]
+        df = spark.createDataFrame(
+            rows,
+            "event_id long, ts string, user_id long, event_type string,"
+            " value double, props string",
+        ).withColumn("ts", F.to_timestamp("ts"))
+        df.write.parquet(os.path.join(d, "events.parquet"))
+        out = {
+            r["day"]: (r["n_day"], r["n_7d"])
+            for r in _user_rolling_7d(spark, d).collect()
+        }
+    assert out["2024-01-02"] == (1, 2)   # day 1 in range
+    assert out["2024-01-20"] == (1, 1)   # gap: earlier days excluded
+
+
+def test_pivot_daily_oracle_parity(spark, sf_dir, ddb):
+    from dc_moving_violations_cloud_etl_spark.queries.registry import (
+        QUERIES,
+        get_queries,
+    )
+    from dc_moving_violations_cloud_etl_spark.queries.temporal import (
+        _pivot_daily,
+        _PIVOT_TYPES,
+    )
+
+    from .conftest import assert_df_matches_oracle
+
+    get_queries()
+    df = _pivot_daily(spark, sf_dir)
+    assert df.columns == ["day"] + [f"n_{t}" for t in _PIVOT_TYPES]
+    assert_df_matches_oracle(
+        df, ddb, QUERIES["events_pivot_daily"].oracle, "events_pivot_daily"
+    )
