@@ -47,6 +47,7 @@ def _load_all() -> None:
         "extensions",
         "curation",
         "corpus_ops",
+        "join_ops",
         "temporal",
         "streaming_ops",
         "sql_text",

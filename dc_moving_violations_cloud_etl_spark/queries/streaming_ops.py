@@ -164,6 +164,27 @@ ORDER BY user_id, session_start
 )
 
 
+from ..streaming.joins import static_join_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_static_join",
+        static_join_streaming,
+        """
+SELECT c.c_mktsegment,
+       count(*) AS n_events,
+       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events e JOIN customer c ON e.user_id = c.c_custkey
+GROUP BY c.c_mktsegment ORDER BY c.c_mktsegment
+""",
+        doc="Stream-static enrichment: events stream broadcast-joined to "
+        "the static customer dimension per micro-batch (no join state), "
+        "aggregated per market segment in complete mode",
+        tags=("streaming", "join"),
+    )
+)
+
+
 from ..streaming.dedup import dedup_streaming  # noqa: E402
 
 register(

@@ -98,3 +98,49 @@ def interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-static enrichment join: the events STREAM joined to the
+    static ``customer`` dimension (user_id = c_custkey) — the standard
+    streaming-enrichment shape. The static side is a plain batch
+    DataFrame re-planned per micro-batch and broadcast (no streaming
+    state at all, unlike stream-stream); per-segment counts aggregate
+    in complete mode. Deterministic under availableNow, so the oracle
+    is the identical batch join."""
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = hashlib.md5(f"stjoin:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"static_join_{tag}"
+
+    ev = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    if dict(ev.dtypes).get("ts") == "bigint":
+        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+    dim = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
+        F.col("c_custkey"), F.col("c_mktsegment")
+    )
+
+    joined = ev.join(
+        F.broadcast(dim), ev["user_id"] == dim["c_custkey"], "inner"
+    )
+    agg = joined.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_value"),
+    )
+
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+    finally:
+        q.stop()
+
+    return spark.table(name).orderBy("c_mktsegment")
