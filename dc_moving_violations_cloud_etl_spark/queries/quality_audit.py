@@ -1,0 +1,276 @@
+"""Data-quality audit + layout demonstrator queries.
+
+Three pipeline-operations a production corpus/warehouse needs beyond the
+reference's analysis queries, each oracle-checked:
+
+- ``dq_audit_violations`` — a Deequ-style constraint-metric audit
+  (completeness / uniqueness / compliance ratios) over the 13-column
+  ``violations`` fact, computed in ONE aggregation pass and reported
+  tall (metric, value).
+- ``zorder_layout_events`` — the Morton-code multi-dimension clustering
+  key (operators/layout.py) demonstrated on events(user_id, value):
+  per-z-bucket rectangles prove rows that share a code range are close
+  in BOTH dimensions (the property parquet row-group pruning exploits).
+- ``corpus_mix_weights`` — per-language corpus shares and the
+  resampling weights that rebalance the corpus to a uniform language
+  target (the "data mixing" step of training-set assembly).
+
+Scale posture: the audit is a single map-side-combinable aggregate with
+constant-size output (the distinct-count runs as its own two-level hash
+agg, NOT mixed into the main agg — mixing would force an Expand that
+multiplies the scan output by the metric count). The z-order key is pure
+integer bit arithmetic in whole-stage codegen. Mix weights aggregate to
+|languages| rows before any window touches them.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from .. import catalog
+from ..operators.layout import bucketize, zorder_key
+from ..oracle import with_ref_views
+from .extensions import _docs
+from .registry import QuerySpec, register
+
+# ---------------------------------------------------------------------------
+# Deequ-style constraint audit over the violations fact
+# ---------------------------------------------------------------------------
+
+
+def _dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    v = catalog.violations(spark, sf_dir)
+    n = F.count(F.lit(1))
+    base = v.agg(
+        n.cast("double").alias("n_rows"),
+        (F.count("fine_amount").cast("double") / n).alias(
+            "fine_amount_completeness"
+        ),
+        (F.count("total_paid").cast("double") / n).alias(
+            "total_paid_completeness"
+        ),
+        (F.count("accident_indicator").cast("double") / n).alias(
+            "accident_indicator_completeness"
+        ),
+        (
+            F.sum(F.when(F.col("fine_amount") >= 0, 1).otherwise(0)).cast(
+                "double"
+            )
+            / F.count("fine_amount")
+        ).alias("fine_nonnegative_compliance"),
+        (
+            F.sum(
+                F.when(F.col("violation_code").rlike("^T[0-9]{3}$"), 1).otherwise(0)
+            ).cast("double")
+            / n
+        ).alias("code_pattern_compliance"),
+        (
+            F.sum(
+                F.when(F.col("latitude").between(38.0, 40.0), 1).otherwise(0)
+            ).cast("double")
+            / n
+        ).alias("latitude_range_compliance"),
+    )
+    # distinct ratio as its own two-level hash agg (1-row output), then a
+    # 1x1 join — never mixed into the main agg (no Expand)
+    dist = v.agg(
+        (F.countDistinct("violation_id").cast("double") / n).alias(
+            "violation_id_uniqueness"
+        )
+    )
+    row = base.crossJoin(dist)
+    metrics = [
+        "n_rows",
+        "fine_amount_completeness",
+        "total_paid_completeness",
+        "accident_indicator_completeness",
+        "fine_nonnegative_compliance",
+        "code_pattern_compliance",
+        "latitude_range_compliance",
+        "violation_id_uniqueness",
+    ]
+    tall = row.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("metric"),
+                        F.col(m).cast("double").alias("value"),
+                    )
+                    for m in metrics
+                ]
+            )
+        ).alias("m")
+    ).select("m.metric", "m.value")
+    return tall.orderBy("metric")
+
+
+_DQ_SQL = with_ref_views(
+    """
+, _agg AS (
+  SELECT
+    CAST(count(*) AS DOUBLE) AS n_rows,
+    CAST(count(fine_amount) AS DOUBLE) / count(*) AS fine_amount_completeness,
+    CAST(count(total_paid) AS DOUBLE) / count(*) AS total_paid_completeness,
+    CAST(count(accident_indicator) AS DOUBLE) / count(*)
+      AS accident_indicator_completeness,
+    CAST(sum(CASE WHEN fine_amount >= 0 THEN 1 ELSE 0 END) AS DOUBLE)
+      / count(fine_amount) AS fine_nonnegative_compliance,
+    CAST(sum(CASE WHEN regexp_matches(violation_code, '^T[0-9]{3}$')
+                  THEN 1 ELSE 0 END) AS DOUBLE) / count(*)
+      AS code_pattern_compliance,
+    CAST(sum(CASE WHEN latitude BETWEEN 38.0 AND 40.0 THEN 1 ELSE 0 END)
+         AS DOUBLE) / count(*) AS latitude_range_compliance,
+    CAST(count(DISTINCT violation_id) AS DOUBLE) / count(*)
+      AS violation_id_uniqueness
+  FROM violations
+)
+SELECT metric, value FROM (
+  SELECT 'n_rows' AS metric, n_rows AS value FROM _agg
+  UNION ALL SELECT 'fine_amount_completeness', fine_amount_completeness FROM _agg
+  UNION ALL SELECT 'total_paid_completeness', total_paid_completeness FROM _agg
+  UNION ALL SELECT 'accident_indicator_completeness',
+                   accident_indicator_completeness FROM _agg
+  UNION ALL SELECT 'fine_nonnegative_compliance',
+                   fine_nonnegative_compliance FROM _agg
+  UNION ALL SELECT 'code_pattern_compliance', code_pattern_compliance FROM _agg
+  UNION ALL SELECT 'latitude_range_compliance',
+                   latitude_range_compliance FROM _agg
+  UNION ALL SELECT 'violation_id_uniqueness', violation_id_uniqueness FROM _agg
+)
+ORDER BY metric
+"""
+)
+
+register(
+    QuerySpec(
+        "dq_audit_violations",
+        _dq_audit,
+        _DQ_SQL,
+        doc="Deequ-style constraint-metric audit (completeness, "
+        "uniqueness, compliance) over the violations fact in one "
+        "aggregation pass, reported tall (metric, value); the distinct "
+        "count runs as its own hash agg so no Expand multiplies the scan",
+        tags=("extension", "quality"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout demonstrator
+# ---------------------------------------------------------------------------
+
+_ZBITS = 8
+
+
+def _morton_sql(xe: str, ye: str, bits: int = _ZBITS) -> str:
+    """DuckDB expression interleaving two bucketized ints bit by bit —
+    textually generated so the oracle shares the exact bit layout of
+    operators/layout.zorder_key (bit i of col j -> output bit i*2+j)."""
+    terms = []
+    for i in range(bits):
+        terms.append(f"((({xe} >> {i}) & 1) << {2 * i})")
+        terms.append(f"((({ye} >> {i}) & 1) << {2 * i + 1})")
+    return " | ".join(terms)
+
+
+def _zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = catalog.base(spark, sf_dir, "events")
+    x = bucketize(F.col("user_id"), 256)
+    y = bucketize(F.col("value"), 256)
+    z = zorder_key([x, y], bits=_ZBITS)
+    return (
+        ev.select(
+            x.alias("x"), y.alias("y"), F.shiftright(z, 10).alias("z_bucket")
+        )
+        .groupBy("z_bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("x").alias("x_min"),
+            F.max("x").alias("x_max"),
+            F.min("y").alias("y_min"),
+            F.max("y").alias("y_max"),
+        )
+        .orderBy("z_bucket")
+    )
+
+
+_Z_SQL = f"""
+WITH pts AS (
+  SELECT ((user_id % 256) + 256) % 256 AS x,
+         ((CAST(floor(value) AS BIGINT) % 256) + 256) % 256 AS y
+  FROM events
+),
+coded AS (
+  SELECT x, y, ({_morton_sql('x', 'y')}) >> 10 AS z_bucket FROM pts
+)
+SELECT z_bucket, count(*) AS n_events,
+       min(x) AS x_min, max(x) AS x_max,
+       min(y) AS y_min, max(y) AS y_max
+FROM coded GROUP BY z_bucket ORDER BY z_bucket
+"""
+
+register(
+    QuerySpec(
+        "zorder_layout_events",
+        _zorder_layout,
+        _Z_SQL,
+        doc="Morton-code (Z-order) clustering key over events(user_id, "
+        "value): per-z-bucket bounding rectangles prove code-range "
+        "locality in both dimensions — the write-side layout that makes "
+        "parquet row-group stats prune multi-column predicates at 100 TB",
+        tags=("extension", "layout"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# corpus language-mix resampling weights
+# ---------------------------------------------------------------------------
+
+
+def _mix_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    # window over the |languages|-row AGG RESULT (constant-size), never
+    # over the corpus itself
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    n_langs = F.count(F.lit(1)).over(w)
+    return (
+        counts.select(
+            "lang",
+            "n_docs",
+            (F.col("n_docs").cast("double") / total).alias("share"),
+            (
+                total.cast("double")
+                / (n_langs * F.col("n_docs")).cast("double")
+            ).alias("weight"),
+        )
+        .orderBy("lang")
+    )
+
+
+_MIX_SQL = """
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+)
+SELECT lang, n_docs,
+       CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS share,
+       CAST(sum(n_docs) OVER () AS DOUBLE)
+         / CAST(count(*) OVER () * n_docs AS DOUBLE) AS weight
+FROM counts ORDER BY lang
+"""
+
+register(
+    QuerySpec(
+        "corpus_mix_weights",
+        _mix_weights,
+        _MIX_SQL,
+        doc="Per-language corpus shares and uniform-target resampling "
+        "weights (the data-mixing step of training-set assembly); the "
+        "corpus aggregates to |languages| rows before any window runs",
+        tags=("extension", "curation"),
+    )
+)

@@ -48,6 +48,7 @@ def _load_all() -> None:
         "curation",
         "corpus_ops",
         "join_ops",
+        "quality_audit",
         "temporal",
         "streaming_ops",
         "sql_text",
