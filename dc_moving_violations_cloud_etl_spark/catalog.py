@@ -68,10 +68,27 @@ def read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
 
 def normalize_event_ts(df: DataFrame) -> DataFrame:
-    """nanos-as-long ``ts`` → microsecond timestamp. Integer ``div`` —
-    double division would lose precision at 1e18-scale nanos."""
-    if dict(df.dtypes).get("ts") == "bigint":
+    """Normalize the fixture's ``ts`` column to a plain ``timestamp``.
+
+    The fixture's physical type has varied across driver regenerations:
+
+    - parquet TIMESTAMP(NANOS) → Spark reads ``bigint`` under the
+      nanosAsLong legacy conf → convert with integer ``div`` (double
+      division would lose precision at 1e18-scale nanos);
+    - parquet timestamp[us] with isAdjustedToUTC=false → Spark 4 reads
+      ``timestamp_ntz`` → cast to ``timestamp``. The session TZ is UTC
+      (session.py) so wall-clock values are unchanged; the cast matters
+      because event-time operators (``withWatermark``) REQUIRE
+      TimestampType and raise EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ.
+
+    Single choke point: both the batch catalog (``base``) and every
+    streaming reader normalize through here.
+    """
+    t = dict(df.dtypes).get("ts")
+    if t == "bigint":
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif t == "timestamp_ntz":
+        df = df.withColumn("ts", F.col("ts").cast("timestamp"))
     return df
 
 

@@ -1,0 +1,383 @@
+"""Event-analytics operator queries (round 3): multi-stage funnel,
+cohort retention, CUBE grouping sets, partitioned-window top-k,
+referential-integrity anti-join audit, and native hopping (sliding)
+windows — the analytics shapes a serving layer over the reference's
+fact/dimension model would add next (the reference's own surface stops
+at flat GROUP BYs, sql/analysis_queries.sql:5-91).
+
+Scale posture notes per query are inline; the common theme: every
+aggregation pre-shrinks to a per-key/per-day table before any window or
+join, so no operator ever windows/sorts the raw fact table globally.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from .. import catalog
+from .registry import QuerySpec, register
+
+
+def _events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return catalog.base(spark, sf_dir, "events")
+
+
+# ---------------------------------------------------------------------------
+# multi-stage sequential funnel: view → click → purchase
+# ---------------------------------------------------------------------------
+
+
+def _funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel: first view, first click AFTER that view, first
+    purchase AFTER that click, per user; one summary row of stage
+    counts. Each stage is a per-user aggregate (bounded by |users|, far
+    smaller than the fact table) equi-joined back — at cluster scale the
+    stage tables broadcast and the fact scan happens exactly 3 times
+    with the event_type filter pushed to parquet."""
+    ev = _events(spark, sf_dir).select("user_id", "event_type", "ts")
+    views = (
+        ev.where(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("vts"))
+    )
+    clicks = (
+        ev.where(F.col("event_type") == "click")
+        .join(views, "user_id")
+        .where(F.col("ts") > F.col("vts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("cts"))
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(clicks, "user_id")
+        .where(F.col("ts") > F.col("cts"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pts"))
+    )
+    return (
+        views.agg(F.count(F.lit(1)).cast("long").alias("n_view"))
+        .crossJoin(
+            clicks.agg(
+                F.count(F.lit(1)).cast("long").alias("n_click_after_view")
+            )
+        )
+        .crossJoin(
+            purchases.agg(
+                F.count(F.lit(1))
+                .cast("long")
+                .alias("n_purchase_after_click")
+            )
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "funnel_view_click_purchase",
+        _funnel,
+        """
+WITH v AS (
+  SELECT user_id, min(ts) AS vts FROM events
+  WHERE event_type = 'view' GROUP BY user_id
+),
+c AS (
+  SELECT e.user_id, min(e.ts) AS cts
+  FROM events e JOIN v USING (user_id)
+  WHERE e.event_type = 'click' AND e.ts > v.vts
+  GROUP BY e.user_id
+),
+p AS (
+  SELECT e.user_id, min(e.ts) AS pts
+  FROM events e JOIN c USING (user_id)
+  WHERE e.event_type = 'purchase' AND e.ts > c.cts
+  GROUP BY e.user_id
+)
+SELECT CAST((SELECT count(*) FROM v) AS BIGINT) AS n_view,
+       CAST((SELECT count(*) FROM c) AS BIGINT) AS n_click_after_view,
+       CAST((SELECT count(*) FROM p) AS BIGINT) AS n_purchase_after_click
+""",
+        doc="ordered 3-stage funnel (view → click-after-view → "
+        "purchase-after-click) via per-stage min-ts aggregates and "
+        "equi-joins; stage tables are user-bounded → broadcastable",
+        tags=("extension", "analytics", "funnel"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# weekly cohort retention
+# ---------------------------------------------------------------------------
+
+
+def _cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classic cohort grid: users grouped by first-seen ISO week, activity
+    counted per week-offset. Two shuffles total: the first-seen aggregate
+    (user-bounded) and the final (cohort_week, week_offset) count —
+    the first-seen table joins back user-keyed (co-partitioned with the
+    fact shuffle at scale, or broadcast when |users| is dimension-like)."""
+    ev = _events(spark, sf_dir).select("user_id", "ts")
+    first = ev.groupBy("user_id").agg(
+        F.min(F.to_date("ts")).alias("first_day")
+    )
+    return (
+        ev.join(first, "user_id")
+        .select(
+            F.date_format(F.date_trunc("week", "first_day"), "yyyy-MM-dd")
+            .alias("cohort_week"),
+            F.floor(
+                F.datediff(F.to_date("ts"), F.col("first_day")) / 7
+            )
+            .cast("long")
+            .alias("week_offset"),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("long").alias("n_active_users"))
+        .orderBy("cohort_week", "week_offset")
+    )
+
+
+register(
+    QuerySpec(
+        "cohort_weekly_retention",
+        _cohort_retention,
+        """
+WITH first_seen AS (
+  SELECT user_id, min(CAST(ts AS DATE)) AS first_day
+  FROM events GROUP BY user_id
+)
+SELECT strftime(date_trunc('week', f.first_day), '%Y-%m-%d')
+         AS cohort_week,
+       CAST(floor(datediff('day', f.first_day, CAST(e.ts AS DATE)) / 7.0)
+            AS BIGINT) AS week_offset,
+       CAST(count(DISTINCT e.user_id) AS BIGINT) AS n_active_users
+FROM events e JOIN first_seen f USING (user_id)
+GROUP BY 1, 2 ORDER BY 1, 2
+""",
+        doc="weekly cohort retention grid (first-seen ISO week × "
+        "week-offset distinct actives); pre-aggregated first-seen table "
+        "joined back on the user key",
+        tags=("extension", "analytics", "cohort"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# CUBE over (event_type, weekday)
+# ---------------------------------------------------------------------------
+
+
+def _cube_type_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE grouping sets: all 4 aggregation levels of
+    (event_type, weekday) in ONE pass — Spark's Expand covers the
+    reference's natural extension beyond flat GROUP BY (SURVEY.md §2.F
+    notes Qa as the rollup candidate; this is the full cube). Grand
+    totals/subtotals are labeled 'ALL' so the result is NULL-free and
+    hash-stable. Cardinality after Expand is 4× a tiny key space —
+    constant-size output."""
+    ev = _events(spark, sf_dir).select(
+        "event_type", F.date_format("ts", "EEEE").alias("weekday"), "value"
+    )
+    return (
+        ev.cube("event_type", "weekday")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("weekday", F.lit("ALL")).alias("weekday"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("event_type", "weekday")
+    )
+
+
+register(
+    QuerySpec(
+        "events_cube_type_weekday",
+        _cube_type_dow,
+        """
+SELECT coalesce(event_type, 'ALL') AS event_type,
+       coalesce(dayname(ts), 'ALL') AS weekday,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY CUBE (event_type, dayname(ts))
+ORDER BY 1, 2
+""",
+        doc="one-pass CUBE over (event_type, weekday) with exact decimal "
+        "value sums; subtotal rows labeled 'ALL'",
+        tags=("extension", "analytics", "grouping-sets"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# per-group top-k via partitioned window
+# ---------------------------------------------------------------------------
+
+TOPK_DAYS = 3
+
+
+def _topk_days_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 busiest days per event_type. The window ranks the
+    PRE-AGGREGATED per-(type, day) counts — a table bounded by
+    |types| × |days|, not the raw events — and partitions by event_type,
+    so no global single-partition sort exists anywhere in the plan.
+    Ties broken on the day string for determinism."""
+    daily = (
+        _events(spark, sf_dir)
+        .groupBy(
+            "event_type",
+            F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
+        )
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.desc("n_events"), F.col("event_day")
+    )
+    return (
+        daily.withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= TOPK_DAYS)
+        .orderBy("event_type", "rank")
+    )
+
+
+register(
+    QuerySpec(
+        "topk_busiest_days_per_type",
+        _topk_days_per_type,
+        f"""
+WITH daily AS (
+  SELECT event_type, strftime(ts, '%Y-%m-%d') AS event_day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events GROUP BY 1, 2
+),
+ranked AS (
+  SELECT *, CAST(row_number() OVER (
+           PARTITION BY event_type
+           ORDER BY n_events DESC, event_day) AS BIGINT) AS rank
+  FROM daily
+)
+SELECT event_type, event_day, n_events, rank
+FROM ranked WHERE rank <= {TOPK_DAYS}
+ORDER BY event_type, rank
+""",
+        doc="per-group top-k (3 busiest days per event_type) via "
+        "partitioned row_number over a pre-aggregated daily table — "
+        "no global sort",
+        tags=("extension", "analytics", "topk-window"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# referential-integrity audit: anti/semi join vs the customer dimension
+# ---------------------------------------------------------------------------
+
+
+def _orphan_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Events whose user_id has no customer row (left_anti) vs matched
+    (left_semi) — the DQ gate a fact/dim warehouse runs pre-publish.
+    The dimension side is keys-only and explicitly broadcast: at 100 TB
+    the fact side never shuffles for this check."""
+    ev = _events(spark, sf_dir).select("user_id")
+    dim = F.broadcast(
+        catalog.base(spark, sf_dir, "customer").select(
+            F.col("c_custkey").alias("user_id")
+        )
+    )
+    orphans = ev.join(dim, "user_id", "left_anti")
+    matched = ev.join(dim, "user_id", "left_semi")
+    return (
+        orphans.agg(
+            F.count(F.lit(1)).cast("long").alias("n_orphan_events"),
+            F.countDistinct("user_id").cast("long").alias("n_orphan_users"),
+        )
+        .crossJoin(
+            matched.agg(
+                F.count(F.lit(1)).cast("long").alias("n_matched_events")
+            )
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "events_orphan_user_audit",
+        _orphan_audit,
+        """
+SELECT CAST(count(*) FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+         AS n_orphan_events,
+       CAST(count(DISTINCT e.user_id)
+              FILTER (WHERE c.c_custkey IS NULL) AS BIGINT)
+         AS n_orphan_users,
+       CAST(count(*) FILTER (WHERE c.c_custkey IS NOT NULL) AS BIGINT)
+         AS n_matched_events
+FROM events e LEFT JOIN customer c ON e.user_id = c.c_custkey
+""",
+        doc="referential-integrity audit: anti-join orphan counts + "
+        "semi-join matched count against a broadcast keys-only dimension",
+        tags=("extension", "quality", "anti-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# hopping (sliding) windows: 1-day windows every 6 hours
+# ---------------------------------------------------------------------------
+
+HOP_WINDOW = "1 day"
+HOP_SLIDE = "6 hours"
+_SLIDE_S = 6 * 3600
+_HOPS = 4  # window/slide
+
+
+def _hopping_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native hopping-window aggregation: each event lands in 4
+    overlapping 1-day windows (slide 6 h). Spark's ``window()`` plans
+    this as an Expand (×4) + one hash aggregate — linear, no self-join.
+    The oracle reproduces the window-assignment arithmetic explicitly
+    (epoch-bucket × hop-offset cross join), cross-validating Spark's
+    window alignment (epoch-aligned under the UTC session)."""
+    ev = _events(spark, sf_dir)
+    return (
+        ev.groupBy(F.window("ts", HOP_WINDOW, HOP_SLIDE).alias("win"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_events"))
+        .select(
+            F.date_format("win.start", "yyyy-MM-dd HH:mm:ss").alias(
+                "win_start"
+            ),
+            "n_events",
+        )
+        .orderBy("win_start")
+    )
+
+
+register(
+    QuerySpec(
+        "events_hopping_window_counts",
+        _hopping_counts,
+        f"""
+SELECT strftime(
+         make_timestamp(
+           ((CAST(floor(epoch(ts) / {_SLIDE_S}) AS BIGINT) - h.i)
+             * {_SLIDE_S}) * 1000000),
+         '%Y-%m-%d %H:%M:%S') AS win_start,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM events, range({_HOPS}) h(i)
+GROUP BY 1 ORDER BY 1
+""",
+        doc="hopping-window counts (1-day window, 6-hour slide) via "
+        "native window() Expand — each event in exactly 4 windows, "
+        "one aggregate pass; oracle recomputes the assignment "
+        "arithmetic explicitly",
+        tags=("extension", "temporal", "hopping-window"),
+    )
+)

@@ -19,14 +19,34 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import read_parquet
+from ..catalog import normalize_event_ts, read_parquet
+
+
+_SCRATCH_ROOT = "/tmp/spark_graft_stream"
 
 
 def _stage_dir(path: str, tag: str) -> str:
     """The parquet file-stream source requires a DIRECTORY; the fixtures
     are single read-only files. Stage a symlink in a scratch dir (the
-    local FS source follows symlinks; no data copy)."""
-    d = f"/tmp/spark_graft_stream/{tag}"
+    local FS source follows symlinks; no data copy).
+
+    The dir name includes the fixture file's identity (size + mtime), so
+    a regenerated fixture never aliases a stale staging dir; stale
+    generations of the same tag are swept best-effort (VERDICT r2 rec #6:
+    scratch state accumulating across rounds)."""
+    import shutil
+
+    st = os.stat(path)
+    ident = f"{tag}-{st.st_size}-{st.st_mtime_ns}"
+    try:
+        for entry in os.listdir(_SCRATCH_ROOT):
+            if entry.startswith(f"{tag}-") and entry != ident:
+                shutil.rmtree(
+                    os.path.join(_SCRATCH_ROOT, entry), ignore_errors=True
+                )
+    except FileNotFoundError:
+        pass
+    d = os.path.join(_SCRATCH_ROOT, ident)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
     if not os.path.islink(link):
@@ -43,9 +63,9 @@ def daily_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
     name = f"daily_rollup_{tag}"
 
-    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
 
     agg = events.groupBy(
         F.window("ts", "1 day").alias("win"), F.col("event_type")
@@ -93,9 +113,9 @@ def late_data_watermark_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     tag = hashlib.md5(f"wm:{sf_dir}".encode()).hexdigest()[:8]
     name = f"late_rollup_{tag}"
 
-    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
 
     agg = (
         events.withWatermark("ts", "1 day")
@@ -138,9 +158,9 @@ def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"sessw:{sf_dir}".encode()).hexdigest()[:8]
     name = f"session_window_{tag}"
 
-    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
 
     agg = (
         events.withWatermark("ts", "1 day")

@@ -14,7 +14,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import read_parquet
+from ..catalog import normalize_event_ts, read_parquet
 from .daily import _stage_dir
 
 
@@ -42,13 +42,9 @@ def dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"dedup:{sf_dir}".encode()).hexdigest()[:8]
     name = f"stream_dedup_{tag}"
 
-    events = spark.readStream.schema(schema).parquet(
-        _stage_dir_doubled(path, tag)
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir_doubled(path, tag))
     )
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
 
     deduped = (
         events.select("event_id", "ts")

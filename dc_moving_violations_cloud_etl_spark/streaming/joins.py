@@ -15,7 +15,7 @@ import hashlib
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import read_parquet
+from ..catalog import normalize_event_ts, read_parquet
 from .daily import _stage_dir
 
 LOWER_S = 1
@@ -39,10 +39,9 @@ def interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     stage = _stage_dir(path, tag)
 
     def _stream():
-        ev = spark.readStream.schema(schema).parquet(stage)
-        if dict(ev.dtypes).get("ts") == "bigint":
-            ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-        return ev
+        return normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
 
     errors = (
         _stream()
@@ -113,9 +112,9 @@ def static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"stjoin:{sf_dir}".encode()).hexdigest()[:8]
     name = f"static_join_{tag}"
 
-    ev = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
-    if dict(ev.dtypes).get("ts") == "bigint":
-        ev = ev.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    ev = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
 
     dim = read_parquet(spark, f"{sf_dir}/customer.parquet").select(
         F.col("c_custkey"), F.col("c_mktsegment")

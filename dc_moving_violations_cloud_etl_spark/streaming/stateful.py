@@ -20,10 +20,9 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
-from ..catalog import read_parquet
+from ..catalog import normalize_event_ts, read_parquet
 from .daily import _stage_dir
 
 GAP_MS = 30 * 60 * 1000
@@ -100,9 +99,9 @@ def stateful_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     tag = hashlib.md5(f"state:{sf_dir}".encode()).hexdigest()[:8]
     name = f"stateful_sessions_{tag}"
 
-    events = spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
 
     sessions = (
         events.select("user_id", "ts")

@@ -24,7 +24,7 @@ import shutil
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from ..catalog import read_parquet
+from ..catalog import normalize_event_ts, read_parquet
 
 
 def _batch_aggregate(df: DataFrame) -> DataFrame:
@@ -78,15 +78,11 @@ def incremental_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     store = f"/tmp/spark_graft_stream/store_{tag}"
     shutil.rmtree(store, ignore_errors=True)
 
-    events = (
+    events = normalize_event_ts(
         spark.readStream.schema(schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(_stage_split(spark, path, tag))
     )
-    if dict(events.dtypes).get("ts") == "bigint":
-        events = events.withColumn(
-            "ts", F.timestamp_micros(F.expr("ts div 1000"))
-        )
 
     def merge(batch_df: DataFrame, _batch_id: int) -> None:
         sess = batch_df.sparkSession

@@ -29,10 +29,21 @@ TABLES = [
 
 
 def canon_value(v) -> str:
-    if v is None or v is pd.NaT or (isinstance(v, float) and math.isnan(v)):
-        return "<NULL>"
+    # scalar NULL check first: covers None / NaN / NaT AND pd.NA (pandas
+    # nullable dtypes from DuckDB .df() / Arrow-backed toPandas stringify
+    # to '<NA>' otherwise — ADVICE r2). Guarded against array-likes,
+    # where pd.isna returns an array.
+    if not isinstance(v, (list, tuple)) and type(v).__name__ != "ndarray":
+        try:
+            if pd.isna(v):
+                return "<NULL>"
+        except (TypeError, ValueError):
+            pass
     if isinstance(v, float):
-        return repr(v)
+        # 9 significant digits, not repr: Spark vs DuckDB float aggregates
+        # can differ in the last ulp from accumulation order (ADVICE r2);
+        # bit-exact comparison would flag those as false FAILs.
+        return f"{v:.9g}"
     if isinstance(v, pd.Timestamp):
         return v.isoformat()
     if isinstance(v, (list, tuple)) or type(v).__name__ == "ndarray":
@@ -91,6 +102,13 @@ def main() -> int:
                 rec["ok"] = True
             else:
                 odf = con.execute(oracle).df()
+                # strict column-ORDER agreement recorded separately
+                # (ADVICE r2): the driver sorts columns by name before
+                # hashing, so order doesn't gate ok — but an order
+                # mismatch is still worth surfacing.
+                rec["schema_order_match"] = list(sdf.columns) == list(
+                    odf.columns
+                )
                 g, w = canon(sdf), canon(odf)
                 rec["oracle_rows"] = len(w)
                 rec["rows_match"] = len(g) == len(w)
