@@ -54,6 +54,20 @@ def _stage_dir(path: str, tag: str) -> str:
     return d
 
 
+def _drain_memory_sink(
+    spark: SparkSession, name: str, df: DataFrame
+) -> DataFrame:
+    """Materialize the (small) final result off the memory sink, then
+    DROP the sink table: the sink pins every emitted row in driver
+    memory for the session's lifetime, and a bench/notebook process that
+    runs many streaming queries would accumulate all of them (measured
+    in round 3 as multi-× slowdowns of unrelated later queries). The
+    ``localCheckpoint`` is eager, so the result survives the drop."""
+    out = df.localCheckpoint()
+    spark.catalog.dropTempView(name)
+    return out
+
+
 def daily_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Tumbling 1-day window × event_type: count + exact value sum,
     computed by a real streaming query (file source → availableNow →
@@ -86,7 +100,9 @@ def daily_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("event_day"),
@@ -94,7 +110,7 @@ def daily_rollup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
             "total_value",
         )
-        .orderBy("event_day", "event_type")
+        .orderBy("event_day", "event_type"),
     )
 
 
@@ -135,13 +151,15 @@ def late_data_watermark_streaming(spark: SparkSession, sf_dir: str) -> DataFrame
     finally:
         q.stop()
 
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             F.date_format(F.col("win.start"), "yyyy-MM-dd").alias("event_day"),
             "n_events",
         )
-        .orderBy("event_day")
+        .orderBy("event_day"),
     )
 
 
@@ -182,7 +200,9 @@ def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .select(
             "user_id",
@@ -194,5 +214,5 @@ def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "n_events",
         )
-        .orderBy("user_id", "session_start")
+        .orderBy("user_id", "session_start"),
     )

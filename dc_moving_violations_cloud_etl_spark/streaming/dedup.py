@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts, read_parquet
-from .daily import _stage_dir
+from .daily import _drain_memory_sink, _stage_dir
 
 
 def _stage_dir_doubled(path: str, tag: str) -> str:
@@ -64,9 +64,15 @@ def dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
-        .groupBy(F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias("event_day"))
+        .groupBy(
+            F.date_format(F.date_trunc("day", "ts"), "yyyy-MM-dd").alias(
+                "event_day"
+            )
+        )
         .agg(F.count(F.lit(1)).alias("n_unique_events"))
-        .orderBy("event_day")
+        .orderBy("event_day"),
     )

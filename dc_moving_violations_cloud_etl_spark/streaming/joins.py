@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts, read_parquet
-from .daily import _stage_dir
+from .daily import _drain_memory_sink, _stage_dir
 
 LOWER_S = 1
 UPPER_S = 300
@@ -88,14 +88,16 @@ def interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    return (
+    return _drain_memory_sink(
+        spark,
+        name,
         spark.table(name)
         .groupBy(F.col("e_user").alias("user_id"))
         .agg(
             F.count(F.lit(1)).alias("n_pairs"),
             F.countDistinct("error_id").cast("long").alias("n_errors_matched"),
         )
-        .orderBy("user_id")
+        .orderBy("user_id"),
     )
 
 
@@ -142,4 +144,6 @@ def static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         q.stop()
 
-    return spark.table(name).orderBy("c_mktsegment")
+    return _drain_memory_sink(
+        spark, name, spark.table(name).orderBy("c_mktsegment")
+    )
