@@ -51,6 +51,7 @@ def _load_all() -> None:
         "quality_audit",
         "temporal",
         "analytics_ops",
+        "warehouse_ops",
         "streaming_ops",
         "sql_text",
     ):
