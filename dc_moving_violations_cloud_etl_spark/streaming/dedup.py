@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts, read_parquet
-from .daily import _drain_memory_sink, _stage_dir
+from .daily import _drain_memory_sink, _run_to_completion, _stage_dir
 
 
 def _stage_dir_doubled(path: str, tag: str) -> str:
@@ -52,17 +52,13 @@ def dedup_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .dropDuplicatesWithinWatermark(["event_id"])
     )
 
-    q = (
+    _run_to_completion(
+        spark,
         deduped.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
 
     return _drain_memory_sink(
         spark,

@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts, read_parquet
-from .daily import _drain_memory_sink, _stage_dir
+from .daily import _drain_memory_sink, _run_to_completion, _stage_dir
 
 LOWER_S = 1
 UPPER_S = 300
@@ -76,17 +76,13 @@ def interval_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         "inner",
     )
 
-    q = (
+    _run_to_completion(
+        spark,
         pairs.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
 
     return _drain_memory_sink(
         spark,
@@ -132,17 +128,13 @@ def static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("total_value"),
     )
 
-    q = (
+    _run_to_completion(
+        spark,
         agg.writeStream.outputMode("complete")
         .format("memory")
         .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
 
     return _drain_memory_sink(
         spark, name, spark.table(name).orderBy("c_mktsegment")

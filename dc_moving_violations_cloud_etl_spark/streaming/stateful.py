@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 
 from ..catalog import normalize_event_ts, read_parquet
-from .daily import _drain_memory_sink, _stage_dir
+from .daily import _drain_memory_sink, _run_to_completion, _stage_dir
 
 GAP_MS = 30 * 60 * 1000
 
@@ -115,17 +115,13 @@ def stateful_sessions_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
 
-    q = (
+    _run_to_completion(
+        spark,
         sessions.writeStream.outputMode("append")
         .format("memory")
         .queryName(name)
-        .trigger(availableNow=True)
-        .start()
+        .trigger(availableNow=True),
     )
-    try:
-        q.awaitTermination()
-    finally:
-        q.stop()
 
     return _drain_memory_sink(
         spark, name, spark.table(name).orderBy("user_id", "session_start")

@@ -25,6 +25,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts, read_parquet
+from .daily import _run_to_completion
 
 
 def _batch_aggregate(df: DataFrame) -> DataFrame:
@@ -107,16 +108,14 @@ def incremental_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         shutil.rmtree(store, ignore_errors=True)
         os.rename(out, store)
 
-    q = (
-        events.writeStream.foreachBatch(merge)
-        .trigger(availableNow=True)
-        .option("checkpointLocation", f"{store}_ckpt")
-        .start()
-    )
     try:
-        q.awaitTermination()
+        _run_to_completion(
+            spark,
+            events.writeStream.foreachBatch(merge)
+            .trigger(availableNow=True)
+            .option("checkpointLocation", f"{store}_ckpt"),
+        )
     finally:
-        q.stop()
         shutil.rmtree(f"{store}_ckpt", ignore_errors=True)
 
     return (
