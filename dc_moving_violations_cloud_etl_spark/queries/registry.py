@@ -52,6 +52,7 @@ def _load_all() -> None:
         "temporal",
         "analytics_ops",
         "warehouse_ops",
+        "source_ops",
         "streaming_ops",
         "sql_text",
     ):

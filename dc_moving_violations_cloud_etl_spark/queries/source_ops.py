@@ -1,0 +1,242 @@
+"""Source-format operators (round 3): JSON-lines and CSV sources with
+full round-trip fidelity, and parquet schema evolution via mergeSchema.
+
+The reference's only live source is a JSON HTTP API shredded row-at-a-
+time in Python (SURVEY.md §2.A, reference
+etl/daily_load/violation_etl_daily.py:180-184); these queries exercise
+Spark's declarative source layer on the same data instead: schema-first
+``spark.read.json`` / ``spark.read.csv`` (JVM-side parsing, no Python in
+the loop) and the columnar-evolution path a long-lived 100 TB table
+needs when columns are added over time.
+
+Each query stages the ``events`` fixture into the target format ONCE per
+fixture generation (identity-tagged scratch dir, same convention as the
+streaming stage dirs), then answers an aggregate over the staged source;
+the DuckDB oracle computes the identical aggregate from the original
+parquet — so a hash match proves the format round-trip is lossless,
+including microsecond timestamps (explicit ``timestampFormat``) and
+embedded-JSON string quoting in CSV.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .registry import QuerySpec, register
+
+_SCRATCH = "/tmp/spark_graft_stream"
+# microsecond-precision timestamps: the default JSON/CSV format writes
+# millis and would silently truncate the fixture's microsecond ts
+_TS_FMT = "yyyy-MM-dd'T'HH:mm:ss.SSSSSS"
+
+
+def _staged(
+    spark: SparkSession,
+    sf_dir: str,
+    kind: str,
+    write,
+) -> str:
+    """Stage the events fixture via ``write(df, dir)`` once per fixture
+    generation; identity-tagged so regenerated testdata re-stages."""
+    path = f"{sf_dir}/events.parquet"
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"{kind}:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
+    d = os.path.join(_SCRATCH, f"src{kind}_{tag}")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        df = catalog.base(spark, sf_dir, "events")
+        write(df, d)
+        with open(done, "w") as f:
+            f.write("ok")
+    return d
+
+
+_AGG_ORACLE = """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS first_ts,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY event_type ORDER BY event_type
+"""
+
+
+def _roundtrip_agg(df: DataFrame) -> DataFrame:
+    """Aggregate exercising every round-tripped column incl. microsecond
+    ts extrema — any lossy serialization shows up in the hash."""
+    return (
+        df.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "first_ts"
+            ),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+def _json_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _staged(
+        spark,
+        sf_dir,
+        "json",
+        lambda df, out: df.coalesce(2)
+        .write.option("timestampFormat", _TS_FMT)
+        .mode("overwrite")
+        .json(out),
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(d)
+    )
+    return _roundtrip_agg(src)
+
+
+register(
+    QuerySpec(
+        "json_source_roundtrip_agg",
+        _json_source_agg,
+        _AGG_ORACLE,
+        doc="schema-first JSON-lines source (FAILFAST, explicit "
+        "microsecond timestampFormat): per-type aggregate over the "
+        "staged JSON equals the parquet oracle — lossless round-trip; "
+        "JVM-side JacksonParser, no Python in the parse loop "
+        "(reference shreds the same JSON row-at-a-time in Python, "
+        "violation_etl_daily.py:180-184)",
+        tags=("extension", "source", "json"),
+    )
+)
+
+
+def _csv_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _staged(
+        spark,
+        sf_dir,
+        "csv",
+        lambda df, out: df.coalesce(2)
+        .write.option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .mode("overwrite")
+        .csv(out),
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.read.schema(schema)
+        .option("header", "true")
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .csv(d)
+    )
+    return _roundtrip_agg(src)
+
+
+register(
+    QuerySpec(
+        "csv_source_roundtrip_agg",
+        _csv_source_agg,
+        _AGG_ORACLE,
+        doc="CSV source round-trip incl. quoted embedded-JSON column and "
+        "microsecond timestamps (UnivocityParser, FAILFAST); hash-equal "
+        "to the parquet oracle",
+        tags=("extension", "source", "csv"),
+    )
+)
+
+
+def _schema_evolution_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage two parquet generations — v1 (even event_ids) WITHOUT the
+    ``value`` column, v2 (odd event_ids) with it — and read them as one
+    table with ``mergeSchema``: the evolved column is NULL for v1 rows.
+    This is the append-only column-add lifecycle of a long-lived table;
+    the audit proves reads stay correct across generations."""
+    path = f"{sf_dir}/events.parquet"
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"evo:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
+    d = os.path.join(_SCRATCH, f"srcevo_{tag}")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        ev = catalog.base(spark, sf_dir, "events")
+        (
+            ev.where(F.col("event_id") % 2 == 0)
+            .select("event_id", "user_id", "event_type")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+        (
+            ev.where(F.col("event_id") % 2 == 1)
+            .select("event_id", "user_id", "event_type", "value")
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(d)
+        )
+        with open(done, "w") as f:
+            f.write("ok")
+    merged = spark.read.option("mergeSchema", "true").parquet(d)
+    return (
+        merged.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(F.col("value").isNull().cast("long"))
+            .cast("long")
+            .alias("n_pre_evolution"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("evolved_value_sum"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "parquet_schema_evolution_audit",
+        _schema_evolution_audit,
+        """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
+         AS n_pre_evolution,
+       CAST(sum(CAST(value AS DECIMAL(18,2)))
+              FILTER (WHERE event_id % 2 = 1) AS DOUBLE)
+         AS evolved_value_sum
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="parquet schema evolution via mergeSchema over two staged "
+        "file generations (column added in v2); NULL-backfill audit "
+        "matches the oracle's even/odd reconstruction",
+        tags=("extension", "source", "schema-evolution"),
+    )
+)

@@ -367,3 +367,64 @@ GROUP BY event_type ORDER BY event_type
         tags=("extension", "quality", "skew"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# inverted index build: term -> sorted posting list
+# ---------------------------------------------------------------------------
+
+
+def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Posting-list construction — the search-index build step over the
+    corpus: explode tokens, dedupe (term, doc) pairs, aggregate each
+    term's SORTED doc-id posting list. Selective terms only (document
+    frequency 2..50): head terms would emit postings proportional to the
+    corpus (those belong in a stopword/impact-ordered tier at scale, not
+    in an array column). One shuffle on the term key; ``sort_array``
+    makes the array deterministic for the hash comparison."""
+    docs = catalog.base(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    pairs = (
+        docs.select("doc_id", F.explode(F.split(norm, " ")).alias("term"))
+        .where(F.length("term") >= 3)
+        .distinct()
+    )
+    return (
+        pairs.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .where((F.col("df") >= 2) & (F.col("df") <= 50))
+        .orderBy("term")
+    )
+
+
+register(
+    QuerySpec(
+        "inverted_index_postings",
+        _inverted_index,
+        r"""
+WITH pairs AS (
+  SELECT DISTINCT doc_id, t AS term
+  FROM (
+    SELECT doc_id,
+           unnest(string_split(
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  ) WHERE length(t) >= 3
+)
+SELECT term,
+       CAST(count(*) AS BIGINT) AS df,
+       list_sort(list(doc_id)) AS postings
+FROM pairs
+GROUP BY term
+HAVING count(*) BETWEEN 2 AND 50
+ORDER BY term
+""",
+        doc="inverted-index posting lists for selective terms (df 2..50): "
+        "explode -> (term, doc) dedup -> sorted array_agg; one term-key "
+        "shuffle, array-valued result hash-checked against the oracle",
+        tags=("extension", "text", "inverted-index"),
+    )
+)
