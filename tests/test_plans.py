@@ -93,3 +93,43 @@ def test_range_join_plans_hash_equi_join(spark, sf_dir):
     assert "HashJoin" in plan  # Broadcast- or Shuffled-, both are equi
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_orphan_audit_broadcasts_dimension(spark, sf_dir):
+    """The referential-integrity audit must plan broadcast anti/semi
+    joins — the fact side never shuffles for a keys-only dim check."""
+    plan = _plan(QUERIES["events_orphan_user_audit"].build(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "LeftAnti" in plan and "LeftSemi" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_cube_and_hopping_plan_expand(spark, sf_dir):
+    """CUBE and hopping windows must both compile to a single Expand +
+    hash aggregate — one pass over the data, no self-joins."""
+    for name in ("events_cube_type_weekday", "events_hopping_window_counts"):
+        plan = _plan(QUERIES[name].build(spark, sf_dir))
+        assert "Expand" in plan, name
+        assert "Join" not in plan, name
+
+
+def test_topk_windows_over_preaggregate(spark, sf_dir):
+    """Per-group top-k must rank the pre-aggregated daily counts: the
+    hash aggregate appears BELOW the window in the plan, so the window
+    input is |types|x|days|, not the raw fact table."""
+    plan = _plan(QUERIES["topk_busiest_days_per_type"].build(spark, sf_dir))
+    assert "Window" in plan
+    agg_pos = plan.index("HashAggregate")
+    win_pos = plan.index("Window")
+    # plan strings print top-down: the aggregate feeding the window must
+    # appear after (= below) the window operator itself
+    assert agg_pos > win_pos or "HashAggregate" in plan[win_pos:]
+
+
+def test_scd2_single_user_shuffle(spark, sf_dir):
+    """The SCD-2 build partitions both windows and the final aggregate
+    by user_id: exactly ONE hash-partitioning exchange on the user key
+    should exist (Catalyst reuses it); no range (global-sort) exchange
+    of the fact table."""
+    plan = _plan(QUERIES["scd2_user_attribute_history"].build(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
