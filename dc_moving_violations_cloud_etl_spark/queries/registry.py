@@ -53,6 +53,7 @@ def _load_all() -> None:
         "analytics_ops",
         "warehouse_ops",
         "source_ops",
+        "relational_ops",
         "streaming_ops",
         "sql_text",
     ):
