@@ -31,6 +31,22 @@ AUDITED = [
         "text_tfidf_top_terms",
         "map-side-combined tf/df aggregates; corpus size broadcast, not collected",
     ),
+    (
+        "events_orphan_user_audit",
+        "broadcast LeftAnti + LeftSemi; fact side never shuffles",
+    ),
+    (
+        "events_hopping_window_counts",
+        "single Expand (x4 window assignment) + hash aggregate; no self-join",
+    ),
+    (
+        "scd2_user_attribute_history",
+        "one user-key exchange reused by both windows and the aggregate",
+    ),
+    (
+        "doc_length_quartile_assignment",
+        "scalar threshold aggregate broadcast; no global sort anywhere",
+    ),
 ]
 
 
