@@ -240,3 +240,59 @@ GROUP BY event_type ORDER BY event_type
         tags=("extension", "source", "schema-evolution"),
     )
 )
+
+
+def _paged_api_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scan through the custom Python DataSource (Spark 4 API): the
+    count-then-page planner schedules one task per 2000-key page — the
+    reference's sequential pagination loop, parallelized by the
+    scheduler. The aggregate proves both content fidelity (vs the
+    parquet oracle) and the page plan itself (n_pages per type)."""
+    from ..sources.paged_api import SOURCE_NAME, make_paged_events_source
+
+    spark.dataSource.register(make_paged_events_source())
+    src = (
+        spark.read.format(SOURCE_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("pageSize", "2000")
+        .load()
+        .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
+    )
+    return (
+        src.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("page_id").cast("long").alias("n_pages"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+                "last_ts"
+            ),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "paged_api_source_agg",
+        _paged_api_source_agg,
+        """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id // 2000) AS BIGINT) AS n_pages,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS last_ts
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="custom Python DataSource (Spark 4 datasource API) "
+        "reproducing the reference's count-then-page ArcGIS scan "
+        "(violation_etl_history.py:73-124): footer-stats count probe, "
+        "one InputPartition per 2000-key page, Arrow-batched page "
+        "reads — pages fetched as parallel tasks, not a sequential "
+        "Python loop",
+        tags=("extension", "source", "python-datasource"),
+    )
+)

@@ -1,0 +1,123 @@
+"""Custom Python DataSource (Spark 4 API): the reference's paginated
+count-then-page API scan as a REAL Spark source.
+
+The reference fetches ArcGIS features with a row-count probe followed by
+``resultOffset``/``resultRecordCount`` pages of 2000, sequentially in
+one Python process (reference etl/full_load/violation_etl_history.py:
+73-124, CHUNK at :41). This source reproduces that protocol inside
+Spark's source API instead:
+
+- ``partitions()`` is the count-then-page planner: one ``InputPartition``
+  per page of the key domain (offset pagination ~ key-range pages) — so
+  Spark schedules every page fetch as a parallel task instead of the
+  reference's sequential loop;
+- ``read(partition)`` "fetches" one page — here by slicing the parquet
+  fixture by key range via pyarrow (deterministic stand-in for the HTTP
+  GET; a live connector would issue the request and parse JSON right
+  here, per task, with per-page fault isolation exactly like the
+  reference's try/except-per-day);
+- rows are yielded as Arrow batches, so the Python→JVM hop is columnar.
+
+Everything is defined inside a factory function so cloudpickle ships the
+classes BY VALUE — executors of a caller-supplied vanilla session don't
+have this package on their PYTHONPATH (same pattern as the stateful
+sessionizer, streaming/stateful.py).
+"""
+
+from __future__ import annotations
+
+SOURCE_NAME = "paged_events_api"
+DEFAULT_PAGE_SIZE = 2000
+
+
+def make_paged_events_source():
+    """Build (by value) the DataSource class for registration via
+    ``spark.dataSource.register``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceReader,
+        InputPartition,
+    )
+
+    source_name = SOURCE_NAME
+    default_page_size = DEFAULT_PAGE_SIZE
+
+    class _PagePartition(InputPartition):
+        def __init__(self, lo: int, hi: int, page_id: int):
+            self.lo, self.hi, self.page_id = lo, hi, page_id
+
+    class _PagedEventsReader(DataSourceReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.page_size = int(
+                options.get("pageSize", str(default_page_size))
+            )
+
+        def partitions(self):
+            # count probe (the reference's returnCountOnly request):
+            # parquet footer statistics give max(event_id) without a
+            # data scan
+            import pyarrow.parquet as pq
+
+            md = pq.ParquetFile(self.path).metadata
+            max_id = 0
+            for rg in range(md.num_row_groups):
+                col = md.row_group(rg).column(0)  # event_id is column 0
+                if col.statistics is not None and col.statistics.has_min_max:
+                    max_id = max(max_id, int(col.statistics.max))
+            n_pages = max_id // self.page_size + 1
+            return [
+                _PagePartition(
+                    i * self.page_size, (i + 1) * self.page_size, i
+                )
+                for i in range(n_pages)
+            ]
+
+        def read(self, partition):
+            # one "page fetch" per task: key-range slice of the fixture
+            # (a live connector performs the HTTP GET + JSON parse here)
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(
+                self.path,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+                filters=[
+                    ("event_id", ">=", partition.lo),
+                    ("event_id", "<", partition.hi),
+                ],
+            )
+            out = pa.table(
+                {
+                    "event_id": t["event_id"],
+                    # epoch micros keeps the Arrow schema engine-neutral
+                    # (timestamp tz-ness is normalized by the consumer)
+                    "ts_us": pc.cast(
+                        pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                    ),
+                    "user_id": t["user_id"],
+                    "event_type": t["event_type"],
+                    "value": t["value"],
+                    "page_id": pa.array(
+                        [partition.page_id] * len(t), pa.int64()
+                    ),
+                }
+            )
+            yield from out.to_batches()
+
+    class PagedEventsDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return source_name
+
+        def schema(self):
+            return (
+                "event_id long, ts_us long, user_id long, "
+                "event_type string, value double, page_id long"
+            )
+
+        def reader(self, schema):
+            return _PagedEventsReader(self.options)
+
+    return PagedEventsDataSource
