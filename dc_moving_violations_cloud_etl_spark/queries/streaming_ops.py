@@ -237,3 +237,28 @@ GROUP BY e.user_id ORDER BY e.user_id
         tags=("streaming", "join"),
     )
 )
+
+
+from ..streaming.source import custom_source_ingest_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_custom_source_ingest",
+        custom_source_ingest_streaming,
+        """
+SELECT strftime(date_trunc('month', ts), '%Y-%m') AS event_month,
+       count(*) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY 1 ORDER BY 1
+""",
+        doc="custom Python STREAMING DataSource (Spark 4 API): the "
+        "reference's MAX(date) high-watermark loop as engine-managed "
+        "stream offsets (initialOffset = cold start, read() advances "
+        "the day cursor ~1/3 of the range per micro-batch, "
+        "readBetweenOffsets replays committed ranges); drained via "
+        "processAllAvailable, complete-mode monthly rollup is "
+        "slicing-independent hence fully oracle-checked",
+        tags=("streaming", "source", "python-datasource"),
+    )
+)

@@ -142,3 +142,44 @@ def test_count_then_page_plan_end_to_end(spark):
     # degenerate counts
     assert plan_pages(spark, 0, page_size).count() == 0
     assert plan_pages(spark, page_size, page_size).count() == 1
+
+
+class TestDailyIngestStreamSource:
+    """Offset protocol of the custom Python streaming source
+    (streaming/source.py) — exercised directly, no streaming query."""
+
+    def _reader(self, sf_dir):
+        from dc_moving_violations_cloud_etl_spark.streaming.source import (
+            make_daily_ingest_source,
+        )
+
+        cls = make_daily_ingest_source()
+        ds = cls(options={"path": f"{sf_dir}/events.parquet"})
+        return ds.simpleStreamReader("ignored")
+
+    def test_offsets_advance_to_exhaustion_in_multiple_batches(self, sf_dir):
+        r = self._reader(sf_dir)
+        off = r.initialOffset()
+        assert off == {"day_idx": 0}
+        batches = 0
+        total = 0
+        while True:
+            rows, nxt = r.read(off)
+            n = sum(1 for _ in rows)
+            if nxt == off:
+                assert n == 0
+                break
+            total += n
+            batches += 1
+            off = nxt
+            assert batches < 100, "offsets must reach exhaustion"
+        assert batches >= 2, "drain must span multiple micro-batches"
+        assert total > 0
+
+    def test_replay_committed_range_is_deterministic(self, sf_dir):
+        r = self._reader(sf_dir)
+        start = r.initialOffset()
+        rows1, end = r.read(start)
+        first = sorted(rows1)
+        replay = sorted(r.readBetweenOffsets(start, end))
+        assert replay == first, "readBetweenOffsets must replay exactly"
