@@ -250,6 +250,10 @@ def _paged_api_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     parquet oracle) and the page plan itself (n_pages per type)."""
     from ..sources.paged_api import SOURCE_NAME, make_paged_events_source
 
+    # runtime-settable; required once a reader implements pushFilters
+    # (engine must work in ANY caller-supplied session, so set it here,
+    # not only in our own session factory)
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(make_paged_events_source())
     src = (
         spark.read.format(SOURCE_NAME)
@@ -294,5 +298,56 @@ GROUP BY event_type ORDER BY event_type
         "reads — pages fetched as parallel tasks, not a sequential "
         "Python loop",
         tags=("extension", "source", "python-datasource"),
+    )
+)
+
+
+def _paged_api_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same custom source, with an equality predicate ABSORBED by
+    ``pushFilters`` — the filter runs inside the per-page fetch (the
+    reference's server-side ``where=`` parameter, A2/O1), so non-error
+    rows never cross the Python→JVM boundary."""
+    from ..sources.paged_api import SOURCE_NAME, make_paged_events_source
+
+    spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
+    spark.dataSource.register(make_paged_events_source())
+    src = (
+        spark.read.format(SOURCE_NAME)
+        .option("path", f"{sf_dir}/events.parquet")
+        .option("pageSize", "2000")
+        .load()
+        .where(F.col("event_type") == "error")
+    )
+    return (
+        src.groupBy(F.col("event_type"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.countDistinct("user_id").cast("long").alias("n_users"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "paged_api_pushdown_agg",
+        _paged_api_pushdown,
+        """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS n_users,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+WHERE event_type = 'error'
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="pushFilters predicate pushdown INTO the custom Python "
+        "source: the event_type equality is absorbed by the reader and "
+        "evaluated inside the page fetch (the reference's server-side "
+        "where= parameter, violation_etl_daily.py:168)",
+        tags=("extension", "source", "pushdown"),
     )
 )

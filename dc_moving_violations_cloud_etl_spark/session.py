@@ -60,6 +60,7 @@ def get_spark(
         # small cached tables are scanned at shuffle.partitions granularity
         .config("spark.sql.optimizer.canChangeCachedPlanOutputPartitioning", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.python.filterPushdown.enabled", "true")
         # the events fixture stores TIMESTAMP(NANOS) which Spark's parquet
         # reader rejects; read as long and normalize in catalog.base()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -46,12 +46,34 @@ def make_paged_events_source():
         def __init__(self, lo: int, hi: int, page_id: int):
             self.lo, self.hi, self.page_id = lo, hi, page_id
 
+    from pyspark.sql.datasource import EqualTo
+
     class _PagedEventsReader(DataSourceReader):
         def __init__(self, options):
             self.path = options["path"]
             self.page_size = int(
                 options.get("pageSize", str(default_page_size))
             )
+            self.pushed_eq: list = []  # (column, value) handled source-side
+
+        def pushFilters(self, filters):
+            """SERVER-SIDE predicate pushdown — the Spark-native form of
+            the reference's ``where=ISSUE_DATE >= .. AND < ..`` request
+            parameter (reference violation_etl_daily.py:168, SURVEY.md
+            §2.A2/O1): equality filters on scalar columns are absorbed
+            into the page fetch itself (a live connector splices them
+            into the API query string); everything else stays with
+            Spark. Per the contract, absorbed filters are NOT yielded
+            back."""
+            for f in filters:
+                if (
+                    isinstance(f, EqualTo)
+                    and len(f.attribute) == 1
+                    and isinstance(f.value, (str, int, float))
+                ):
+                    self.pushed_eq.append((f.attribute[0], f.value))
+                else:
+                    yield f
 
         def partitions(self):
             # count probe (the reference's returnCountOnly request):
@@ -86,6 +108,9 @@ def make_paged_events_source():
                 filters=[
                     ("event_id", ">=", partition.lo),
                     ("event_id", "<", partition.hi),
+                    # filters absorbed by pushFilters — evaluated inside
+                    # the "page fetch", before any row reaches Spark
+                    *[("%s" % c, "=", v) for c, v in self.pushed_eq],
                 ],
             )
             out = pa.table(

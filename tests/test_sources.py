@@ -183,3 +183,40 @@ class TestDailyIngestStreamSource:
         first = sorted(rows1)
         replay = sorted(r.readBetweenOffsets(start, end))
         assert replay == first, "readBetweenOffsets must replay exactly"
+
+
+class TestPagedApiPushdown:
+    """pushFilters contract of the custom batch source
+    (sources/paged_api.py): equality filters absorbed, others yielded
+    back for Spark-side evaluation."""
+
+    def _reader(self, sf_dir):
+        from dc_moving_violations_cloud_etl_spark.sources.paged_api import (
+            make_paged_events_source,
+        )
+
+        ds = make_paged_events_source()(
+            options={"path": f"{sf_dir}/events.parquet"}
+        )
+        return ds.reader("ignored")
+
+    def test_equality_absorbed_others_returned(self, sf_dir):
+        from pyspark.sql.datasource import EqualTo, GreaterThan
+
+        r = self._reader(sf_dir)
+        eq = EqualTo(("event_type",), "error")
+        gt = GreaterThan(("value",), 1.0)
+        remaining = list(r.pushFilters([eq, gt]))
+        assert remaining == [gt], "only the equality may be absorbed"
+        assert r.pushed_eq == [("event_type", "error")]
+
+    def test_pushed_filter_reduces_page_rows(self, sf_dir):
+        from pyspark.sql.datasource import EqualTo
+
+        r_all = self._reader(sf_dir)
+        r_push = self._reader(sf_dir)
+        list(r_push.pushFilters([EqualTo(("event_type",), "error")]))
+        part = r_all.partitions()[0]
+        n_all = sum(b.num_rows for b in r_all.read(part))
+        n_err = sum(b.num_rows for b in r_push.read(part))
+        assert 0 < n_err < n_all, "filter must act inside the page fetch"
