@@ -524,31 +524,54 @@ def dedup_components(documents: DataFrame, max_iter: int = 30) -> DataFrame:
     over doc ids), so the jump join is total.
     """
     edges = minhash_band_star_edges(documents)
+    labels = components_from_edges(
+        edges.select(F.col("doc_id").alias("a"), F.col("root").alias("b")),
+        max_iter=max_iter,
+    )
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("node").alias("max_doc_id"),
+        )
+        .orderBy("component_id")
+    )
+
+
+def components_from_edges(edges: DataFrame, max_iter: int = 30) -> DataFrame:
+    """Connected components of an undirected edge list ``(a, b)`` →
+    ``(node, label)`` with label = the component's minimum node id.
+
+    The iteration core of ``dedup_components`` (hook + pointer-jump
+    rounds, see that docstring), factored over a generic edge list so
+    the algorithm is property-testable against a reference union-find
+    (tests/test_components_property.py) independent of the MinHash
+    candidate generation. Isolated nodes (absent from ``edges``) are
+    out of scope — callers' edge lists define the node universe."""
     sym = persist_tracked(
-        edges.select(F.col("doc_id").alias("a"), F.col("root").alias("b"))
-        .unionByName(
-            edges.select(F.col("root").alias("a"), F.col("doc_id").alias("b"))
+        edges.select(F.col("a"), F.col("b")).unionByName(
+            edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
         )
     )
     labels = (
-        sym.select(F.col("a").alias("doc_id"))
+        sym.select(F.col("a").alias("node"))
         .distinct()
-        .withColumn("label", F.col("doc_id"))
+        .withColumn("label", F.col("node"))
         .localCheckpoint()
     )
     prev_sum = None
     for _ in range(max_iter):
-        # hook: pull the min label across star edges
+        # hook: pull the min label across edges
         pulled = (
-            sym.join(labels, sym.a == labels.doc_id)
-            .groupBy(F.col("b").alias("doc_id"))
+            sym.join(labels, sym.a == labels.node)
+            .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_min"))
         )
         hooked = (
             labels.alias("l")
-            .join(pulled.alias("p"), "doc_id", "left")
+            .join(pulled.alias("p"), "node", "left")
             .select(
-                "doc_id",
+                "node",
                 F.least(
                     F.col("l.label"),
                     F.coalesce(F.col("p.nbr_min"), F.col("l.label")),
@@ -559,12 +582,12 @@ def dedup_components(documents: DataFrame, max_iter: int = 30) -> DataFrame:
         # shortcut (pointer jump): label := label's label — doubles the
         # hop distance covered per round
         lut = hooked.select(
-            F.col("doc_id").alias("lut_id"), F.col("label").alias("lut_label")
+            F.col("node").alias("lut_id"), F.col("label").alias("lut_label")
         )
         labels = (
             hooked.join(lut, hooked.label == lut.lut_id, "left")
             .select(
-                "doc_id",
+                "node",
                 F.coalesce(F.col("lut_label"), F.col("label")).alias("label"),
             )
             .localCheckpoint()
@@ -573,11 +596,4 @@ def dedup_components(documents: DataFrame, max_iter: int = 30) -> DataFrame:
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
-    return (
-        labels.groupBy(F.col("label").alias("component_id"))
-        .agg(
-            F.count(F.lit(1)).alias("n_members"),
-            F.max("doc_id").alias("max_doc_id"),
-        )
-        .orderBy("component_id")
-    )
+    return labels
