@@ -54,6 +54,7 @@ def _load_all() -> None:
         "warehouse_ops",
         "source_ops",
         "relational_ops",
+        "modern_sql",
         "streaming_ops",
         "sql_text",
     ):
