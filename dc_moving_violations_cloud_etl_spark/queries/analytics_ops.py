@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import catalog
+from ..oracle import with_ref_views
 from .registry import QuerySpec, register
 
 
@@ -379,5 +380,117 @@ GROUP BY 1 ORDER BY 1
         "one aggregate pass; oracle recomputes the assignment "
         "arithmetic explicitly",
         tags=("extension", "temporal", "hopping-window"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# geo hotspot binning over the violations lat/lon surface
+# ---------------------------------------------------------------------------
+
+GEO_TOPK = 10
+
+
+def _geo_hotspots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid-cell hotspot detection on the fact table's coordinates
+    (reference stores latitude/longitude per violation,
+    violation_etl_history.py:116-117, and never aggregates them): bin
+    to ~100 m integer cells, count per cell, rank the top 10. The
+    binning is two floor() projections fused into the scan; the top-k
+    is TakeOrderedAndProject over the (bounded) cell aggregate. Both
+    engines evaluate the identical IEEE double expressions, so the
+    cells hash-match exactly."""
+    v = catalog.violations(spark, sf_dir)
+    cells = (
+        v.where(F.col("latitude").isNotNull() & F.col("longitude").isNotNull())
+        .groupBy(
+            F.floor(F.col("latitude") * 1000).cast("long").alias("cell_lat"),
+            F.floor(F.col("longitude") * 1000).cast("long").alias("cell_lon"),
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.sum(F.col("fine_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("fine_total"),
+        )
+    )
+    return cells.orderBy(
+        F.desc("n_violations"), "cell_lat", "cell_lon"
+    ).limit(GEO_TOPK)
+
+
+register(
+    QuerySpec(
+        "geo_cell_hotspots",
+        _geo_hotspots,
+        with_ref_views(f"""
+SELECT CAST(floor(latitude * 1000) AS BIGINT) AS cell_lat,
+       CAST(floor(longitude * 1000) AS BIGINT) AS cell_lon,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS fine_total
+FROM violations
+WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+GROUP BY 1, 2
+ORDER BY n_violations DESC, cell_lat, cell_lon
+LIMIT {GEO_TOPK}
+"""),
+        doc="geo hotspot binning: ~100m integer grid cells over the "
+        "fact table's lat/lon, per-cell counts + exact fine totals, "
+        "deterministic top-10 (TakeOrderedAndProject)",
+        tags=("extension", "geo", "topk"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# month-over-month growth (lag over the monthly aggregate)
+# ---------------------------------------------------------------------------
+
+
+def _mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month ticket growth: lag() over the (tiny) monthly
+    aggregate — the time-series derivative the reference's Qa/Qe
+    monthly reports stop short of. The window input is |months| rows;
+    the fact table is touched once by the grouped count."""
+    v = catalog.violations(spark, sf_dir)
+    monthly = v.groupBy("month").agg(
+        F.count(F.lit(1)).cast("long").alias("n_tickets")
+    )
+    w = Window.orderBy("month")
+    return (
+        monthly.withColumn("prev_n", F.lag("n_tickets").over(w))
+        .select(
+            "month",
+            "n_tickets",
+            F.round(
+                (F.col("n_tickets") - F.col("prev_n"))
+                / F.col("prev_n").cast("double"),
+                6,
+            ).alias("mom_growth"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    QuerySpec(
+        "monthly_ticket_growth",
+        _mom_growth,
+        with_ref_views("""
+, monthly AS (
+  SELECT month, CAST(count(*) AS BIGINT) AS n_tickets
+  FROM violations GROUP BY month
+)
+SELECT month, n_tickets,
+       round((n_tickets - lag(n_tickets) OVER (ORDER BY month))
+             / CAST(lag(n_tickets) OVER (ORDER BY month) AS DOUBLE), 6)
+         AS mom_growth
+FROM monthly ORDER BY month
+"""),
+        doc="month-over-month growth via lag() over the pre-aggregated "
+        "monthly series (window input = |months| rows, never the fact "
+        "table)",
+        tags=("extension", "analytics", "timeseries"),
     )
 )
