@@ -107,10 +107,52 @@ def cmd_daily_load(args) -> int:
     n_after = merged.count()
     if n_after != n_before:
         write_partitioned(merged, f"{args.warehouse}/violations", "month")
+
+    # weather twin (reference weather_etl_daily.lambda_handler):
+    # last-writer-wins upsert keyed on weather_date
+    from .operators.sinks import upsert_last_writer_wins
+
+    w_src = catalog.weather_daily(spark, args.sf_dir)
+    try:
+        w_existing = spark.read.parquet(f"{args.warehouse}/weather_daily")
+    except Exception:
+        w_existing = w_src.limit(0)
+    w_before = w_existing.count()
+    w_merged = upsert_last_writer_wins(w_existing, w_src, ["weather_date"])
+    w_after = w_merged.count()
+    if w_after != w_before:
+        # two-phase rewrite: the merge reads the current table, so the
+        # new version lands in a scratch dir first (overwriting a path
+        # that is also an input is rejected by Spark)
+        import shutil
+
+        w_merged.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.warehouse}/weather_daily_next"
+        )
+        next_df = spark.read.parquet(f"{args.warehouse}/weather_daily_next")
+        next_df.coalesce(1).write.mode("overwrite").parquet(
+            f"{args.warehouse}/weather_daily"
+        )
+        shutil.rmtree(
+            f"{args.warehouse}/weather_daily_next", ignore_errors=True
+        )
+
     print(
         f"daily-load complete: watermark_before={wm_before} "
-        f"as_of={today} inserted={n_after - n_before} total={n_after}"
+        f"as_of={today} inserted={n_after - n_before} total={n_after} "
+        f"weather_upserted={w_after - w_before}"
     )
+    return 0
+
+
+def cmd_stream_ingest(args) -> int:
+    """The daily ingest as Structured Streaming over the custom Python
+    streaming source (engine-managed offsets; streaming/source.py) —
+    the streaming form of ``daily-load``."""
+    from .streaming.source import custom_source_ingest_streaming
+
+    spark = _spark()
+    _show(custom_source_ingest_streaming(spark, args.sf_dir), args.rows)
     return 0
 
 
@@ -200,6 +242,10 @@ def main(argv: list[str] | None = None) -> int:
         help="treat this ISO date as 'today' (default: source max + 1)",
     )
     sp.set_defaults(fn=cmd_daily_load)
+
+    sp = sub.add_parser("stream-ingest", help=cmd_stream_ingest.__doc__)
+    common(sp)
+    sp.set_defaults(fn=cmd_stream_ingest)
 
     sp = sub.add_parser("analyze", help=cmd_analyze.__doc__)
     common(sp)
