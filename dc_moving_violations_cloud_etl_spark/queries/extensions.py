@@ -1127,3 +1127,96 @@ FROM comp GROUP BY component_id ORDER BY component_id
         tags=("extension", "dedup", "iterative"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# semantic dup clusters: embedding LSH pairs -> connected components
+# ---------------------------------------------------------------------------
+
+
+def _embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic (embedding-space) dup CLUSTERS: the verified hyperplane-
+    LSH near-dup pairs become an edge list, and the generic distributed
+    components operator (hook + pointer-jump, operators/dedup.py::
+    components_from_edges) finds the transitive clusters — the
+    embedding-space analog of the MinHash `dedup_components`, composed
+    from two independently-verified operators. Oracle recomputes the
+    same pairs in SQL and closes them with a RECURSIVE CTE."""
+    pairs = dedup.embedding_cosine_pairs(_emb(spark, sf_dir)).select(
+        F.col("a_vec_id").alias("a"), F.col("b_vec_id").alias("b")
+    )
+    labels = dedup.components_from_edges(pairs)
+    return (
+        labels.groupBy(F.col("label").alias("component_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.max("node").cast("long").alias("max_vec_id"),
+        )
+        .orderBy("component_id")
+    )
+
+
+register(
+    QuerySpec(
+        "embedding_dup_components",
+        _embedding_components,
+        """
+WITH RECURSIVE corpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+normed AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)),
+              i -> e[i] * e[i]))) AS nrm
+  FROM corpus
+),
+planes AS (
+  SELECT vec_id AS plane_id, e AS pe FROM corpus WHERE vec_id BETWEEN 1 AND 32
+),
+bits AS (
+  SELECT n.vec_id, p.plane_id,
+         CASE WHEN list_sum(list_transform(generate_series(1, len(n.e)),
+                   i -> n.e[i] * p.pe[i])) > 0 THEN 1 ELSE 0 END AS bit
+  FROM normed n, planes p
+),
+bands AS (
+  SELECT vec_id, CAST((plane_id - 1) // 8 AS INTEGER) AS band_idx,
+         CAST(sum(bit * CAST(pow(2, (plane_id - 1) % 8) AS BIGINT)) AS INTEGER)
+           AS band_sig
+  FROM bits GROUP BY 1, 2
+),
+cand AS (
+  SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
+  FROM bands a JOIN bands b
+    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
+   AND a.vec_id < b.vec_id
+),
+edges AS (
+  SELECT a_vec_id AS a, b_vec_id AS b FROM (
+    SELECT c.a_vec_id, c.b_vec_id,
+           round(list_sum(list_transform(generate_series(1, len(na.e)),
+                 i -> na.e[i] * nb.e[i])) / (na.nrm * nb.nrm), 6) AS cos_sim
+    FROM cand c
+    JOIN normed na ON na.vec_id = c.a_vec_id
+    JOIN normed nb ON nb.vec_id = c.b_vec_id
+  )
+  WHERE cos_sim >= 0.4
+),
+sym AS (SELECT a, b FROM edges UNION SELECT b AS a, a AS b FROM edges),
+reach AS (
+  SELECT a AS x, a AS y FROM (SELECT DISTINCT a FROM sym)
+  UNION
+  SELECT r.x, e.b AS y FROM reach r JOIN sym e ON r.y = e.a
+),
+comp AS (SELECT x AS node, min(y) AS component_id FROM reach GROUP BY x)
+SELECT component_id,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(max(node) AS BIGINT) AS max_vec_id
+FROM comp GROUP BY component_id ORDER BY component_id
+""",
+        doc="semantic dup clusters: hyperplane-LSH verified pairs closed "
+        "into transitive components by the distributed hook+pointer-jump "
+        "operator; oracle = SQL pair recompute + RECURSIVE CTE closure",
+        tags=("extension", "dedup", "embedding", "iterative"),
+    )
+)
