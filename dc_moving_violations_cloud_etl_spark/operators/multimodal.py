@@ -153,3 +153,43 @@ def decode_real(documents: DataFrame) -> DataFrame:
         "container; decode_metadata() exercises the identical Spark "
         "plumbing with a deterministic fake"
     )
+
+
+def decode_metadata_arrow(documents: DataFrame) -> DataFrame:
+    """``mapInArrow`` twin of ``decode_metadata``: the batch function
+    receives/returns ``pyarrow.RecordBatch`` directly — no Arrow→pandas
+    materialization at all, the leanest Python hop Spark offers. For
+    wide binary payloads this skips a full copy per batch relative to
+    mapInPandas; the pixel math stays the deterministic fake.
+
+    Nested fn: cloudpickle ships it by value (no PYTHONPATH needed on
+    workers)."""
+
+    def decode_batches(batches):
+        import pyarrow as pa
+
+        for rb in batches:
+            payloads = rb.column("payload").to_pylist()
+            yield pa.RecordBatch.from_pydict(
+                {
+                    "doc_id": rb.column("doc_id"),
+                    "byte_len": pa.array(
+                        [len(b) for b in payloads], pa.int32()
+                    ),
+                    "width": pa.array([b[0] for b in payloads], pa.int32()),
+                    "height": pa.array([b[1] for b in payloads], pa.int32()),
+                    "channels": pa.array(
+                        [1 + b[2] % 3 for b in payloads], pa.int32()
+                    ),
+                    "mean_byte": pa.array(
+                        [sum(b) / float(len(b)) for b in payloads],
+                        pa.float64(),
+                    ),
+                }
+            )
+
+    return (
+        with_payload(documents)
+        .mapInArrow(decode_batches, schema=DECODED_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -1220,3 +1220,37 @@ FROM comp GROUP BY component_id ORDER BY component_id
         tags=("extension", "dedup", "embedding", "iterative"),
     )
 )
+
+
+register(
+    QuerySpec(
+        "multimodal_decode_arrow",
+        lambda spark, sf_dir: multimodal.decode_metadata_arrow(
+            _docs(spark, sf_dir)
+        ),
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+)
+SELECT doc_id,
+       16 AS byte_len,
+       bytes[1] AS width,
+       bytes[2] AS height,
+       1 + bytes[3] % 3 AS channels,
+       CAST(list_sum(bytes) AS DOUBLE) / 16.0 AS mean_byte
+FROM b ORDER BY doc_id
+""",
+        doc="mapInArrow twin of the multimodal decode: RecordBatch in / "
+        "RecordBatch out, no Arrow->pandas materialization — the "
+        "leanest Python hop for binary payload processing",
+        tags=("extension", "multimodal", "arrow"),
+    )
+)
