@@ -274,3 +274,143 @@ register(
         tags=("extension", "curation"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# behavioral entropy audit (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _user_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of each user's event-type distribution, then the
+    corpus-level entropy histogram (rounded to 2 bits-decimals) — the
+    behavioral-diversity audit a curation pipeline uses to separate
+    bots (near-zero entropy) from organic traffic. Two bounded
+    aggregates: (user, type) counts → per-user entropy → histogram;
+    nothing ever exceeds |users| × |types| rows after the first pass."""
+    ev = catalog.base(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = per.groupBy("user_id").agg(F.sum("c").alias("t"))
+    ent = (
+        per.join(tot, "user_id")
+        .groupBy("user_id")
+        .agg(
+            F.round(
+                -F.sum(
+                    (F.col("c") / F.col("t"))
+                    * F.log2(F.col("c") / F.col("t"))
+                ),
+                2,
+            ).alias("entropy_bits")
+        )
+    )
+    return (
+        ent.groupBy("entropy_bits")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .orderBy("entropy_bits")
+    )
+
+
+register(
+    QuerySpec(
+        "user_entropy_histogram",
+        _user_entropy,
+        """
+WITH per AS (
+  SELECT user_id, event_type, count(*) AS c
+  FROM events GROUP BY 1, 2
+),
+tot AS (SELECT user_id, sum(c) AS t FROM per GROUP BY 1),
+ent AS (
+  SELECT p.user_id,
+         round(-sum((CAST(p.c AS DOUBLE) / t.t)
+                    * log2(CAST(p.c AS DOUBLE) / t.t)), 2) AS entropy_bits
+  FROM per p JOIN tot t USING (user_id)
+  GROUP BY p.user_id
+)
+SELECT entropy_bits, CAST(count(*) AS BIGINT) AS n_users
+FROM ent GROUP BY entropy_bits ORDER BY entropy_bits
+""",
+        doc="behavioral-diversity audit: per-user Shannon entropy of the "
+        "event-type distribution, rolled into a corpus histogram "
+        "(bot-vs-organic separation signal)",
+        tags=("extension", "quality", "entropy"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Zipf slope of the corpus vocabulary (round 3)
+# ---------------------------------------------------------------------------
+
+ZIPF_TOP_N = 200
+
+
+def _zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Least-squares slope of log(freq) vs log(rank) over the top-200
+    vocabulary — natural corpora sit near -1 (Zipf's law); synthetic or
+    templated text departs sharply, making the slope a one-number
+    corpus-health metric. The regression runs as closed-form aggregates
+    (sum x, y, xy, x²) over the 200-row ranked vocab — the fact-table
+    work is one token count."""
+    docs = catalog.base(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    counts = (
+        docs.select(F.explode(F.split(norm, " ")).alias("t"))
+        .where(F.length("t") >= 1)
+        .groupBy("t")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    w = Window.orderBy(F.desc("c"), F.asc("t"))
+    top = counts.withColumn("rank", F.row_number().over(w)).where(
+        F.col("rank") <= ZIPF_TOP_N
+    )
+    xy = top.select(
+        F.log(F.col("rank").cast("double")).alias("x"),
+        F.log(F.col("c").cast("double")).alias("y"),
+    )
+    n = F.count(F.lit(1)).cast("double")
+    slope = (n * F.sum(F.col("x") * F.col("y")) - F.sum("x") * F.sum("y")) / (
+        n * F.sum(F.col("x") * F.col("x")) - F.sum("x") * F.sum("x")
+    )
+    return xy.agg(
+        F.count(F.lit(1)).cast("long").alias("n_terms"),
+        F.round(slope, 6).alias("zipf_slope"),
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_zipf_slope",
+        _zipf_slope,
+        f"""
+WITH counts AS (
+  SELECT t, count(*) AS c FROM (
+    SELECT unnest(string_split(
+             lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS t
+    FROM documents
+  ) WHERE length(t) >= 1
+  GROUP BY t
+),
+top AS (
+  SELECT * FROM (
+    SELECT t, c, row_number() OVER (ORDER BY c DESC, t ASC) AS rank
+    FROM counts
+  ) WHERE rank <= {ZIPF_TOP_N}
+),
+xy AS (
+  SELECT ln(CAST(rank AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top
+)
+SELECT CAST(count(*) AS BIGINT) AS n_terms,
+       round((count(*) * sum(x * y) - sum(x) * sum(y))
+             / (count(*) * sum(x * x) - sum(x) * sum(x)), 6) AS zipf_slope
+FROM xy
+""",
+        doc="corpus-health metric: closed-form least-squares slope of "
+        "log(freq) vs log(rank) over the top-200 vocabulary (Zipf "
+        "deviation detector); regression over a 200-row aggregate",
+        tags=("extension", "quality", "zipf"),
+    )
+)
