@@ -494,3 +494,73 @@ FROM monthly ORDER BY month
         tags=("extension", "analytics", "timeseries"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# DAU / WAU stickiness (exact trailing-window distinct users)
+# ---------------------------------------------------------------------------
+
+
+def _dau_wau(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-analytics stickiness: daily actives and EXACT trailing-
+    7-day actives per day, via a bounded range join of the distinct
+    (day, user) table to the day spine — |days|×|users| worst case,
+    never the fact table; countDistinct dedupes users across the
+    window. (Approximate at 100 TB would swap in HLL sketch merge; the
+    exact form is the oracle-checkable baseline.)"""
+    ev = catalog.base(spark, sf_dir, "events")
+    day_user = ev.select(
+        F.to_date("ts").alias("d"), "user_id"
+    ).distinct()
+    days = day_user.select("d").distinct()
+    trailing = day_user.alias("a").join(
+        days.alias("s"),
+        (F.col("a.d") <= F.col("s.d"))
+        & (F.col("a.d") >= F.date_sub(F.col("s.d"), 6)),
+    )
+    wau = trailing.groupBy(F.col("s.d").alias("d")).agg(
+        F.countDistinct("a.user_id").cast("long").alias("wau")
+    )
+    dau = day_user.groupBy("d").agg(
+        F.countDistinct("user_id").cast("long").alias("dau")
+    )
+    return (
+        dau.join(wau, "d")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("event_day"),
+            "dau",
+            "wau",
+            F.round(F.col("dau") / F.col("wau"), 6).alias("stickiness"),
+        )
+        .orderBy("event_day")
+    )
+
+
+register(
+    QuerySpec(
+        "dau_wau_stickiness",
+        _dau_wau,
+        """
+WITH day_user AS (
+  SELECT DISTINCT CAST(ts AS DATE) AS d, user_id FROM events
+),
+days AS (SELECT DISTINCT d FROM day_user),
+dau AS (SELECT d, CAST(count(DISTINCT user_id) AS BIGINT) AS dau
+        FROM day_user GROUP BY d),
+wau AS (
+  SELECT s.d, CAST(count(DISTINCT a.user_id) AS BIGINT) AS wau
+  FROM day_user a JOIN days s
+    ON a.d <= s.d AND a.d >= s.d - INTERVAL 6 DAY
+  GROUP BY s.d
+)
+SELECT strftime(dau.d, '%Y-%m-%d') AS event_day, dau.dau, wau.wau,
+       round(CAST(dau.dau AS DOUBLE) / wau.wau, 6) AS stickiness
+FROM dau JOIN wau ON dau.d = wau.d
+ORDER BY event_day
+""",
+        doc="DAU/WAU stickiness with EXACT trailing-7-day distinct "
+        "actives (bounded range join over the distinct (day,user) "
+        "table; HLL-merge is the 100 TB drop-in)",
+        tags=("extension", "analytics", "stickiness"),
+    )
+)

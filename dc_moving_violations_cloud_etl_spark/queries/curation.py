@@ -702,3 +702,88 @@ FROM per_doc GROUP BY lang ORDER BY lang
         tags=("extension", "udtf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# n-gram novelty ratio per document (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document NOVELTY: the fraction of a doc's distinct word
+    5-grams whose FIRST corpus occurrence (min doc_id) is this doc —
+    the incremental-information metric dedup pipelines use to rank
+    near-duplicates for retention (a doc that introduces nothing new
+    scores ~0). One explode + two hash aggregates; the first-seen table
+    is |distinct grams|, joined back on the gram key."""
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    toks = docs.select("doc_id", F.split(norm, " ").alias("w"))
+    grams = (
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, greatest(size(w) - 4, 0)),"
+                    " i -> concat_ws(' ', slice(w, i, 5)))"
+                )
+            ).alias("g"),
+        )
+        .distinct()
+    )
+    first = grams.groupBy("g").agg(F.min("doc_id").alias("first_doc"))
+    per_doc = (
+        grams.join(first, "g")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum((F.col("first_doc") == F.col("doc_id")).cast("long"))
+            .cast("long")
+            .alias("n_novel"),
+        )
+    )
+    return (
+        per_doc.select(
+            "doc_id",
+            "n_grams",
+            "n_novel",
+            F.round(F.col("n_novel") / F.col("n_grams"), 6).alias(
+                "novelty"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "doc_ngram_novelty",
+        _ngram_novelty,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')
+           AS w
+  FROM documents
+),
+grams AS (
+  SELECT DISTINCT doc_id,
+         array_to_string(w[i:i+4], ' ') AS g
+  FROM toks, unnest(generate_series(1, greatest(len(w) - 4, 0))) t(i)
+),
+first AS (SELECT g, min(doc_id) AS first_doc FROM grams GROUP BY g)
+SELECT gr.doc_id,
+       CAST(count(*) AS BIGINT) AS n_grams,
+       CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_novel,
+       round(CAST(sum(CASE WHEN f.first_doc = gr.doc_id THEN 1 ELSE 0 END)
+                  AS DOUBLE) / count(*), 6) AS novelty
+FROM grams gr JOIN first f USING (g)
+GROUP BY gr.doc_id ORDER BY gr.doc_id
+""",
+        doc="per-doc incremental-information score: fraction of distinct "
+        "word 5-grams first seen in this doc (min-doc_id first-seen "
+        "table joined back on the gram key)",
+        tags=("extension", "curation", "novelty"),
+    )
+)
