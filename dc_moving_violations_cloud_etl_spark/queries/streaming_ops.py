@@ -262,3 +262,23 @@ GROUP BY 1 ORDER BY 1
         tags=("streaming", "source", "python-datasource"),
     )
 )
+
+
+from ..streaming.daily import update_mode_counts_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_update_mode_counts",
+        update_mode_counts_streaming,
+        """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="UPDATE output mode under real multi-batch execution "
+        "(two-file staged input, one file per trigger): per-batch "
+        "changed-row emissions reduced by monotone max — completes the "
+        "append/complete/update output-mode matrix",
+        tags=("streaming", "update-mode"),
+    )
+)

@@ -238,3 +238,57 @@ def session_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_start"),
     )
+
+
+def update_mode_counts_streaming(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """UPDATE output mode over real multi-batch execution — the third
+    output mode (append and complete are covered by the other
+    demonstrators). The events fixture is staged as two files (even/odd
+    event_id, reused from the foreachBatch upsert) and read one file
+    per trigger; update mode emits each (event_type) count row EVERY
+    time a batch changes it, so the memory sink accumulates per-batch
+    snapshots. Counts are monotone, so the final table is the per-key
+    MAX over emissions — deterministic regardless of slicing, hence
+    fully oracle-checkable (= the flat per-type counts)."""
+    import hashlib
+    import os
+
+    from pyspark.sql import functions as F
+
+    from .upsert import _stage_split
+
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"upsert:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
+    name = "update_mode_" + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+
+    events = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(_stage_split(spark, path, tag))
+    )
+    agg = events.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events")
+    )
+
+    _run_to_completion(
+        spark,
+        agg.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True),
+    )
+
+    return _drain_memory_sink(
+        spark,
+        name,
+        spark.table(name)
+        .groupBy("event_type")
+        .agg(F.max("n_events").cast("long").alias("n_events"))
+        .orderBy("event_type"),
+    )
