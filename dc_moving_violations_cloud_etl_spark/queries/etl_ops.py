@@ -676,3 +676,80 @@ GROUP BY o.o_orderpriority ORDER BY o.o_orderpriority
         tags=("etl", "join", "skew"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sink-semantics table diff (round 3)
+# ---------------------------------------------------------------------------
+
+
+def _sink_semantics_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-reconciliation operator: key-aligned DIFF of the two merge
+    policies' outputs on the SAME overlapping batches — exactly the
+    audit a migration off the reference would run to quantify where
+    first-writer-wins (INSERT IGNORE) and last-writer-wins (ON
+    DUPLICATE KEY UPDATE) disagree. One equi-join on the PK over the
+    two merged sets; the changed-row count equals the overlap
+    cardinality by construction."""
+    existing, incoming = _split(spark, sf_dir)
+    fww = insert_if_absent(existing, incoming, ["violation_id"]).select(
+        "violation_id", F.col("fine_amount").alias("fww_fine")
+    )
+    lww = upsert_last_writer_wins(
+        existing, incoming, ["violation_id"]
+    ).select("violation_id", F.col("fine_amount").alias("lww_fine"))
+    j = fww.join(lww, "violation_id", "full_outer")
+    changed = ~(
+        F.col("fww_fine").eqNullSafe(F.col("lww_fine"))
+    )
+    return j.agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(changed.cast("long")).cast("long").alias("n_changed"),
+        exact_decimal_sum(F.col("fww_fine")).alias("fww_fine_sum"),
+        exact_decimal_sum(F.col("lww_fine")).alias("lww_fine_sum"),
+    )
+
+
+register(
+    QuerySpec(
+        "sink_semantics_diff",
+        _sink_semantics_diff,
+        with_ref_views(
+            f""",
+{_SPLIT_SQL.strip().lstrip(',')},
+fww AS (
+  SELECT violation_id, fine_amount AS fww_fine FROM (
+    SELECT * FROM existing
+    UNION ALL
+    SELECT i.* FROM incoming i
+    WHERE NOT EXISTS (
+      SELECT 1 FROM existing e WHERE e.violation_id = i.violation_id)
+  )
+),
+lww AS (
+  SELECT violation_id, fine_amount AS lww_fine FROM (
+    SELECT * EXCLUDE (_src_priority) FROM (
+      SELECT * FROM (
+        SELECT *, 1 AS _src_priority FROM existing
+        UNION ALL
+        SELECT *, 2 AS _src_priority FROM incoming
+      ) QUALIFY row_number() OVER (
+          PARTITION BY violation_id ORDER BY _src_priority DESC) = 1
+    )
+  )
+)
+SELECT CAST(count(*) AS BIGINT) AS n_keys,
+       CAST(count(*) FILTER (
+         WHERE fww_fine IS DISTINCT FROM lww_fine) AS BIGINT) AS n_changed,
+       CAST(sum(CAST(fww_fine AS DECIMAL(18,2))) AS DOUBLE) AS fww_fine_sum,
+       CAST(sum(CAST(lww_fine AS DECIMAL(18,2))) AS DOUBLE) AS lww_fine_sum
+FROM fww FULL OUTER JOIN lww USING (violation_id)
+"""
+        ),
+        doc="sink-semantics reconciliation: key-aligned full-outer diff "
+        "of first-writer-wins vs last-writer-wins merges on identical "
+        "overlapping batches (null-safe change detection, exact decimal "
+        "sums)",
+        tags=("etl", "sink", "reconciliation"),
+    )
+)
