@@ -1,0 +1,329 @@
+"""TPC-H-derived analytical pack over the driver's star-schema fixtures
+(the `region nation customer supplier orders lineitem` tables ARE
+reduced TPC-H): Q1, Q3, Q5, Q6 and Q10 adapted to the fixture's columns
+and 1995-2001 date window.
+
+These exercise the multi-way-join side of the engine the reference's
+two-table surface never reaches: Q5 is a six-way star join (Catalyst
+reorders it into broadcast cascades over the small dims), Q3/Q10 are
+join + top-k revenue rankings, Q1/Q6 are the canonical scan-heavy
+aggregations. Revenue math runs in DECIMAL(18,2) on both engines
+(`expressions.exact_decimal_sum` pattern) so double-accumulation order
+can never break the oracle hash.
+
+Scale posture: every query is pure built-ins; the dims broadcast, the
+fact scan carries pushed date/flag predicates, aggregates are
+partial+final hash aggs, top-k is TakeOrderedAndProject.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from .. import catalog
+from .registry import QuerySpec, register
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return catalog.base(spark, sf_dir, name)
+
+
+def _dec(c: str):
+    return F.col(c).cast("decimal(18,2)")
+
+
+# revenue term, exact in both engines: DECIMAL(18,2) product arithmetic
+def _revenue():
+    return _dec("l_extendedprice") * (
+        F.lit("1.00").cast("decimal(18,2)") - _dec("l_discount")
+    )
+
+
+_REV_SQL = (
+    "CAST(l_extendedprice AS DECIMAL(18,2))"
+    " * (CAST('1.00' AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))"
+)
+
+
+# ---------------------------------------------------------------------------
+# Q1: pricing summary report
+# ---------------------------------------------------------------------------
+
+Q1_CUTOFF = "2001-08-06"  # fixture max shipdate - ~90 days
+
+
+def _q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") <= F.lit(Q1_CUTOFF)
+    )
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"),
+            F.sum(_dec("l_extendedprice"))
+            .cast("double")
+            .alias("sum_base_price"),
+            F.sum(_revenue()).cast("double").alias("sum_disc_price"),
+            F.sum(
+                _revenue()
+                * (F.lit("1.00").cast("decimal(18,2)") + _dec("l_tax"))
+            )
+            .cast("double")
+            .alias("sum_charge"),
+            F.count(F.lit(1)).cast("long").alias("count_order"),
+        )
+        .withColumn(
+            "avg_qty", F.round(F.col("sum_qty") / F.col("count_order"), 6)
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q1_pricing_summary",
+        _q1,
+        f"""
+SELECT l_returnflag, l_linestatus,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+         AS sum_base_price,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS sum_disc_price,
+       CAST(sum({_REV_SQL}
+             * (CAST('1.00' AS DECIMAL(18,2))
+                + CAST(l_tax AS DECIMAL(18,2)))) AS DOUBLE) AS sum_charge,
+       CAST(count(*) AS BIGINT) AS count_order,
+       round(CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE)
+             / count(*), 6) AS avg_qty
+FROM lineitem
+WHERE l_shipdate <= DATE '{Q1_CUTOFF}'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+        doc="TPC-H Q1 pricing summary (scan-heavy grouped aggregate; all "
+        "money math in DECIMAL(18,2) so hashes are order-independent)",
+        tags=("extension", "tpch", "aggregation"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q3: shipping-priority revenue ranking
+# ---------------------------------------------------------------------------
+
+Q3_SEGMENT = "BUILDING"
+Q3_DATE = "1998-01-01"
+
+
+def _q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_mktsegment") == Q3_SEGMENT
+    )
+    orders = _t(spark, sf_dir, "orders").where(
+        F.col("o_orderdate") < F.lit(Q3_DATE)
+    )
+    li = _t(spark, sf_dir, "lineitem").where(
+        F.col("l_shipdate") > F.lit(Q3_DATE)
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q3_shipping_priority",
+        _q3,
+        f"""
+SELECT l_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem
+WHERE c_mktsegment = '{Q3_SEGMENT}'
+  AND c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate < DATE '{Q3_DATE}'
+  AND l_shipdate > DATE '{Q3_DATE}'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, l_orderkey
+LIMIT 10
+""",
+        doc="TPC-H Q3 shipping priority (3-way join, revenue top-10 with "
+        "deterministic tiebreak; customer side broadcast)",
+        tags=("extension", "tpch", "join-topk"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q5: local supplier volume (six-way star join)
+# ---------------------------------------------------------------------------
+
+Q5_REGION = "ASIA"
+Q5_START, Q5_END = "1996-01-01", "1997-01-01"
+
+
+def _q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q5_START))
+        & (F.col("o_orderdate") < F.lit(Q5_END))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    supp = _t(spark, sf_dir, "supplier")
+    nation = _t(spark, sf_dir, "nation")
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q5_REGION)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            supp,
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy(F.col("n_name").alias("n_name"))
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q5_local_supplier_volume",
+        _q5,
+        f"""
+SELECT n_name, CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue
+FROM customer, orders, lineitem, supplier, nation, region
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND l_suppkey = s_suppkey
+  AND c_nationkey = s_nationkey
+  AND s_nationkey = n_nationkey
+  AND n_regionkey = r_regionkey
+  AND r_name = '{Q5_REGION}'
+  AND o_orderdate >= DATE '{Q5_START}'
+  AND o_orderdate < DATE '{Q5_END}'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+        doc="TPC-H Q5 local supplier volume: SIX-way star join (Catalyst "
+        "reorders; nation/region broadcast; same-nation customer-"
+        "supplier condition folded into the supplier join)",
+        tags=("extension", "tpch", "multiway-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q6: forecasting revenue change
+# ---------------------------------------------------------------------------
+
+Q6_START, Q6_END = "1996-01-01", "1997-01-01"
+Q6_DISC_LO, Q6_DISC_HI = "0.05", "0.07"
+Q6_QTY = 24
+
+
+def _q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.where(
+        (F.col("l_shipdate") >= F.lit(Q6_START))
+        & (F.col("l_shipdate") < F.lit(Q6_END))
+        & (_dec("l_discount") >= F.lit(Q6_DISC_LO).cast("decimal(18,2)"))
+        & (_dec("l_discount") <= F.lit(Q6_DISC_HI).cast("decimal(18,2)"))
+        & (F.col("l_quantity") < Q6_QTY)
+    ).agg(
+        F.sum(_dec("l_extendedprice") * _dec("l_discount"))
+        .cast("double")
+        .alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q6_forecast_revenue",
+        _q6,
+        f"""
+SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+               * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem
+WHERE l_shipdate >= DATE '{Q6_START}'
+  AND l_shipdate < DATE '{Q6_END}'
+  AND CAST(l_discount AS DECIMAL(18,2))
+        BETWEEN CAST('{Q6_DISC_LO}' AS DECIMAL(18,2))
+            AND CAST('{Q6_DISC_HI}' AS DECIMAL(18,2))
+  AND l_quantity < {Q6_QTY}
+""",
+        doc="TPC-H Q6 forecast revenue (pure pushed-predicate scan + "
+        "single aggregate; discount compared in DECIMAL to avoid double "
+        "boundary ambiguity)",
+        tags=("extension", "tpch", "scan-agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q10: returned-item reporting
+# ---------------------------------------------------------------------------
+
+Q10_START, Q10_END = "1996-01-01", "1996-04-01"
+
+
+def _q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = _t(spark, sf_dir, "customer")
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q10_START))
+        & (F.col("o_orderdate") < F.lit(Q10_END))
+    )
+    li = _t(spark, sf_dir, "lineitem").where(F.col("l_returnflag") == "R")
+    nation = _t(spark, sf_dir, "nation")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+        .groupBy("c_custkey", "c_name", "n_name")
+        .agg(
+            F.sum(_revenue()).cast("double").alias("revenue"),
+            F.max(_dec("c_acctbal")).cast("double").alias("c_acctbal"),
+        )
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q10_returned_items",
+        _q10,
+        f"""
+SELECT c_custkey, c_name, n_name,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(max(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS c_acctbal
+FROM customer, orders, lineitem, nation
+WHERE c_custkey = o_custkey
+  AND l_orderkey = o_orderkey
+  AND o_orderdate >= DATE '{Q10_START}'
+  AND o_orderdate < DATE '{Q10_END}'
+  AND l_returnflag = 'R'
+  AND c_nationkey = n_nationkey
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+        doc="TPC-H Q10 returned items (4-way join, revenue top-20 per "
+        "customer with deterministic tiebreak)",
+        tags=("extension", "tpch", "join-topk"),
+    )
+)
