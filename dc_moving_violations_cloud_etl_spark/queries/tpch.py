@@ -327,3 +327,107 @@ LIMIT 20
         tags=("extension", "tpch", "join-topk"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Q4 (adapted): order-priority checking via correlated EXISTS
+# ---------------------------------------------------------------------------
+
+Q4_START, Q4_END = "1996-07-01", "1996-10-01"
+
+
+def _q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated-EXISTS shape (the fixture lacks commit/receipt dates,
+    so 'late' = any line shipped after the order date): Catalyst
+    decorrelates the subquery into a left-semi join on the order key."""
+    orders = _t(spark, sf_dir, "orders").where(
+        (F.col("o_orderdate") >= F.lit(Q4_START))
+        & (F.col("o_orderdate") < F.lit(Q4_END))
+    )
+    li = _t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    late = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).where(F.col("l_shipdate") > F.col("o_orderdate")).select("l_orderkey")
+    return (
+        orders.join(
+            late, orders.o_orderkey == late.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q4_order_priority",
+        _q4,
+        f"""
+SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+FROM orders o
+WHERE o_orderdate >= DATE '{Q4_START}'
+  AND o_orderdate < DATE '{Q4_END}'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l
+    WHERE l.l_orderkey = o.o_orderkey AND l.l_shipdate > o.o_orderdate
+  )
+GROUP BY o_orderpriority ORDER BY o_orderpriority
+""",
+        doc="TPC-H Q4 (adapted: late = shipped after order date): "
+        "correlated EXISTS decorrelated to a left-semi join on the "
+        "order key",
+        tags=("extension", "tpch", "semi-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q14: promotion-effect revenue share
+# ---------------------------------------------------------------------------
+
+Q14_START, Q14_END = "1996-03-01", "1996-04-01"
+
+
+def _q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q14_START))
+        & (F.col("l_shipdate") < F.lit(Q14_END))
+    )
+    part = _t(spark, sf_dir, "part").select("p_partkey", "p_type")
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    promo = F.when(
+        F.col("p_type").like("PROMO%"), _revenue()
+    ).otherwise(F.lit("0.00").cast("decimal(18,2)"))
+    return j.agg(
+        F.round(
+            F.lit(100.0)
+            * F.sum(promo).cast("double")
+            / F.sum(_revenue()).cast("double"),
+            6,
+        ).alias("promo_revenue_pct"),
+        F.sum(_revenue()).cast("double").alias("total_revenue"),
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q14_promo_effect",
+        _q14,
+        f"""
+SELECT round(100.0
+         * CAST(sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN {_REV_SQL}
+                         ELSE CAST('0.00' AS DECIMAL(18,2)) END) AS DOUBLE)
+         / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS promo_revenue_pct,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS total_revenue
+FROM lineitem, part
+WHERE l_partkey = p_partkey
+  AND l_shipdate >= DATE '{Q14_START}'
+  AND l_shipdate < DATE '{Q14_END}'
+""",
+        doc="TPC-H Q14 promotion effect: broadcast part join + "
+        "conditional decimal revenue share (the LIKE-driven CASE "
+        "aggregate shape)",
+        tags=("extension", "tpch", "conditional-agg"),
+    )
+)
