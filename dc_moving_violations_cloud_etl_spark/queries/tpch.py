@@ -431,3 +431,317 @@ WHERE l_partkey = p_partkey
         tags=("extension", "tpch", "conditional-agg"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Q7: volume shipping between two nations
+# ---------------------------------------------------------------------------
+
+Q7_N1, Q7_N2 = "FRANCE", "GERMANY"
+
+
+def _q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bi-directional two-nation trade volume: supplier nation and
+    customer nation resolved through two independent broadcast joins of
+    the same tiny dimension (self-alias), yearly rollup."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n1 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("s_nk"), F.col("n_name").alias("supp_nation")
+    )
+    n2 = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("c_nk"), F.col("n_name").alias("cust_nation")
+    )
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n1), supp.s_nationkey == F.col("s_nk"))
+        .join(F.broadcast(n2), cust.c_nationkey == F.col("c_nk"))
+        .where(
+            (
+                (F.col("supp_nation") == Q7_N1)
+                & (F.col("cust_nation") == Q7_N2)
+            )
+            | (
+                (F.col("supp_nation") == Q7_N2)
+                & (F.col("cust_nation") == Q7_N1)
+            )
+        )
+    )
+    return (
+        j.groupBy(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").cast("long").alias("l_year"),
+        )
+        .agg(F.sum(_revenue()).cast("double").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q7_nation_volume",
+        _q7,
+        f"""
+SELECT supp_nation, cust_nation, l_year,
+       CAST(sum(volume) AS DOUBLE) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         CAST(year(l_shipdate) AS BIGINT) AS l_year,
+         {_REV_SQL} AS volume
+  FROM supplier, lineitem, orders, customer, nation n1, nation n2
+  WHERE s_suppkey = l_suppkey
+    AND o_orderkey = l_orderkey
+    AND c_custkey = o_custkey
+    AND s_nationkey = n1.n_nationkey
+    AND c_nationkey = n2.n_nationkey
+    AND ((n1.n_name = '{Q7_N1}' AND n2.n_name = '{Q7_N2}')
+      OR (n1.n_name = '{Q7_N2}' AND n2.n_name = '{Q7_N1}'))
+)
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+        doc="TPC-H Q7 bi-nation trade volume: the same dimension joined "
+        "twice under different roles (self-alias broadcasts), "
+        "disjunctive nation-pair predicate, yearly rollup",
+        tags=("extension", "tpch", "self-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q13: customer distribution by order count
+# ---------------------------------------------------------------------------
+
+
+def _q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution of customers by order count INCLUDING zero-order
+    customers — the left-outer + double-aggregate shape (count per
+    customer, then histogram of counts)."""
+    cust = _t(spark, sf_dir, "customer").select("c_custkey")
+    orders = _t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey")
+    per = (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").cast("long").alias("c_count"))
+    )
+    return (
+        per.groupBy("c_count")
+        .agg(F.count(F.lit(1)).cast("long").alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q13_customer_distribution",
+        _q13,
+        """
+SELECT c_count, CAST(count(*) AS BIGINT) AS custdist
+FROM (
+  SELECT c_custkey, CAST(count(o_orderkey) AS BIGINT) AS c_count
+  FROM customer LEFT OUTER JOIN orders ON c_custkey = o_custkey
+  GROUP BY c_custkey
+)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+        doc="TPC-H Q13 customer order-count distribution: left outer "
+        "join keeps zero-order customers, double aggregate histograms "
+        "the per-key counts",
+        tags=("extension", "tpch", "outer-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q18: large-volume customers (HAVING + IN subquery)
+# ---------------------------------------------------------------------------
+
+Q18_QTY = 250
+
+
+def _q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum(_dec("l_quantity")).alias("sum_qty"))
+        .where(F.col("sum_qty") > F.lit(Q18_QTY).cast("decimal(18,2)"))
+        .select("l_orderkey")
+    )
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(
+            F.broadcast(big), "l_orderkey", "left_semi"
+        )
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            _dec("o_totalprice").cast("double").alias("o_totalprice"),
+        )
+        .agg(F.sum(_dec("l_quantity")).cast("double").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderkey")
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q18_large_volume_customers",
+        _q18,
+        f"""
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       CAST(CAST(o_totalprice AS DECIMAL(18,2)) AS DOUBLE) AS o_totalprice,
+       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty
+FROM customer, orders, lineitem
+WHERE o_orderkey IN (
+    SELECT l_orderkey FROM lineitem
+    GROUP BY l_orderkey
+    HAVING sum(CAST(l_quantity AS DECIMAL(18,2)))
+             > CAST('{Q18_QTY}' AS DECIMAL(18,2)))
+  AND c_custkey = o_custkey
+  AND o_orderkey = l_orderkey
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderkey
+LIMIT 20
+""",
+        doc="TPC-H Q18 large-volume customers: HAVING-filtered IN "
+        "subquery planned as a broadcast semi-join on the order key",
+        tags=("extension", "tpch", "having-in"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q19: disjunctive bracket predicates
+# ---------------------------------------------------------------------------
+
+
+def _q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three OR-ed predicate brackets over the part join — the shape
+    that stresses predicate normalization (Catalyst pushes the common
+    p_partkey = l_partkey conjunct below the OR)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").select(
+        "p_partkey", "p_brand", "p_size"
+    )
+    j = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+    bracket = (
+        (
+            (F.col("p_brand") == "Brand#1")
+            & (F.col("p_size").between(1, 15))
+            & (F.col("l_quantity") >= 1)
+            & (F.col("l_quantity") <= 20)
+        )
+        | (
+            (F.col("p_brand") == "Brand#2")
+            & (F.col("p_size").between(10, 25))
+            & (F.col("l_quantity") >= 10)
+            & (F.col("l_quantity") <= 30)
+        )
+        | (
+            (F.col("p_brand") == "Brand#3")
+            & (F.col("p_size").between(20, 40))
+            & (F.col("l_quantity") >= 20)
+            & (F.col("l_quantity") <= 40)
+        )
+    )
+    return j.where(bracket).agg(
+        F.sum(_revenue()).cast("double").alias("revenue"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q19_bracket_predicates",
+        _q19,
+        f"""
+SELECT CAST(sum({_REV_SQL}) AS DOUBLE) AS revenue,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem, part
+WHERE p_partkey = l_partkey
+  AND ((p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15
+        AND l_quantity BETWEEN 1 AND 20)
+    OR (p_brand = 'Brand#2' AND p_size BETWEEN 10 AND 25
+        AND l_quantity BETWEEN 10 AND 30)
+    OR (p_brand = 'Brand#3' AND p_size BETWEEN 20 AND 40
+        AND l_quantity BETWEEN 20 AND 40))
+""",
+        doc="TPC-H Q19 disjunctive bracket predicates over the part "
+        "join (common join conjunct pushed below the OR)",
+        tags=("extension", "tpch", "disjunctive"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q22 (adapted): rich customers with no orders
+# ---------------------------------------------------------------------------
+
+
+def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-scalar subquery + anti-join: customers with above-average
+    positive account balance and NO orders (the fixture lacks phone
+    country codes, so the cntrycode grouping becomes the customer's
+    nation)."""
+    cust = _t(spark, sf_dir, "customer")
+    nation = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name")
+    )
+    avg_bal = (
+        cust.where(_dec("c_acctbal") > F.lit("0.00").cast("decimal(18,2)"))
+        .agg(F.avg(_dec("c_acctbal")).alias("avg_bal"))
+    )
+    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    rich = (
+        cust.crossJoin(F.broadcast(avg_bal))
+        .where(_dec("c_acctbal").cast("double") > F.col("avg_bal"))
+        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+    )
+    return (
+        rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("numcust"),
+            F.sum(_dec("c_acctbal")).cast("double").alias("totacctbal"),
+        )
+        .orderBy("n_name")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q22_rich_inactive_customers",
+        _q22,
+        """
+WITH avg_bal AS (
+  SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS avg_bal
+  FROM customer
+  WHERE CAST(c_acctbal AS DECIMAL(18,2)) > CAST('0.00' AS DECIMAL(18,2))
+)
+SELECT n.n_name,
+       CAST(count(*) AS BIGINT) AS numcust,
+       CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         AS totacctbal
+FROM customer c, nation n, avg_bal
+WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > avg_bal.avg_bal
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+  AND c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name ORDER BY n.n_name
+""",
+        doc="TPC-H Q22 (adapted: nation for cntrycode): global-scalar "
+        "average subquery + NOT EXISTS anti-join + grouped rollup",
+        tags=("extension", "tpch", "anti-join-scalar"),
+    )
+)
