@@ -745,3 +745,195 @@ GROUP BY n.n_name ORDER BY n.n_name
         tags=("extension", "tpch", "anti-join-scalar"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Q8: national market share
+# ---------------------------------------------------------------------------
+
+Q8_NATION, Q8_REGION = "BRAZIL", "AMERICA"
+
+
+def _q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market share of one nation's suppliers within a region's
+    customer base, per order year — conditional-aggregate ratio over a
+    five-table join with the nation dimension again in two roles."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    n_cust = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("cn_key"), F.col("n_regionkey").alias("cn_region")
+    )
+    n_supp = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    region = _t(spark, sf_dir, "region").where(F.col("r_name") == Q8_REGION)
+    j = (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(F.broadcast(n_cust), cust.c_nationkey == F.col("cn_key"))
+        .join(
+            F.broadcast(region), F.col("cn_region") == region.r_regionkey
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(n_supp), supp.s_nationkey == F.col("sn_key"))
+    )
+    vol = _revenue()
+    national = F.when(F.col("supp_nation") == Q8_NATION, vol).otherwise(
+        F.lit("0.00").cast("decimal(18,2)")
+    )
+    return (
+        j.groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            F.round(
+                F.sum(national).cast("double")
+                / F.sum(vol).cast("double"),
+                6,
+            ).alias("mkt_share"),
+            F.sum(vol).cast("double").alias("total_volume"),
+        )
+        .orderBy("o_year")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q8_market_share",
+        _q8,
+        f"""
+SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       round(CAST(sum(CASE WHEN n2.n_name = '{Q8_NATION}'
+                           THEN {_REV_SQL}
+                           ELSE CAST('0.00' AS DECIMAL(18,2)) END)
+                  AS DOUBLE)
+             / CAST(sum({_REV_SQL}) AS DOUBLE), 6) AS mkt_share,
+       CAST(sum({_REV_SQL}) AS DOUBLE) AS total_volume
+FROM lineitem, orders, customer, supplier, nation n1, nation n2, region
+WHERE l_orderkey = o_orderkey
+  AND o_custkey = c_custkey
+  AND c_nationkey = n1.n_nationkey
+  AND n1.n_regionkey = r_regionkey
+  AND r_name = '{Q8_REGION}'
+  AND l_suppkey = s_suppkey
+  AND s_nationkey = n2.n_nationkey
+GROUP BY o_year ORDER BY o_year
+""",
+        doc="TPC-H Q8 national market share: conditional decimal ratio "
+        "per order year over a five-table join, nation dimension in two "
+        "roles",
+        tags=("extension", "tpch", "market-share"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q15: top supplier (scalar-max subquery over an aggregate view)
+# ---------------------------------------------------------------------------
+
+Q15_START, Q15_END = "1996-01-01", "1996-04-01"
+
+
+def _q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q15_START))
+        & (F.col("l_shipdate") < F.lit(Q15_END))
+    )
+    rev = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
+        F.sum(_revenue()).alias("total_rev_dec")
+    )
+    mx = rev.agg(F.max("total_rev_dec").alias("mx"))
+    supp = _t(spark, sf_dir, "supplier")
+    return (
+        rev.crossJoin(F.broadcast(mx))
+        .where(F.col("total_rev_dec") == F.col("mx"))
+        .join(supp, F.col("supplier_no") == supp.s_suppkey)
+        .select(
+            "s_suppkey",
+            "s_name",
+            F.col("total_rev_dec").cast("double").alias("total_revenue"),
+        )
+        .orderBy("s_suppkey")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q15_top_supplier",
+        _q15,
+        f"""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no, sum({_REV_SQL}) AS total_rev_dec
+  FROM lineitem
+  WHERE l_shipdate >= DATE '{Q15_START}'
+    AND l_shipdate < DATE '{Q15_END}'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name,
+       CAST(total_rev_dec AS DOUBLE) AS total_revenue
+FROM supplier, revenue
+WHERE s_suppkey = supplier_no
+  AND total_rev_dec = (SELECT max(total_rev_dec) FROM revenue)
+ORDER BY s_suppkey
+""",
+        doc="TPC-H Q15 top supplier: scalar-max subquery over the "
+        "revenue aggregate (decimal-exact equality, so ties are "
+        "engine-independent)",
+        tags=("extension", "tpch", "scalar-subquery"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q17: small-quantity-order revenue (correlated per-part average)
+# ---------------------------------------------------------------------------
+
+Q17_BRAND = "Brand#1"
+
+
+def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Lines whose quantity is below 20% of their PART's average
+    quantity — the correlated aggregate decorrelates into a per-part
+    aggregate joined back on the part key (never a per-row subquery)."""
+    li = _t(spark, sf_dir, "lineitem")
+    part = _t(spark, sf_dir, "part").where(
+        F.col("p_brand") == Q17_BRAND
+    ).select("p_partkey")
+    avg_qty = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .groupBy("l_partkey")
+        .agg((F.lit(0.2) * F.avg(_dec("l_quantity"))).alias("qty_bar"))
+    )
+    small = (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(avg_qty, "l_partkey")
+        .where(F.col("l_quantity") < F.col("qty_bar"))
+    )
+    return small.agg(
+        F.round(
+            F.sum(_dec("l_extendedprice")).cast("double") / 7.0, 6
+        ).alias("avg_yearly"),
+        F.count(F.lit(1)).cast("long").alias("n_lines"),
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q17_small_quantity_revenue",
+        _q17,
+        f"""
+SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+             / 7.0, 6) AS avg_yearly,
+       CAST(count(*) AS BIGINT) AS n_lines
+FROM lineitem l, part
+WHERE p_partkey = l.l_partkey
+  AND p_brand = '{Q17_BRAND}'
+  AND l.l_quantity < (
+    SELECT 0.2 * avg(CAST(l2.l_quantity AS DECIMAL(18,2)))
+    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+""",
+        doc="TPC-H Q17 small-quantity revenue: correlated per-part "
+        "average decorrelated to an aggregate join-back on the part key",
+        tags=("extension", "tpch", "correlated-agg"),
+    )
+)
