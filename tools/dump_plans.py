@@ -47,6 +47,10 @@ AUDITED = [
         "doc_length_quartile_assignment",
         "scalar threshold aggregate broadcast; no global sort anywhere",
     ),
+    (
+        "tpch_q5_local_supplier_volume",
+        "six-way star join: all five joins broadcast-hash, zero sort-merge",
+    ),
 ]
 
 
