@@ -1,12 +1,17 @@
 """Benchmark harness: runs the engine's headline queries at
 ``$SPARK_GRAFT_SF_DIR`` (default /root/testdata/sf0.1) on
-``local[$SPARK_GRAFT_CPUS]`` and prints ONE JSON line:
+``local[$SPARK_GRAFT_CPUS]``. Stdout ends with ONE short JSON line:
 
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall-clock of one timed pass over all headline
 queries (after a warm-up of the flagship query to exclude JVM/session
-startup, which a long-running cluster amortizes away).
+startup, which a long-running cluster amortizes away). The full
+per-query record (all ~130 extension timings) is printed first and
+written to ``$SPARK_GRAFT_BENCH_DETAIL`` (default
+/tmp/bench_detail.json); the FINAL line carries only the headline +
+reference per-query times so the driver's 2000-byte stdout tail always
+retains it (VERDICT r3 rec #3).
 """
 
 from __future__ import annotations
@@ -100,24 +105,26 @@ def main() -> None:
         t0 = time.perf_counter()
         try:
             queries[name](spark, sf_dir).collect()
+            dt = time.perf_counter() - t0
+            per_query[name] = round(dt, 4)
+            if name in names:
+                total += dt
+            elif name in streaming:
+                streaming_total += dt
         except Exception as exc:  # noqa: BLE001 - record, keep measuring
             errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-            continue
-        dt = time.perf_counter() - t0
-        per_query[name] = round(dt, 4)
-        if name in names:
-            total += dt
-        elif name in streaming:
-            streaming_total += dt
-        if name not in names:
-            # per-query cache isolation for the extension operators:
-            # tracked sketch persists (MinHash signatures, IVF
-            # centroids, …) are one query's working set — left pinned
-            # they crowd execution memory for every later query (the
-            # in-bench vs solo gap measured in round 3: 21.6 s vs
-            # 3.1 s for tfidf). The shared fact/dim materializations
-            # (catalog._MATERIALIZED) stay cached.
-            caching.release_tracked()
+        finally:
+            if name not in names:
+                # per-query cache isolation for the extension operators:
+                # tracked sketch persists (MinHash signatures, IVF
+                # centroids, …) are one query's working set — left pinned
+                # they crowd execution memory for every later query (the
+                # in-bench vs solo gap measured in round 3: 21.6 s vs
+                # 3.1 s for tfidf). The shared fact/dim materializations
+                # (catalog._MATERIALIZED) stay cached. Runs in finally so
+                # a RAISING query cannot leave its persists pinned and
+                # contaminate every later timing (ADVICE r3).
+                caching.release_tracked()
 
     # cache-release hook: a bench run must end with no cached relations
     # (persisted fact/dim/sketch tables are session-local working set,
@@ -138,7 +145,37 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+
+    # The driver keeps only the LAST ~2000 bytes of stdout; round 3's
+    # single big JSON line lost its head (the headline "value") to that
+    # truncation. Emit the full per-query record FIRST (and to a detail
+    # file), then end stdout with a SHORT headline line (< ~1.5 kB:
+    # metric/value/unit, the 11 reference per-query times, streaming and
+    # extension totals, error count) that always survives the tail cut.
+    detail_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_detail.json"
+    )
+    try:
+        with open(detail_path, "w") as f:
+            json.dump(out, f)
+    except OSError as exc:
+        print(f"detail write failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
+    summary = {
+        "metric": "reference_surface_total_wallclock",
+        "value": round(total, 4),
+        "unit": "sec",
+        "queries": {n: per_query[n] for n in names if n in per_query},
+        "streaming_total": round(streaming_total, 4),
+        "extensions_total": round(
+            sum(v for n, v in per_query.items() if n in set(extras)), 4
+        ),
+        "n_queries_timed": len(per_query),
+        "n_errors": len(errors),
+        "sf": sf,
+        "detail": detail_path,
+    }
+    print(json.dumps(summary))
 
 
 if __name__ == "__main__":

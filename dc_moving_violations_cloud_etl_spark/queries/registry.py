@@ -81,73 +81,79 @@ def _load_all() -> None:
 # was exactly ``list(get_queries())[:50]``). Registration order is a
 # side effect of module import order, so we manage the window explicitly:
 # names listed here are emitted first (in this order), everything else
-# follows in registration order. The list front-loads (a) every query
-# that has never had a driver-green CORRECTNESS row (streaming, sql_text,
-# and the round-2 operators — 27 as of r3), (b) this round's new queries,
-# and (c) a representative core of the reference surface (Qa–Qh, Q0,
-# V1/V2, sinks, transforms) so the official record always re-covers the
-# reference semantics.
+# follows in registration order.
+#
+# Round-4 rotation (VERDICT r3 rec #2): the window holds exactly the 49
+# queries that have NEVER had an official driver-green CORRECTNESS row —
+# 39 never checked at all (the whole TPC-H pack, modern_sql, paged_api,
+# corpus stats, remaining streaming) plus 9 that carry only stale r1-era
+# red rows (sql_text_*, stream_daily_rollup, stream_stateful_sessions,
+# stream_late_data_watermark; all since fixed and sim-green) plus the
+# r3-red-now-fixed inverted_index_postings — and one reference-core
+# canary (q0). Everything official-green in r2/r3 waits in overflow.
 DRIVER_WINDOW = [
-    # (a) never driver-checked before r3 — streaming lifecycle (fixed
-    # this round: the NTZ watermark bug; their first official green
-    # matters most)
-    "stream_dedup_watermark",
-    "stream_session_window",
-    "stream_interval_join",
-    "stream_foreachbatch_upsert",
-    "stream_static_join",
-    # (a) never driver-checked — sql_text surface
-    "sql_text_qa_monthly_agency",
-    "sql_text_qe_precip",
-    "sql_text_qf_speeding_fines",
-    "sql_text_qf_ci_like",
-    # (a) never driver-checked — architecturally-distinctive r2 ops
-    # (the remaining r2 ops — quantize/decontaminate/chunk_plan/
-    # repetition/mix_weights/rolling_7d/pivot_daily — were all
-    # judge-verified green in VERDICT r2 and wait in overflow)
-    "text_tfidf_top_terms",
-    "udtf_chunk_explode",
-    "curation_shuffle_split",
-    "text_redact_pii",
-    "curation_pack_sequences",
-    "skew_salted_join_agg",
-    "dq_audit_violations",
-    "zorder_layout_events",
-    "asof_click_before_error",
-    "range_click_before_error",
-    "events_time_rollup",
-    # (b) round-3 additions (never checked by anyone)
-    "funnel_view_click_purchase",
-    "cohort_weekly_retention",
-    "events_cube_type_weekday",
-    "topk_busiest_days_per_type",
-    "events_orphan_user_audit",
-    "events_hopping_window_counts",
-    "scd2_user_attribute_history",
-    "cdc_last_state_compaction",
-    "event_transition_matrix",
-    "bpe_merge_pair_counts",
-    "key_skew_gini_audit",
+    # r3's only red row, fixed this round (posting list serialized to a
+    # comma-joined string so the driver's canonicalizer can hash it)
     "inverted_index_postings",
-    "json_source_roundtrip_agg",
-    "csv_source_roundtrip_agg",
-    "parquet_schema_evolution_audit",
-    "full_outer_reconciliation",
-    "set_ops_user_segments",
-    "events_unpivot_daily_metrics",
-    "doc_length_quartile_assignment",
-    # (c) representative reference core (kept inside the window)
+    # reference-core canary (green r2+r3; keeps the official record
+    # re-covering the reference flagship every round)
     "q0_flagship_rainy_count",
-    "qa_monthly_agency_tickets",
-    "qb_total_tickets_since",
-    "qc_avg_tickets_per_weekday",
-    "qd_rainy_day_tickets",
-    "qe_monthly_precipitation",
-    "qf_monthly_speeding_fines",
-    "qg_avg_tickets_per_hour",
-    "qh_accidents_rain_vs_dry",
-    "v1_violations_verification",
-    "v2_weather_verification",
+    # never checked — round-2/3 extension ops judged green only via sim
+    "sink_semantics_diff",
+    "embedding_dup_components",
+    "multimodal_decode_arrow",
+    "embedding_quantize_int8",
+    "curation_decontaminate",
+    "curation_chunk_plan",
+    "text_repetition_ratio",
+    "doc_ngram_novelty",
+    "corpus_mix_weights",
+    "user_entropy_histogram",
+    "corpus_zipf_slope",
+    "events_user_rolling_7d",
+    "events_pivot_daily",
+    "geo_cell_hotspots",
+    "monthly_ticket_growth",
+    "dau_wau_stickiness",
+    # never checked — custom Python DataSource (batch) surface
+    "paged_api_source_agg",
+    "paged_api_pushdown_agg",
+    # never checked — modern-SQL surface (VARIANT, parameterized SQL,
+    # SQL scripting, Observation)
+    "variant_props_extract",
+    "sql_parameterized_qb",
+    "sql_scripting_month_loop",
+    "observed_etl_metrics",
+    # never checked — the full TPC-H pack
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q6_forecast_revenue",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q18_large_volume_customers",
+    "tpch_q19_bracket_predicates",
+    "tpch_q22_rich_inactive_customers",
+    # never checked — streaming lifecycles (custom streaming source,
+    # UPDATE mode) and the three carrying stale r1 reds (since fixed)
+    "stream_stateful_sessions",
+    "stream_late_data_watermark",
+    "stream_daily_rollup",
+    "stream_custom_source_ingest",
+    "stream_update_mode_counts",
+    # stale r1 reds (fixed in r2/r3, sim-green) — sql_text surface
+    "sql_text_qb_since",
+    "sql_text_qc_weekday",
+    "sql_text_qd_rainy",
+    "sql_text_qg_hourly",
+    "sql_text_qh_accidents",
+    "sql_text_monthly_tickets",
 ]
 
 

@@ -381,7 +381,10 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     frequency 2..50): head terms would emit postings proportional to the
     corpus (those belong in a stopword/impact-ordered tier at scale, not
     in an array column). One shuffle on the term key; ``sort_array``
-    makes the array deterministic for the hash comparison."""
+    makes the list deterministic, and the posting list is SERIALIZED to a
+    comma-joined string — the driver's canonicalizer sorts raw result
+    values before hashing and cannot hash a raw array cell
+    (CORRECTNESS_r03: ``TypeError: unhashable type: 'list'``)."""
     docs = catalog.base(spark, sf_dir, "documents")
     norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
     pairs = (
@@ -393,7 +396,13 @@ def _inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         pairs.groupBy("term")
         .agg(
             F.count(F.lit(1)).cast("long").alias("df"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(F.collect_list("doc_id")),
+                    lambda x: x.cast("string"),
+                ),
+                ",",
+            ).alias("postings"),
         )
         .where((F.col("df") >= 2) & (F.col("df") <= 50))
         .orderBy("term")
@@ -416,15 +425,15 @@ WITH pairs AS (
 )
 SELECT term,
        CAST(count(*) AS BIGINT) AS df,
-       list_sort(list(doc_id)) AS postings
+       array_to_string(list_sort(list(doc_id)), ',') AS postings
 FROM pairs
 GROUP BY term
 HAVING count(*) BETWEEN 2 AND 50
 ORDER BY term
 """,
         doc="inverted-index posting lists for selective terms (df 2..50): "
-        "explode -> (term, doc) dedup -> sorted array_agg; one term-key "
-        "shuffle, array-valued result hash-checked against the oracle",
+        "explode -> (term, doc) dedup -> sorted array_agg serialized to "
+        "a comma-joined string; one term-key shuffle",
         tags=("extension", "text", "inverted-index"),
     )
 )

@@ -52,12 +52,19 @@ def canon_value(v) -> str:
 
 
 def canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Match the REAL driver's order of operations exactly: sort RAW pandas
+    # values first, stringify after. The r3 sim stringified first, which
+    # masked the driver's ``TypeError: unhashable type: 'list'`` on raw
+    # array columns (inverted_index_postings went sim-green, driver-red).
+    # With raw-first sorting, an array-valued result column raises here
+    # too — the sim now fails exactly where the driver fails.
     df = df[sorted(df.columns)].copy()
-    for c in df.columns:
-        df[c] = df[c].map(canon_value)
-    return df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
+    df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(
         drop=True
     )
+    for c in df.columns:
+        df[c] = df[c].map(canon_value)
+    return df
 
 
 def main() -> int:
