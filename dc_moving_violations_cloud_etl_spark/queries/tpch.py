@@ -1,7 +1,13 @@
 """TPC-H-derived analytical pack over the driver's star-schema fixtures
 (the `region nation customer supplier orders lineitem` tables ARE
-reduced TPC-H): Q1, Q3, Q5, Q6 and Q10 adapted to the fixture's columns
-and 1995-2001 date window.
+reduced TPC-H): all 22 queries adapted to the fixture's columns and
+1995-2001 date window. The fixture has no partsupp table, so Q2, Q9,
+Q11, Q16 and Q20 run against a derived partsupp CTE (identical on both
+engines); Q12 and Q21 substitute the return flag for the missing
+shipmode/commit/receipt columns — every adaptation keeps the query's
+defining plan shape (correlated scalar MIN, HAVING over a global
+aggregate, nested IN with correlated SUM, double-correlated
+EXISTS/NOT EXISTS).
 
 These exercise the multi-way-join side of the engine the reference's
 two-table surface never reaches: Q5 is a six-way star join (Catalyst
@@ -689,25 +695,44 @@ WHERE p_partkey = l_partkey
 # Q22 (adapted): rich customers with no orders
 # ---------------------------------------------------------------------------
 
+# ~top-3% of o_totalprice: every fixture customer has SOME order, so the
+# anti-join runs against high-value orders to stay non-trivial
+Q22_BIG_ORDER = 460000
+
 
 def _q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global-scalar subquery + anti-join: customers with above-average
     positive account balance and NO orders (the fixture lacks phone
     country codes, so the cntrycode grouping becomes the customer's
-    nation)."""
+    nation; every fixture customer has SOME order, so 'no orders'
+    becomes 'no high-value order' — the NOT EXISTS anti-join gains a
+    pushed o_totalprice predicate and the result stays non-trivial,
+    ~300 customers at sf0.01).
+
+    ``bal > avg(positive bal)`` is cross-multiplied to the exact
+    ``bal * count > sum`` in DECIMAL so the threshold can never differ
+    between Spark's rounded decimal avg and DuckDB's double avg
+    (ADVICE r3)."""
     cust = _t(spark, sf_dir, "customer")
     nation = _t(spark, sf_dir, "nation").select(
         F.col("n_nationkey"), F.col("n_name")
     )
-    avg_bal = (
+    pos_stats = (
         cust.where(_dec("c_acctbal") > F.lit("0.00").cast("decimal(18,2)"))
-        .agg(F.avg(_dec("c_acctbal")).alias("avg_bal"))
+        .agg(
+            F.sum(_dec("c_acctbal")).alias("pos_sum"),
+            F.count(F.lit(1)).cast("long").alias("pos_cnt"),
+        )
     )
-    orders = _t(spark, sf_dir, "orders").select("o_custkey")
+    big_orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_totalprice") > Q22_BIG_ORDER)
+        .select("o_custkey")
+    )
     rich = (
-        cust.crossJoin(F.broadcast(avg_bal))
-        .where(_dec("c_acctbal").cast("double") > F.col("avg_bal"))
-        .join(orders, cust.c_custkey == orders.o_custkey, "left_anti")
+        cust.crossJoin(F.broadcast(pos_stats))
+        .where(_dec("c_acctbal") * F.col("pos_cnt") > F.col("pos_sum"))
+        .join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_anti")
     )
     return (
         rich.join(F.broadcast(nation), rich.c_nationkey == nation.n_nationkey)
@@ -724,9 +749,10 @@ register(
     QuerySpec(
         "tpch_q22_rich_inactive_customers",
         _q22,
-        """
-WITH avg_bal AS (
-  SELECT avg(CAST(c_acctbal AS DECIMAL(18,2))) AS avg_bal
+        f"""
+WITH pos AS (
+  SELECT sum(CAST(c_acctbal AS DECIMAL(18,2))) AS pos_sum,
+         count(*) AS pos_cnt
   FROM customer
   WHERE CAST(c_acctbal AS DECIMAL(18,2)) > CAST('0.00' AS DECIMAL(18,2))
 )
@@ -734,14 +760,16 @@ SELECT n.n_name,
        CAST(count(*) AS BIGINT) AS numcust,
        CAST(sum(CAST(c.c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
          AS totacctbal
-FROM customer c, nation n, avg_bal
-WHERE CAST(CAST(c.c_acctbal AS DECIMAL(18,2)) AS DOUBLE) > avg_bal.avg_bal
-  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey)
+FROM customer c, nation n, pos
+WHERE CAST(c.c_acctbal AS DECIMAL(18,2)) * pos.pos_cnt > pos.pos_sum
+  AND NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_custkey = c.c_custkey
+                  AND o.o_totalprice > {Q22_BIG_ORDER})
   AND c.c_nationkey = n.n_nationkey
 GROUP BY n.n_name ORDER BY n.n_name
 """,
         doc="TPC-H Q22 (adapted: nation for cntrycode): global-scalar "
-        "average subquery + NOT EXISTS anti-join + grouped rollup",
+        "subquery + NOT EXISTS anti-join + grouped rollup (threshold "
+        "cross-multiplied to exact decimals, no rounded avg)",
         tags=("extension", "tpch", "anti-join-scalar"),
     )
 )
@@ -894,20 +922,35 @@ Q17_BRAND = "Brand#1"
 def _q17(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Lines whose quantity is below 20% of their PART's average
     quantity — the correlated aggregate decorrelates into a per-part
-    aggregate joined back on the part key (never a per-row subquery)."""
+    aggregate joined back on the part key (never a per-row subquery).
+
+    The threshold compare is algebraically exact on both engines:
+    ``qty < 0.2 * avg(qty)`` is rewritten as ``5 * qty * count <
+    sum(qty)`` in DECIMAL — no rounded average whose last digit could
+    differ between Spark's decimal avg and DuckDB's double avg
+    (ADVICE r3)."""
     li = _t(spark, sf_dir, "lineitem")
     part = _t(spark, sf_dir, "part").where(
         F.col("p_brand") == Q17_BRAND
     ).select("p_partkey")
-    avg_qty = (
+    per_part = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
         .groupBy("l_partkey")
-        .agg((F.lit(0.2) * F.avg(_dec("l_quantity"))).alias("qty_bar"))
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias(
+                "part_sum_qty"
+            ),
+            F.count(F.lit(1)).cast("long").alias("part_cnt_qty"),
+        )
     )
     small = (
         li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-        .join(avg_qty, "l_partkey")
-        .where(F.col("l_quantity") < F.col("qty_bar"))
+        .join(per_part, "l_partkey")
+        .where(
+            F.lit(5) * F.col("l_quantity").cast("decimal(9,2)")
+            * F.col("part_cnt_qty")
+            < F.col("part_sum_qty")
+        )
     )
     return small.agg(
         F.round(
@@ -928,12 +971,592 @@ SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
 FROM lineitem l, part
 WHERE p_partkey = l.l_partkey
   AND p_brand = '{Q17_BRAND}'
-  AND l.l_quantity < (
-    SELECT 0.2 * avg(CAST(l2.l_quantity AS DECIMAL(18,2)))
-    FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
+  AND 5 * CAST(l.l_quantity AS DECIMAL(9,2))
+      * (SELECT count(*) FROM lineitem l2
+         WHERE l2.l_partkey = l.l_partkey)
+    < (SELECT sum(CAST(l2.l_quantity AS DECIMAL(9,2)))
+       FROM lineitem l2 WHERE l2.l_partkey = l.l_partkey)
 """,
         doc="TPC-H Q17 small-quantity revenue: correlated per-part "
-        "average decorrelated to an aggregate join-back on the part key",
+        "average decorrelated to an aggregate join-back on the part key "
+        "(threshold cross-multiplied to exact decimals, no rounded avg)",
         tags=("extension", "tpch", "correlated-agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Derived partsupp: the fixture has no partsupp table, so the five
+# partsupp-dependent queries (Q2, Q9, Q11, Q16, Q20) run against a
+# part×supplier relation aggregated from lineitem — supplycost is the
+# cheapest observed extended price, availqty the total shipped quantity.
+# The POINT of these queries is the subquery/decorrelation shape
+# (correlated scalar min, HAVING over a global aggregate, nested IN with
+# a correlated aggregate), which is preserved exactly; only the base
+# relation is derived. Both engines build it from the identical CTE so
+# the oracle comparison stays value-exact (DECIMAL everywhere).
+# ---------------------------------------------------------------------------
+
+_PS_SQL = """
+  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         min(CAST(l_extendedprice AS DECIMAL(18,2))) AS ps_supplycost,
+         sum(CAST(l_quantity AS DECIMAL(9,2))) AS ps_availqty
+  FROM lineitem GROUP BY l_partkey, l_suppkey
+"""
+
+
+def _partsupp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir, "lineitem")
+    return li.groupBy(
+        F.col("l_partkey").alias("ps_partkey"),
+        F.col("l_suppkey").alias("ps_suppkey"),
+    ).agg(
+        F.min(_dec("l_extendedprice")).alias("ps_supplycost"),
+        F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias(
+            "ps_availqty"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Q2: minimum-cost supplier (correlated scalar MIN against the regional
+# partsupp view)
+# ---------------------------------------------------------------------------
+
+Q2_SIZE, Q2_TYPE, Q2_REGION = 15, "STANDARD", "EUROPE"
+
+
+def _q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """For every STANDARD size-15 part, the EUROPE supplier(s) offering
+    its minimum supply cost. The classic correlated scalar-MIN subquery
+    decorrelates into a per-part MIN over the region-filtered partsupp,
+    joined back on (part, cost) — cost equality is DECIMAL so the
+    join-back can never drop a row to float noise. Dims broadcast; the
+    derived partsupp aggregates once and serves both sides."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").where(F.col("r_name") == Q2_REGION)
+    part = (
+        _t(spark, sf_dir, "part")
+        .where((F.col("p_size") == Q2_SIZE) & (F.col("p_type") == Q2_TYPE))
+        .select("p_partkey")
+    )
+    regional = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+    )
+    min_cost = regional.groupBy("ps_partkey").agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        regional.join(F.broadcast(part), F.col("ps_partkey") == part.p_partkey)
+        .join(
+            min_cost.withColumnRenamed("ps_partkey", "mc_partkey"),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select(
+            "s_acctbal",
+            "s_name",
+            "n_name",
+            "p_partkey",
+            F.col("ps_supplycost").cast("double").alias("supplycost"),
+        )
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q2_min_cost_supplier",
+        _q2,
+        f"""
+WITH partsupp AS ({_PS_SQL})
+SELECT s_acctbal, s_name, n_name, p_partkey,
+       CAST(ps_supplycost AS DOUBLE) AS supplycost
+FROM part, partsupp, supplier, nation, region
+WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+  AND p_size = {Q2_SIZE} AND p_type = '{Q2_TYPE}'
+  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+  AND r_name = '{Q2_REGION}'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost)
+    FROM partsupp ps2, supplier s2, nation n2, region r2
+    WHERE ps2.ps_partkey = part.p_partkey AND s2.s_suppkey = ps2.ps_suppkey
+      AND s2.s_nationkey = n2.n_nationkey
+      AND n2.n_regionkey = r2.r_regionkey AND r2.r_name = '{Q2_REGION}')
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+        doc="TPC-H Q2 minimum-cost supplier: correlated scalar-MIN "
+        "subquery decorrelated to a per-part MIN joined back on "
+        "(part, DECIMAL cost) over the derived partsupp",
+        tags=("extension", "tpch", "correlated-scalar"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q9: product-type profit by nation and year
+# ---------------------------------------------------------------------------
+
+Q9_COLOR = "red"
+
+
+def _q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Profit (revenue minus supply cost x quantity) on 'red' parts,
+    per supplier nation per order year — the widest join in the pack:
+    lineitem x orders x part x supplier x nation x derived partsupp.
+    All money math in DECIMAL; part/supplier/nation broadcast, the
+    partsupp join-back keys on (partkey, suppkey)."""
+    li = _t(spark, sf_dir, "lineitem")
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate"
+    )
+    part = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{Q9_COLOR}%"))
+        .select("p_partkey")
+    )
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = _t(spark, sf_dir, "nation").select(
+        F.col("n_nationkey"), F.col("n_name").alias("nation")
+    )
+    ps = _partsupp(spark, sf_dir).select(
+        "ps_partkey", "ps_suppkey", "ps_supplycost"
+    )
+    amount = _revenue() - F.col("ps_supplycost") * F.col(
+        "l_quantity"
+    ).cast("decimal(9,2)")
+    return (
+        li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        .join(
+            ps,
+            (li.l_partkey == ps.ps_partkey)
+            & (li.l_suppkey == ps.ps_suppkey),
+        )
+        .join(supp, li.l_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            "nation", F.year("o_orderdate").cast("long").alias("o_year")
+        )
+        .agg(F.sum(amount).cast("double").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q9_product_type_profit",
+        _q9,
+        f"""
+WITH partsupp AS ({_PS_SQL})
+SELECT n_name AS nation,
+       CAST(year(o_orderdate) AS BIGINT) AS o_year,
+       CAST(sum({_REV_SQL}
+                - ps_supplycost * CAST(l_quantity AS DECIMAL(9,2)))
+            AS DOUBLE) AS sum_profit
+FROM lineitem, orders, part, supplier, nation, partsupp
+WHERE l_partkey = p_partkey AND p_name LIKE '%{Q9_COLOR}%'
+  AND l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+  AND l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND l_orderkey = o_orderkey
+GROUP BY n_name, o_year
+ORDER BY n_name, o_year DESC
+""",
+        doc="TPC-H Q9 product-type profit: six-relation join with the "
+        "derived partsupp, DECIMAL profit per nation per order year",
+        tags=("extension", "tpch", "star-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q11: important stock (HAVING over a global-aggregate scalar subquery)
+# ---------------------------------------------------------------------------
+
+Q11_NATION = "NATION_3"
+# decimal literal, exact on both engines; sized to the fixture (a
+# nation's stock spreads over ~1200 parts, max part share ~0.56%, p90
+# ~0.19% — 0.20% keeps the top decile, ~100 rows at sf0.01)
+Q11_FRACTION = "0.0020"
+
+
+def _q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Parts whose stock value at one nation's suppliers exceeds a
+    fixed fraction of that nation's TOTAL stock value — HAVING against
+    a global-aggregate scalar subquery. Decorrelates into one grouped
+    aggregate plus a 1-row total broadcast-crossed back; the fraction
+    threshold stays DECIMAL end-to-end."""
+    ps = _partsupp(spark, sf_dir)
+    supp = _t(spark, sf_dir, "supplier").select("s_suppkey", "s_nationkey")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q11_NATION)
+        .select("n_nationkey")
+    )
+    national = (
+        ps.join(supp, ps.ps_suppkey == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .withColumn(
+            "part_value", F.col("ps_supplycost") * F.col("ps_availqty")
+        )
+    )
+    by_part = national.groupBy("ps_partkey").agg(
+        F.sum("part_value").alias("value_dec")
+    )
+    total = by_part.agg(F.sum("value_dec").alias("total_value"))
+    return (
+        by_part.crossJoin(F.broadcast(total))
+        .where(
+            F.col("value_dec")
+            > F.lit(Q11_FRACTION).cast("decimal(6,4)")
+            * F.col("total_value")
+        )
+        .select(
+            "ps_partkey", F.col("value_dec").cast("double").alias("value")
+        )
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q11_important_stock",
+        _q11,
+        f"""
+WITH partsupp AS ({_PS_SQL})
+SELECT ps_partkey,
+       CAST(sum(ps_supplycost * ps_availqty) AS DOUBLE) AS value
+FROM partsupp, supplier, nation
+WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = '{Q11_NATION}'
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost * ps_availqty) > (
+  SELECT CAST('{Q11_FRACTION}' AS DECIMAL(6,4))
+         * sum(ps_supplycost * ps_availqty)
+  FROM partsupp, supplier, nation
+  WHERE ps_suppkey = s_suppkey AND s_nationkey = n_nationkey
+    AND n_name = '{Q11_NATION}')
+ORDER BY value DESC, ps_partkey
+""",
+        doc="TPC-H Q11 important stock: HAVING over a global-aggregate "
+        "scalar subquery, decorrelated to a 1-row broadcast cross-join; "
+        "DECIMAL-exact fraction threshold",
+        tags=("extension", "tpch", "having-scalar"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q12 (adapted): priority counts per return-flag bucket
+# ---------------------------------------------------------------------------
+
+Q12_START, Q12_END = "1997-01-01", "1998-01-01"
+
+
+def _q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q12's shape — conditional two-way counts per shipping bucket
+    after an orders join with a one-year date window. The fixture's
+    lineitem has no shipmode/commitdate/receiptdate, so the bucket is
+    the A/R return flag and the window runs on shipdate; the
+    CASE-summed high/low o_orderpriority split is verbatim Q12."""
+    li = _t(spark, sf_dir, "lineitem").where(
+        (F.col("l_shipdate") >= F.lit(Q12_START))
+        & (F.col("l_shipdate") < F.lit(Q12_END))
+        & (F.col("l_returnflag").isin("A", "R"))
+    )
+    orders = _t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderpriority"
+    )
+    high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum(F.when(high, 1).otherwise(0))
+            .cast("long")
+            .alias("high_line_count"),
+            F.sum(F.when(high, 0).otherwise(1))
+            .cast("long")
+            .alias("low_line_count"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q12_priority_by_bucket",
+        _q12,
+        f"""
+SELECT l_returnflag,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                     THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+FROM lineitem, orders
+WHERE l_orderkey = o_orderkey
+  AND l_shipdate >= DATE '{Q12_START}' AND l_shipdate < DATE '{Q12_END}'
+  AND l_returnflag IN ('A', 'R')
+GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+        doc="TPC-H Q12 (adapted: return flag for shipmode, shipdate for "
+        "receiptdate): conditional high/low priority counts per bucket "
+        "over the orders join",
+        tags=("extension", "tpch", "conditional-agg"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q16: supplier count per part descriptor (NOT IN exclusion subquery)
+# ---------------------------------------------------------------------------
+
+Q16_BRAND = "Brand#5"
+Q16_SIZES = (1, 9, 14, 19, 23, 36, 45, 49)
+
+
+def _q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-supplier counts per (brand, type, size) for parts
+    outside one brand/type, over the derived partsupp, EXCLUDING
+    blacklisted suppliers via NOT IN — the fixture has no s_comment, so
+    the 'customer complaints' blacklist becomes negative-balance
+    suppliers. The NOT IN is a broadcast anti-join (the blacklist is
+    tiny); count(DISTINCT) shuffles once on the group keys."""
+    ps = _partsupp(spark, sf_dir).select("ps_partkey", "ps_suppkey")
+    part = _t(spark, sf_dir, "part").where(
+        (F.col("p_brand") != Q16_BRAND)
+        & (~F.col("p_type").like("PROMO%"))
+        & (F.col("p_size").isin(*Q16_SIZES))
+    )
+    bad = (
+        _t(spark, sf_dir, "supplier")
+        .where(F.col("s_acctbal") < 0)
+        .select("s_suppkey")
+    )
+    return (
+        ps.join(F.broadcast(bad), ps.ps_suppkey == bad.s_suppkey, "left_anti")
+        .join(F.broadcast(part), ps.ps_partkey == part.p_partkey)
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(
+            F.countDistinct("ps_suppkey").cast("long").alias("supplier_cnt")
+        )
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q16_supplier_part_count",
+        _q16,
+        f"""
+WITH partsupp AS ({_PS_SQL})
+SELECT p_brand, p_type, p_size,
+       CAST(count(DISTINCT ps_suppkey) AS BIGINT) AS supplier_cnt
+FROM partsupp, part
+WHERE p_partkey = ps_partkey
+  AND p_brand <> '{Q16_BRAND}'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN ({", ".join(str(s) for s in Q16_SIZES)})
+  AND ps_suppkey NOT IN (
+    SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+        doc="TPC-H Q16 (adapted: negative balance for complaints): "
+        "distinct-supplier counts with a NOT IN exclusion subquery as a "
+        "broadcast anti-join",
+        tags=("extension", "tpch", "not-in"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q20 (adapted): suppliers whose 'red' stock was half-consumed in a year
+# ---------------------------------------------------------------------------
+
+Q20_COLOR = "red"
+Q20_NATION = "NATION_1"
+Q20_START, Q20_END = "1999-01-01", "2000-01-01"
+
+
+def _q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested IN + correlated aggregate: suppliers in one nation holding
+    a 'red' part whose 1999 shipments exceeded HALF its total quantity.
+    (Classic Q20 compares availqty to half the window's shipments; with
+    availqty derived as total shipped the classic direction is always
+    true, so the adapted predicate inverts it — the doubly-nested
+    IN/correlated-SUM decorrelation shape is identical.) The compare is
+    cross-multiplied (2*shipped > availqty) — DECIMAL-exact, no 0.5
+    factor. Inner correlated SUM becomes a grouped aggregate joined on
+    (part, supplier); part filter and nation dim broadcast."""
+    ps = _partsupp(spark, sf_dir)
+    red = (
+        _t(spark, sf_dir, "part")
+        .where(F.col("p_name").like(f"%{Q20_COLOR}%"))
+        .select("p_partkey")
+    )
+    shipped = (
+        _t(spark, sf_dir, "lineitem")
+        .where(
+            (F.col("l_shipdate") >= F.lit(Q20_START))
+            & (F.col("l_shipdate") < F.lit(Q20_END))
+        )
+        .groupBy("l_partkey", "l_suppkey")
+        .agg(
+            F.sum(F.col("l_quantity").cast("decimal(9,2)")).alias(
+                "window_qty"
+            )
+        )
+    )
+    qual = (
+        ps.join(F.broadcast(red), ps.ps_partkey == red.p_partkey)
+        .join(
+            shipped,
+            (ps.ps_partkey == shipped.l_partkey)
+            & (ps.ps_suppkey == shipped.l_suppkey),
+        )
+        .where(F.lit(2) * F.col("window_qty") > F.col("ps_availqty"))
+        .select("ps_suppkey")
+        .distinct()
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q20_NATION)
+        .select("n_nationkey")
+    )
+    return (
+        supp.join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(qual, supp.s_suppkey == qual.ps_suppkey, "left_semi")
+        .select("s_suppkey", "s_name")
+        .orderBy("s_name")
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q20_halfconsumed_stock",
+        _q20,
+        f"""
+WITH partsupp AS ({_PS_SQL})
+SELECT s_suppkey, s_name
+FROM supplier, nation
+WHERE s_suppkey IN (
+  SELECT ps_suppkey FROM partsupp
+  WHERE ps_partkey IN (
+      SELECT p_partkey FROM part WHERE p_name LIKE '%{Q20_COLOR}%')
+    AND 2 * (
+      SELECT sum(CAST(l_quantity AS DECIMAL(9,2))) FROM lineitem
+      WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        AND l_shipdate >= DATE '{Q20_START}'
+        AND l_shipdate < DATE '{Q20_END}') > ps_availqty)
+  AND s_nationkey = n_nationkey AND n_name = '{Q20_NATION}'
+ORDER BY s_name
+""",
+        doc="TPC-H Q20 (adapted: predicate inverted for the derived "
+        "availqty): nested IN with a correlated window-SUM, "
+        "decorrelated to grouped aggregates and semi-joins",
+        tags=("extension", "tpch", "nested-in"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Q21 (adapted): sole 'returned' supplier on multi-supplier orders
+# ---------------------------------------------------------------------------
+
+Q21_NATION = "NATION_0"
+
+
+def _q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21's double-correlated EXISTS / NOT EXISTS: count, per supplier
+    in one nation, the finalized multi-supplier orders where THIS
+    supplier had a returned line ('R' — the fixture's lateness proxy;
+    it has no commit/receipt dates) and NO OTHER supplier did. EXISTS
+    becomes a left-semi and NOT EXISTS a left-anti join, both on the
+    order key with a supplier-inequality residual — never a per-row
+    subquery."""
+    li = _t(spark, sf_dir, "lineitem")
+    l1 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o1_key"),
+        F.col("l_suppkey").alias("s1_key"),
+    )
+    orders = (
+        _t(spark, sf_dir, "orders")
+        .where(F.col("o_orderstatus") == "F")
+        .select("o_orderkey")
+    )
+    l2 = li.select(
+        F.col("l_orderkey").alias("o2_key"),
+        F.col("l_suppkey").alias("s2_key"),
+    )
+    l3 = li.where(F.col("l_returnflag") == "R").select(
+        F.col("l_orderkey").alias("o3_key"),
+        F.col("l_suppkey").alias("s3_key"),
+    )
+    waiting = (
+        l1.join(orders, l1.o1_key == orders.o_orderkey, "left_semi")
+        .join(
+            l2,
+            (F.col("o1_key") == l2.o2_key)
+            & (F.col("s1_key") != l2.s2_key),
+            "left_semi",
+        )
+        .join(
+            l3,
+            (F.col("o1_key") == l3.o3_key)
+            & (F.col("s1_key") != l3.s3_key),
+            "left_anti",
+        )
+    )
+    supp = _t(spark, sf_dir, "supplier")
+    nat = (
+        _t(spark, sf_dir, "nation")
+        .where(F.col("n_name") == Q21_NATION)
+        .select("n_nationkey")
+    )
+    return (
+        waiting.join(supp, F.col("s1_key") == supp.s_suppkey)
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).cast("long").alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )
+
+
+register(
+    QuerySpec(
+        "tpch_q21_sole_returned_supplier",
+        _q21,
+        f"""
+SELECT s_name, CAST(count(*) AS BIGINT) AS numwait
+FROM lineitem l1, orders, supplier, nation
+WHERE l1.l_returnflag = 'R'
+  AND l1.l_orderkey = o_orderkey AND o_orderstatus = 'F'
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey
+      AND l2.l_suppkey <> l1.l_suppkey)
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey
+      AND l3.l_suppkey <> l1.l_suppkey AND l3.l_returnflag = 'R')
+  AND l1.l_suppkey = s_suppkey AND s_nationkey = n_nationkey
+  AND n_name = '{Q21_NATION}'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+        doc="TPC-H Q21 (adapted: return flag 'R' as the lateness "
+        "proxy): double-correlated EXISTS/NOT EXISTS as left-semi and "
+        "left-anti joins with supplier-inequality residuals",
+        tags=("extension", "tpch", "exists-anti"),
     )
 )

@@ -78,15 +78,38 @@ def make_paged_events_source():
         def partitions(self):
             # count probe (the reference's returnCountOnly request):
             # parquet footer statistics give max(event_id) without a
-            # data scan
+            # data scan. The column index is resolved BY NAME from the
+            # file schema — the fixture's physical layout has drifted
+            # between rounds, and a hard-coded index would silently
+            # yield max_id=0 (an empty page plan that drops every row)
+            # after a column reorder (ADVICE r3).
+            import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
-            md = pq.ParquetFile(self.path).metadata
+            pf = pq.ParquetFile(self.path)
+            md = pf.metadata
+            try:
+                idx = pf.schema_arrow.names.index("event_id")
+            except ValueError as exc:
+                raise ValueError(
+                    f"paged source requires an event_id column; file has "
+                    f"{pf.schema_arrow.names}"
+                ) from exc
             max_id = 0
+            stats_seen = True
             for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(0)  # event_id is column 0
+                col = md.row_group(rg).column(idx)
                 if col.statistics is not None and col.statistics.has_min_max:
                     max_id = max(max_id, int(col.statistics.max))
+                else:
+                    stats_seen = False
+            if not stats_seen or max_id == 0:
+                # statistics absent/disabled in the footer: fall back to
+                # a real max() scan of the key column (one column only)
+                # rather than silently planning zero pages
+                t = pq.read_table(self.path, columns=["event_id"])
+                mx = pc.max(t["event_id"]).as_py()
+                max_id = max(max_id, int(mx) if mx is not None else 0)
             n_pages = max_id // self.page_size + 1
             return [
                 _PagePartition(

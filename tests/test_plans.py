@@ -62,16 +62,57 @@ def test_reference_queries_use_wholestage_codegen(spark, sf_dir):
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, name
 
 
-def test_no_cartesian_products_anywhere(spark, sf_dir):
-    """No registered query may plan a cartesian product (the broadcast
-    nested loop in the brute-force ANN baseline is the one deliberate
-    exception — a broadcast of the tiny query set, not a shuffle
-    cartesian)."""
+# Queries whose plan legitimately contains a BroadcastNestedLoopJoin:
+# every entry is a BROADCAST of a constant-size side — a 1-row global
+# aggregate crossed back (scalar-combine pattern) or the tiny ANN query
+# set — never a shuffle cartesian over fact-sized inputs. A new name
+# showing up here must be justified the same way or the plan is a bug.
+_ALLOWED_BNLJ = {
+    # 1-row scalar-aggregate cross-combines
+    "text_tfidf_top_terms",        # corpus doc-count scalar
+    "dq_audit_violations",         # total-row-count scalar
+    "funnel_view_click_purchase",  # stage totals 1x1x1 combine
+    "events_orphan_user_audit",    # audit totals 1x1 combine
+    "dau_wau_stickiness",          # dau/wau scalar ratio
+    "cdc_last_state_compaction",   # scalar checksum combine
+    "set_ops_user_segments",       # three 1-row set cardinalities
+    "doc_length_quartile_assignment",  # 1-row quartile-bounds broadcast
+    "tpch_q22_rich_inactive_customers",  # 1-row positive-balance stats
+    "tpch_q11_important_stock",    # 1-row national stock total
+    # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
+    # brute-force baseline and its LSH/IVF comparators
+    "dedup_embedding_cosine_pairs",
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_ivf_topk",
+    "similarity_lsh_recall",
+}
+
+
+def test_registry_wide_plan_guardrails(spark, sf_dir):
+    """Permanent invariant over EVERY registered query (VERDICT r3 rec
+    #6): no shuffle cartesian products anywhere, and a broadcast
+    nested-loop join may appear only in the audited scalar-combine /
+    tiny-query-set allow-list above. This is the automated version of
+    the per-round manual plan audit — any future quadratic join fails
+    here before it ships."""
+    offenders: list[str] = []
     for name, spec in QUERIES.items():
         if name.startswith("stream_"):
             continue  # streaming queries execute at build time
         plan = _plan(spec.build(spark, sf_dir))
-        assert "CartesianProduct" not in plan, name
+        if "CartesianProduct" in plan:
+            offenders.append(f"{name}: CartesianProduct")
+        if "BroadcastNestedLoopJoin" in plan and name not in _ALLOWED_BNLJ:
+            offenders.append(f"{name}: unaudited BroadcastNestedLoopJoin")
+    assert not offenders, offenders
+
+
+def test_bnlj_allowlist_has_no_stale_entries():
+    """Every allow-list entry must still be a registered query — a
+    renamed/removed query must not leave a stale hole in the guardrail."""
+    stale = _ALLOWED_BNLJ - set(QUERIES)
+    assert not stale, stale
 
 
 def test_asof_join_plans_no_join_operator(spark, sf_dir):
