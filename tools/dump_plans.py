@@ -51,6 +51,22 @@ AUDITED = [
         "tpch_q5_local_supplier_volume",
         "six-way star join: all five joins broadcast-hash, zero sort-merge",
     ),
+    (
+        "tpch_q2_min_cost_supplier",
+        "correlated scalar MIN decorrelated: per-part MIN joined back on "
+        "(part, decimal cost); dims broadcast; one shuffle for the "
+        "derived partsupp aggregate",
+    ),
+    (
+        "tpch_q11_important_stock",
+        "HAVING-over-global-scalar decorrelated: 1-row total broadcast "
+        "nested-loop crossed back; no fact-sized cartesian",
+    ),
+    (
+        "tpch_q21_sole_returned_supplier",
+        "double-correlated EXISTS/NOT EXISTS as LeftSemi + LeftAnti "
+        "joins with supplier-inequality residuals; no per-row subquery",
+    ),
 ]
 
 
