@@ -232,3 +232,225 @@ FROM violations
         tags=("extension", "observability"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Recursive CTE (Spark 4): calendar-spine generation
+# ---------------------------------------------------------------------------
+
+SPINE_START, SPINE_END = "1995-01-01", "2001-08-01"
+
+
+def _recursive_month_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """``WITH RECURSIVE`` month-spine generation — the warehouse
+    calendar-dimension pattern (a spine left-joined to facts exposes
+    zero-activity periods, which a plain GROUP BY silently drops).
+    The recursion is 80 driver-coordinated iterations of a 1-row
+    relation — pure orchestration, like the reference's month loop
+    (violation_etl_history.py:160-167); the fact aggregation underneath
+    is one ordinary shuffle, so the shape scales."""
+    catalog.register_views(spark, sf_dir, ["orders"])
+    return spark.sql(
+        f"""
+        WITH RECURSIVE spine(m) AS (
+          SELECT DATE '{SPINE_START}'
+          UNION ALL
+          SELECT add_months(m, 1) FROM spine
+          WHERE m < DATE '{SPINE_END}'
+        )
+        SELECT date_format(m, 'yyyy-MM') AS month,
+               CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+        FROM spine
+        LEFT JOIN (
+          SELECT date_format(o_orderdate, 'yyyy-MM') AS om,
+                 count(*) AS n
+          FROM orders GROUP BY om
+        ) c ON date_format(m, 'yyyy-MM') = c.om
+        ORDER BY month
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "sql_recursive_month_spine",
+        _recursive_month_spine,
+        f"""
+WITH RECURSIVE spine(m) AS (
+  SELECT DATE '{SPINE_START}'
+  UNION ALL
+  SELECT CAST(m + INTERVAL 1 MONTH AS DATE) FROM spine
+  WHERE m < DATE '{SPINE_END}'
+)
+SELECT strftime(m, '%Y-%m') AS month,
+       CAST(coalesce(c.n, 0) AS BIGINT) AS n_orders
+FROM spine
+LEFT JOIN (
+  SELECT strftime(o_orderdate, '%Y-%m') AS om, count(*) AS n
+  FROM orders GROUP BY om
+) c ON strftime(m, '%Y-%m') = c.om
+ORDER BY month
+""",
+        doc="WITH RECURSIVE calendar spine (80 months) left-joined to "
+        "monthly order counts — zero-activity months surface as 0 rows "
+        "instead of disappearing",
+        tags=("extension", "sql-text", "recursive-cte"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# LATERAL subquery: correlated top-k without a window function
+# ---------------------------------------------------------------------------
+
+
+def _lateral_topk_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type top-3 busiest days via a correlated LATERAL subquery
+    (ORDER BY + LIMIT inside the lateral) — the set-returning-correlation
+    SQL surface. Catalyst decorrelates the lateral into a join +
+    per-group limit over the pre-aggregated daily counts; the
+    equivalent window-rank formulation is `topk_busiest_days_per_type`
+    (same engine shape, different SQL spelling)."""
+    catalog.register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        SELECT et.event_type, top.day, top.n_events
+        FROM (SELECT DISTINCT event_type FROM events) et,
+        LATERAL (
+          SELECT date_format(e.ts, 'yyyy-MM-dd') AS day,
+                 CAST(count(*) AS BIGINT) AS n_events
+          FROM events e
+          WHERE e.event_type = et.event_type
+          GROUP BY day
+          ORDER BY n_events DESC, day
+          LIMIT 3
+        ) top
+        ORDER BY et.event_type, top.n_events DESC, top.day
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "sql_lateral_topk_days",
+        _lateral_topk_days,
+        """
+SELECT et.event_type, top.day, top.n_events
+FROM (SELECT DISTINCT event_type FROM events) et,
+LATERAL (
+  SELECT strftime(e.ts, '%Y-%m-%d') AS day,
+         CAST(count(*) AS BIGINT) AS n_events
+  FROM events e
+  WHERE e.event_type = et.event_type
+  GROUP BY day
+  ORDER BY n_events DESC, day
+  LIMIT 3
+) top
+ORDER BY et.event_type, top.n_events DESC, top.day
+""",
+        doc="correlated LATERAL subquery with ORDER BY/LIMIT: per-type "
+        "top-3 busiest days, decorrelated by Catalyst into join + "
+        "per-group limit",
+        tags=("extension", "sql-text", "lateral"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# SQL pipe syntax (Spark 4.1): |> operator chains
+# ---------------------------------------------------------------------------
+
+
+def _pipe_syntax_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same logical plan Qg-style aggregations declare, written in
+    Spark 4.1's pipe syntax (FROM ... |> WHERE |> EXTEND |> AGGREGATE
+    |> ORDER BY) — each |> stage maps 1:1 onto a DataFrame
+    transformation, and Catalyst optimizes the chain identically to
+    the nested-SELECT spelling (the oracle twin is that spelling)."""
+    catalog.register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        FROM events
+        |> WHERE event_type = 'click'
+        |> EXTEND date_format(ts, 'yyyy-MM-dd') AS day
+        |> AGGREGATE CAST(count(*) AS BIGINT) AS n_clicks GROUP BY day
+        |> ORDER BY day
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "sql_pipe_syntax_daily",
+        _pipe_syntax_daily,
+        """
+SELECT strftime(ts, '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_clicks
+FROM events
+WHERE event_type = 'click'
+GROUP BY day ORDER BY day
+""",
+        doc="SQL pipe syntax (|> WHERE / EXTEND / AGGREGATE / ORDER "
+        "BY): daily click counts; identical Catalyst plan to the "
+        "nested-SELECT spelling",
+        tags=("extension", "sql-text", "pipe-syntax"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# ntile decile report (global ranked bucketing)
+# ---------------------------------------------------------------------------
+
+
+def _ntile_price_deciles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Order-value deciles via ``ntile(10)`` over a deterministic total
+    order (price, then unique key — ties can never straddle engines).
+    A global ntile IS a global sort; that is inherent to exact ranked
+    bucketing and acceptable for a 10-row report. The approximate
+    scale-path twin is `doc_length_quartile_assignment`
+    (approx_percentile bounds broadcast, no global sort)."""
+    from pyspark.sql.window import Window
+
+    orders = catalog.base(spark, sf_dir, "orders")
+    w = Window.orderBy("o_totalprice", "o_orderkey")
+    return (
+        orders.withColumn(
+            "decile", F.ntile(10).over(w).cast("long")
+        )
+        .groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_orders"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+            F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total"),
+        )
+        .orderBy("decile")
+    )
+
+
+register(
+    QuerySpec(
+        "sql_ntile_price_deciles",
+        _ntile_price_deciles,
+        """
+WITH ranked AS (
+  SELECT o_totalprice,
+         ntile(10) OVER (ORDER BY o_totalprice, o_orderkey) AS decile
+  FROM orders
+)
+SELECT CAST(decile AS BIGINT) AS decile,
+       CAST(count(*) AS BIGINT) AS n_orders,
+       min(o_totalprice) AS lo,
+       max(o_totalprice) AS hi,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+FROM ranked
+GROUP BY decile ORDER BY decile
+""",
+        doc="ntile(10) decile report over a deterministic total order "
+        "(price + unique key tiebreak); exact ranked bucketing",
+        tags=("extension", "window", "ntile"),
+    )
+)
