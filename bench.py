@@ -43,6 +43,35 @@ HEADLINE = [
 ]
 
 
+def build_summary(
+    out: dict,
+    names: list[str],
+    extras: list[str],
+    detail_path: str,
+) -> dict:
+    """The short headline record that must end stdout: everything the
+    official record needs, guaranteed to fit the driver's ~2000-byte
+    stdout tail (metric/value/unit, the reference per-query times,
+    streaming + extension totals, error count). Pure function so the
+    size/shape contract is unit-testable without a Spark session."""
+    per_query = out["queries"]
+    extras_set = set(extras)
+    return {
+        "metric": out["metric"],
+        "value": out["value"],
+        "unit": out["unit"],
+        "queries": {n: per_query[n] for n in names if n in per_query},
+        "streaming_total": out["streaming_total"],
+        "extensions_total": round(
+            sum(v for n, v in per_query.items() if n in extras_set), 4
+        ),
+        "n_queries_timed": len(per_query),
+        "n_errors": len(out.get("errors", {})),
+        "sf": out["sf"],
+        "detail": detail_path,
+    }
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -161,21 +190,7 @@ def main() -> None:
     except OSError as exc:
         print(f"detail write failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))
-    summary = {
-        "metric": "reference_surface_total_wallclock",
-        "value": round(total, 4),
-        "unit": "sec",
-        "queries": {n: per_query[n] for n in names if n in per_query},
-        "streaming_total": round(streaming_total, 4),
-        "extensions_total": round(
-            sum(v for n, v in per_query.items() if n in set(extras)), 4
-        ),
-        "n_queries_timed": len(per_query),
-        "n_errors": len(errors),
-        "sf": sf,
-        "detail": detail_path,
-    }
-    print(json.dumps(summary))
+    print(json.dumps(build_summary(out, names, extras, detail_path)))
 
 
 if __name__ == "__main__":

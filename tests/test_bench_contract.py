@@ -1,0 +1,66 @@
+"""The driver records only the LAST ~2000 bytes of bench.py stdout —
+round 3's headline was lost because one big JSON line put "value" at
+the head. These tests pin the fix: stdout must END with a short
+headline-only JSON line that always survives the tail cut (VERDICT r3
+rec #3). Pure-Python: no Spark session involved.
+"""
+
+import json
+
+from bench import HEADLINE, build_summary
+
+DRIVER_TAIL_BYTES = 2000
+
+
+def _fake_out(n_extras: int = 200) -> tuple[dict, list[str]]:
+    """A worst-case full record: every headline query timed plus a large
+    extension surface with long names (the size the summary must stay
+    immune to)."""
+    extras = [f"extension_query_with_a_long_name_{i:04d}" for i in range(n_extras)]
+    per_query = {n: round(0.1 + i * 0.001, 4) for i, n in enumerate(HEADLINE)}
+    per_query.update({n: 1.2345 for n in extras})
+    out = {
+        "metric": "reference_surface_total_wallclock",
+        "value": 4.8123,
+        "unit": "sec",
+        "queries": per_query,
+        "streaming_total": 22.4413,
+        "sf": 0.1,
+        "errors": {"some_query": "RuntimeError: boom"},
+    }
+    return out, extras
+
+
+def test_summary_fits_driver_stdout_tail():
+    out, extras = _fake_out()
+    line = json.dumps(build_summary(out, HEADLINE, extras, "/tmp/d.json"))
+    assert len(line.encode()) < DRIVER_TAIL_BYTES // 2, (
+        f"summary line is {len(line)} bytes; it must fit the driver's "
+        f"{DRIVER_TAIL_BYTES}-byte tail with headroom"
+    )
+
+
+def test_summary_carries_the_official_record():
+    out, extras = _fake_out()
+    s = build_summary(out, HEADLINE, extras, "/tmp/d.json")
+    # the driver-spec headline shape
+    assert s["metric"] == "reference_surface_total_wallclock"
+    assert s["value"] == 4.8123 and s["unit"] == "sec" and s["sf"] == 0.1
+    # every reference query's individual time is retained
+    assert set(s["queries"]) == set(HEADLINE)
+    # streaming segregated from the headline; extensions summed
+    assert s["streaming_total"] == 22.4413
+    assert s["extensions_total"] == round(1.2345 * len(extras), 4)
+    assert s["n_errors"] == 1
+    assert s["n_queries_timed"] == len(out["queries"])
+
+
+def test_summary_tolerates_missing_headline_times():
+    """A headline query that errored has no per-query time — the
+    summary must simply omit it, never raise (the record of a partially
+    failed run is more valuable than a crash)."""
+    out, extras = _fake_out()
+    del out["queries"][HEADLINE[0]]
+    s = build_summary(out, HEADLINE, extras, "/tmp/d.json")
+    assert HEADLINE[0] not in s["queries"]
+    assert len(s["queries"]) == len(HEADLINE) - 1
