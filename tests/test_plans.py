@@ -167,6 +167,26 @@ def test_topk_windows_over_preaggregate(spark, sf_dir):
     assert agg_pos > win_pos or "HashAggregate" in plan[win_pos:]
 
 
+def test_bloom_filter_prunes_fact_scan(spark, sf_dir):
+    """Runtime bloom-filter join pruning must actually inject: the
+    selective orders side builds a bloom_filter_agg and the lineitem
+    side evaluates it (might_contain) BEFORE the shuffle — the runtime
+    row-level prune a 100 TB fact join relies on."""
+    from dc_moving_violations_cloud_etl_spark.queries.join_ops import (
+        bloom_join_confs,
+        build_bloom_join,
+    )
+
+    df = build_bloom_join(spark, sf_dir)
+    with bloom_join_confs(spark):
+        df.collect()
+        plan = _plan(df)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # and the guard must restore the session: broadcast is re-enabled
+    assert spark.conf.get("spark.sql.autoBroadcastJoinThreshold") != "-1"
+
+
 def test_scd2_single_user_shuffle(spark, sf_dir):
     """The SCD-2 build partitions both windows and the final aggregate
     by user_id: exactly ONE hash-partitioning exchange on the user key
