@@ -316,3 +316,149 @@ FROM events GROUP BY 1 ORDER BY 1
         tags=("extension", "temporal", "pivot"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# gap-fill + linear interpolation over a daily series
+# ---------------------------------------------------------------------------
+
+
+def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar gap-fill with linear interpolation — the time-series
+    repair step every sensor/metrics pipeline needs (TimescaleDB's
+    ``time_bucket_gapfill`` + ``interpolate``, re-expressed in Spark
+    primitives). A deterministic 'outage' drops every day-of-month
+    divisible by 5 from the observed daily revenue series, then:
+
+    1. a date spine ``sequence(min_day, max_day)`` (explode) restores
+       the missing calendar rows;
+    2. LOCF windows (``last``/``first`` with ignoreNulls over unbounded
+       preceding/following) attach the nearest observation on each side;
+    3. the fill is the linear interpolation between them, falling back
+       to nearest-edge carry at the series boundaries.
+
+    Scale shape: the spine is two scalar aggregates + a generator (no
+    driver loop); both windows and the join are one partition-less pass
+    over ~|days| rows, NOT the fact table — the fact table is touched
+    once by the pre-aggregate. Daily totals route through DECIMAL so
+    the observed values are bit-identical on both engines; the lerp
+    itself is the same IEEE expression order, rounded to 6 digits."""
+    ev = catalog.base(spark, sf_dir, "events")
+    daily = (
+        ev.groupBy(F.to_date("ts").alias("day"))
+        .agg(
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("v")
+        )
+    )
+    observed = daily.where(F.dayofmonth("day") % 5 != 0)
+    bounds = daily.agg(
+        F.min("day").alias("lo"), F.max("day").alias("hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("lo", "hi")).alias("day")
+    )
+    from pyspark.sql.window import Window
+
+    w_prev = Window.orderBy("day").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.orderBy("day").rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    g = (
+        spine.join(observed, "day", "left")
+        .withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
+        .withColumn(
+            "prev_d",
+            F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(
+                w_prev
+            ),
+        )
+        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
+        .withColumn(
+            "next_d",
+            F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(
+                w_next
+            ),
+        )
+    )
+    frac = F.datediff("day", "prev_d") / F.datediff("next_d", "prev_d")
+    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    return (
+        g.select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("v").isNotNull().cast("int").alias("is_observed"),
+            F.round(
+                F.coalesce(
+                    "v",
+                    lerp,
+                    F.col("prev_v"),
+                    F.col("next_v"),
+                ),
+                6,
+            ).alias("value_filled"),
+            F.when(F.col("v").isNotNull(), "observed")
+            .when(
+                F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
+                "interpolated",
+            )
+            .otherwise("edge-carried")
+            .alias("fill_kind"),
+        )
+        .orderBy("day")
+    )
+
+
+register(
+    QuerySpec(
+        "timeseries_gapfill_interpolate",
+        _gapfill_interpolate,
+        """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d,
+         CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+  FROM events GROUP BY d
+),
+observed AS (SELECT * FROM daily WHERE day(d) % 5 <> 0),
+spine AS (
+  SELECT unnest(generate_series((SELECT min(d) FROM daily),
+                                (SELECT max(d) FROM daily),
+                                INTERVAL 1 DAY))::DATE AS d
+),
+g AS (
+  SELECT s.d, o.v,
+         last_value(o.v IGNORE NULLS) OVER
+           (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS prev_v,
+         last_value(CASE WHEN o.v IS NOT NULL THEN s.d END IGNORE NULLS)
+           OVER (ORDER BY s.d ROWS UNBOUNDED PRECEDING) AS prev_d,
+         first_value(o.v IGNORE NULLS) OVER
+           (ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_v,
+         first_value(CASE WHEN o.v IS NOT NULL THEN s.d END IGNORE NULLS)
+           OVER (ORDER BY s.d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+           AS next_d
+  FROM spine s LEFT JOIN observed o ON s.d = o.d
+)
+SELECT strftime(d, '%Y-%m-%d') AS day,
+       CAST(v IS NOT NULL AS INT) AS is_observed,
+       round(coalesce(
+         v,
+         prev_v + (next_v - prev_v)
+           * (date_diff('day', prev_d, d)
+              / CAST(date_diff('day', prev_d, next_d) AS DOUBLE)),
+         prev_v, next_v), 6) AS value_filled,
+       CASE WHEN v IS NOT NULL THEN 'observed'
+            WHEN prev_v IS NOT NULL AND next_v IS NOT NULL
+              THEN 'interpolated'
+            ELSE 'edge-carried' END AS fill_kind
+FROM g ORDER BY day
+""",
+        doc="calendar gap-fill + linear interpolation (deterministic "
+        "outage: days divisible by 5 dropped, then reconstructed): "
+        "spine via sequence/explode, LOCF windows both directions, "
+        "decimal-routed daily totals, IEEE-identical lerp",
+        tags=("extension", "temporal", "gapfill"),
+    )
+)
