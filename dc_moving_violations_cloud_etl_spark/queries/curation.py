@@ -787,3 +787,113 @@ GROUP BY gr.doc_id ORDER BY gr.doc_id
         tags=("extension", "curation", "novelty"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval over the corpus
+# ---------------------------------------------------------------------------
+
+BM25_TERMS = ("hash", "join", "stream")
+BM25_K1, BM25_B = 1.2, 0.75
+
+
+def _bm25_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Okapi BM25 scoring of every document against a fixed term query
+    — the ranked-retrieval step between exact TF-IDF
+    (`text_tfidf_top_terms`) and embedding ANN (`similarity_*`). Per
+    term: idf = ln((N - df + 0.5)/(df + 0.5) + 1), tf saturated by k1
+    and normalized by document length against the corpus average.
+
+    Scale shape: one explode+aggregate pass for (doc, term) tf and doc
+    lengths (map-side combinable), df and the (N, avgdl) stats are
+    constant-size broadcast sides — no corpus-sized shuffle beyond the
+    token aggregation. All inputs to the float math are exact integers
+    (tf, df, dl, N), so both engines evaluate the identical IEEE
+    expression; scores round to 4 dp."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    tok = d.select(
+        "doc_id", F.explode("toks").alias("term")
+    ).where(F.length("term") > 0)
+    dl = tok.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    stats = dl.agg(
+        F.count(F.lit(1)).cast("double").alias("n_docs"),
+        (F.sum("dl") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    qtok = tok.where(F.col("term").isin(*BM25_TERMS))
+    tf = qtok.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df_t = qtok.groupBy("term").agg(
+        F.countDistinct("doc_id").cast("double").alias("df")
+    )
+    k1, b = F.lit(BM25_K1), F.lit(BM25_B)
+    idf = F.log(
+        (F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0
+    )
+    denom = F.col("tf") + k1 * (
+        1.0 - b + b * F.col("dl") / F.col("avgdl")
+    )
+    term_score = idf * (F.col("tf") * (k1 + 1.0)) / denom
+    return (
+        tf.join(F.broadcast(df_t), "term")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(stats))
+        .groupBy("doc_id")
+        .agg(
+            F.round(F.sum(term_score), 4).alias("bm25"),
+            F.count(F.lit(1)).cast("long").alias("n_terms_hit"),
+        )
+        .orderBy(F.desc("bm25"), "doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "text_bm25_scores",
+        _bm25_scores,
+        _DOCS_CTE
+        + f"""
+, tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM docs_n)
+  WHERE length(t) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dl) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join', 'stream')
+  GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+  WHERE term IN ('hash', 'join', 'stream')
+  GROUP BY term
+)
+SELECT tf.doc_id,
+       round(sum(
+         ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+         * (tf * ({BM25_K1} + 1.0))
+         / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                              + {BM25_B} * dl.dl / avgdl))
+       ), 4) AS bm25,
+       CAST(count(*) AS BIGINT) AS n_terms_hit
+FROM tf
+JOIN df_t USING (term)
+JOIN dl ON dl.doc_id = tf.doc_id
+CROSS JOIN stats
+GROUP BY tf.doc_id
+ORDER BY bm25 DESC, tf.doc_id
+""",
+        doc="Okapi BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed "
+        "3-term query: tf/df/dl/avgdl from one token pass, idf and "
+        "length normalization in identical IEEE order on both engines",
+        tags=("extension", "text", "bm25"),
+    )
+)

@@ -79,6 +79,7 @@ _ALLOWED_BNLJ = {
     "doc_length_quartile_assignment",  # 1-row quartile-bounds broadcast
     "tpch_q22_rich_inactive_customers",  # 1-row positive-balance stats
     "tpch_q11_important_stock",    # 1-row national stock total
+    "text_bm25_scores",            # 1-row (N, avgdl) corpus stats
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
