@@ -414,3 +414,56 @@ FROM xy
         tags=("extension", "quality", "zipf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# sketch-error audit: HLL distinct counts against exact ground truth
+# ---------------------------------------------------------------------------
+
+
+def _approx_distinct_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The audit a 100 TB pipeline runs before trusting sketches:
+    per-type EXACT distinct users alongside a boolean contract check
+    that the engine's own HLL estimate (`approx_count_distinct`,
+    rsd=0.05) lands within a 15% envelope of the truth. The sketch
+    VALUE is engine-specific and never compared across engines — only
+    the exact count and the satisfied-contract flag are (DuckDB runs
+    its own approx_count_distinct against the same envelope; 15% is 3x
+    the requested rsd, so the flag is deterministic in practice while
+    still failing on a genuinely broken sketch)."""
+    ev = catalog.base(spark, sf_dir, "events")
+    exact = F.countDistinct("user_id").cast("long")
+    approx = F.approx_count_distinct("user_id", rsd=0.05)
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            exact.alias("exact_users"),
+            (
+                F.abs(approx - exact) / exact < F.lit(0.15)
+            ).cast("int").alias("sketch_within_15pct"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "approx_distinct_error_audit",
+        _approx_distinct_audit,
+        """
+SELECT event_type,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(abs(approx_count_distinct(user_id)
+                - count(DISTINCT user_id))
+            / CAST(count(DISTINCT user_id) AS DOUBLE) < 0.15
+            AS INT) AS sketch_within_15pct
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="sketch contract audit: exact distinct counts plus a "
+        "boolean that each engine's OWN HLL estimate is within 15% of "
+        "truth (sketch values are engine-specific and never compared "
+        "directly)",
+        tags=("extension", "quality", "sketch"),
+    )
+)
