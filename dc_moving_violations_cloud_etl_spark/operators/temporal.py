@@ -136,3 +136,67 @@ def range_join_pairs(
         .where((delta >= lower_s) & (delta <= upper_s))
         .drop("_bucket")
     )
+
+
+def gapfill_linear(
+    daily: DataFrame, day: str = "day", value: str = "v"
+) -> DataFrame:
+    """Calendar gap-fill with linear interpolation over a (date, value)
+    series: restore missing days from a ``sequence(min, max)`` spine,
+    attach the nearest observation on each side via LOCF windows
+    (``last``/``first`` with ignoreNulls), and fill gaps with the
+    linear interpolation between them — nearest-edge carry where only
+    one side exists.
+
+    Returns the spine with columns ``{day}``, ``{value}`` (null at
+    gaps), ``value_filled`` and ``fill_kind`` ('observed' |
+    'interpolated' | 'edge-carried'). The spine derives from two scalar
+    aggregates and one generator — no driver loop; the windows run over
+    |days| rows, not the underlying fact table. Used by the
+    `timeseries_gapfill_interpolate` query and property-tested in
+    tests/test_gapfill_property.py (exact reconstruction of linear
+    series)."""
+    bounds = daily.agg(
+        F.min(day).alias("_lo"), F.max(day).alias("_hi")
+    )
+    spine = bounds.select(
+        F.explode(F.sequence("_lo", "_hi")).alias(day)
+    )
+    w_prev = Window.orderBy(day).rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    w_next = Window.orderBy(day).rowsBetween(
+        0, Window.unboundedFollowing
+    )
+    v = F.col(value)
+    g = (
+        spine.join(daily, day, "left")
+        .withColumn("_prev_v", F.last(v, ignorenulls=True).over(w_prev))
+        .withColumn(
+            "_prev_d",
+            F.last(F.when(v.isNotNull(), F.col(day)), True).over(w_prev),
+        )
+        .withColumn("_next_v", F.first(v, ignorenulls=True).over(w_next))
+        .withColumn(
+            "_next_d",
+            F.first(F.when(v.isNotNull(), F.col(day)), True).over(w_next),
+        )
+    )
+    frac = F.datediff(F.col(day), F.col("_prev_d")) / F.datediff(
+        F.col("_next_d"), F.col("_prev_d")
+    )
+    lerp = F.col("_prev_v") + (F.col("_next_v") - F.col("_prev_v")) * frac
+    return g.select(
+        day,
+        value,
+        F.coalesce(v, lerp, F.col("_prev_v"), F.col("_next_v")).alias(
+            "value_filled"
+        ),
+        F.when(v.isNotNull(), "observed")
+        .when(
+            F.col("_prev_v").isNotNull() & F.col("_next_v").isNotNull(),
+            "interpolated",
+        )
+        .otherwise("edge-carried")
+        .alias("fill_kind"),
+    )

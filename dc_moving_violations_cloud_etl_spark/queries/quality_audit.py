@@ -467,3 +467,82 @@ GROUP BY event_type ORDER BY event_type
         tags=("extension", "quality", "sketch"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# compaction planning: greedy bin-packing of small files
+# ---------------------------------------------------------------------------
+
+COMPACT_TARGET_ROWS = 2000
+
+
+def _compaction_bin_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The small-files compaction planner — the maintenance job every
+    100 TB table needs (thousands of per-day micro-files per partition
+    degrade scan planning; OPTIMIZE-style compaction rewrites them into
+    target-size files). Per event_type, the (day → row count) table
+    stands in for per-file metadata; files pack greedily in day order:
+    a file's bin is ``floor(running_rows_before_it / target)``, so bins
+    fill to the target and a straddling file stays with the bin its
+    start falls in — deterministic, integer-exact, and computed with
+    ONE window over per-partition metadata (never the fact table; at
+    scale this reads the transaction-log/file listing, ~1e5 rows)."""
+    ev = catalog.base(spark, sf_dir, "events")
+    files = ev.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n_rows"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    binned = files.withColumn(
+        "bin",
+        F.floor(
+            F.coalesce(F.sum("n_rows").over(w), F.lit(0))
+            / COMPACT_TARGET_ROWS
+        ),
+    )
+    return (
+        binned.groupBy("event_type", "bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("n_rows").cast("long").alias("total_rows"),
+            F.date_format(F.min("day"), "yyyy-MM-dd").alias("first_day"),
+            F.date_format(F.max("day"), "yyyy-MM-dd").alias("last_day"),
+        )
+        .orderBy("event_type", "bin")
+    )
+
+
+register(
+    QuerySpec(
+        "compaction_bin_packing",
+        _compaction_bin_packing,
+        f"""
+WITH files AS (
+  SELECT event_type, CAST(ts AS DATE) AS d, count(*) AS n_rows
+  FROM events GROUP BY event_type, d
+),
+binned AS (
+  SELECT event_type, d, n_rows,
+         CAST(floor(coalesce(sum(n_rows) OVER (
+             PARTITION BY event_type ORDER BY d
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+           / {COMPACT_TARGET_ROWS}) AS BIGINT) AS bin
+  FROM files
+)
+SELECT event_type, bin,
+       CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(n_rows) AS BIGINT) AS total_rows,
+       strftime(min(d), '%Y-%m-%d') AS first_day,
+       strftime(max(d), '%Y-%m-%d') AS last_day
+FROM binned
+GROUP BY event_type, bin ORDER BY event_type, bin
+""",
+        doc="small-files compaction planner: greedy day-ordered "
+        "bin-packing to target-size files via one running-sum window "
+        "over per-partition metadata (integer-exact)",
+        tags=("extension", "layout", "compaction"),
+    )
+)

@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from .. import catalog
-from ..operators.temporal import asof_join, range_join_pairs
+from ..operators.temporal import asof_join, gapfill_linear, range_join_pairs
 from .registry import QuerySpec, register
 
 
@@ -352,60 +352,19 @@ def _gapfill_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("v")
         )
     )
-    observed = daily.where(F.dayofmonth("day") % 5 != 0)
-    bounds = daily.agg(
-        F.min("day").alias("lo"), F.max("day").alias("hi")
+    # null out the outage days IN PLACE (rather than filtering rows) so
+    # the spine still spans the full series — a dropped boundary day
+    # stays in range and is reported 'edge-carried'
+    observed = daily.withColumn(
+        "v", F.when(F.dayofmonth("day") % 5 != 0, F.col("v"))
     )
-    spine = bounds.select(
-        F.explode(F.sequence("lo", "hi")).alias("day")
-    )
-    from pyspark.sql.window import Window
-
-    w_prev = Window.orderBy("day").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    w_next = Window.orderBy("day").rowsBetween(
-        0, Window.unboundedFollowing
-    )
-    g = (
-        spine.join(observed, "day", "left")
-        .withColumn("prev_v", F.last("v", ignorenulls=True).over(w_prev))
-        .withColumn(
-            "prev_d",
-            F.last(F.when(F.col("v").isNotNull(), F.col("day")), True).over(
-                w_prev
-            ),
-        )
-        .withColumn("next_v", F.first("v", ignorenulls=True).over(w_next))
-        .withColumn(
-            "next_d",
-            F.first(F.when(F.col("v").isNotNull(), F.col("day")), True).over(
-                w_next
-            ),
-        )
-    )
-    frac = F.datediff("day", "prev_d") / F.datediff("next_d", "prev_d")
-    lerp = F.col("prev_v") + (F.col("next_v") - F.col("prev_v")) * frac
+    g = gapfill_linear(observed, day="day", value="v")
     return (
         g.select(
             F.date_format("day", "yyyy-MM-dd").alias("day"),
             F.col("v").isNotNull().cast("int").alias("is_observed"),
-            F.round(
-                F.coalesce(
-                    "v",
-                    lerp,
-                    F.col("prev_v"),
-                    F.col("next_v"),
-                ),
-                6,
-            ).alias("value_filled"),
-            F.when(F.col("v").isNotNull(), "observed")
-            .when(
-                F.col("prev_v").isNotNull() & F.col("next_v").isNotNull(),
-                "interpolated",
-            )
-            .otherwise("edge-carried")
-            .alias("fill_kind"),
+            F.round("value_filled", 6).alias("value_filled"),
+            "fill_kind",
         )
         .orderBy("day")
     )
