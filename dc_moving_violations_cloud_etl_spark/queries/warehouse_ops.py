@@ -437,3 +437,121 @@ ORDER BY term
         tags=("extension", "text", "inverted-index"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# incremental aggregate maintenance: partial merge vs full recompute
+# ---------------------------------------------------------------------------
+
+INCR_CUTOFF = "2024-01-20"
+
+
+def _incremental_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The incremental-recompute contract a 100 TB rollup relies on:
+    yesterday's materialized partial aggregate plus today's delta
+    partial must MERGE to exactly the full recompute (count and DECIMAL
+    sum are associative/commutative, so union-of-partials + re-agg is
+    lossless). The query performs both paths — merge of the base/delta
+    partials and a direct full aggregate — and emits a per-group
+    equality flag; at scale the base partial is a stored table and only
+    the delta scans new data, which is the entire point."""
+    ev = catalog.base(spark, sf_dir, "events").select(
+        "event_type", "ts", F.col("value").cast("decimal(18,2)").alias("v")
+    )
+    cutoff = F.lit(INCR_CUTOFF).cast("timestamp")
+
+    def partial(df: DataFrame, part: str) -> DataFrame:
+        return df.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias(f"n_{part}"),
+            F.sum("v").alias(f"sum_{part}"),
+        )
+
+    base = partial(ev.where(F.col("ts") < cutoff), "base")
+    delta = partial(ev.where(F.col("ts") >= cutoff), "delta")
+    merged = (
+        base.join(delta, "event_type", "full_outer")
+        .select(
+            "event_type",
+            F.coalesce("n_base", F.lit(0)).alias("n_base"),
+            F.coalesce("n_delta", F.lit(0)).alias("n_delta"),
+            (
+                F.coalesce("n_base", F.lit(0))
+                + F.coalesce("n_delta", F.lit(0))
+            ).alias("n_merged"),
+            (
+                F.coalesce(
+                    "sum_base", F.lit("0.00").cast("decimal(18,2)")
+                )
+                + F.coalesce(
+                    "sum_delta", F.lit("0.00").cast("decimal(18,2)")
+                )
+            ).alias("sum_merged_dec"),
+        )
+    )
+    full = ev.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n_full"),
+        F.sum("v").alias("sum_full"),
+    )
+    return (
+        merged.join(full, "event_type")
+        .select(
+            "event_type",
+            "n_base",
+            "n_delta",
+            "n_merged",
+            F.col("sum_merged_dec").cast("double").alias("total_merged"),
+            (
+                (F.col("n_merged") == F.col("n_full"))
+                & (F.col("sum_merged_dec") == F.col("sum_full"))
+            ).cast("int").alias("matches_full"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "incremental_agg_maintenance",
+        _incremental_agg,
+        f"""
+WITH ev AS (
+  SELECT event_type, ts, CAST(value AS DECIMAL(18,2)) AS v FROM events
+),
+base AS (
+  SELECT event_type, count(*) AS n_base, sum(v) AS sum_base
+  FROM ev WHERE ts < TIMESTAMP '{INCR_CUTOFF}' GROUP BY event_type
+),
+delta AS (
+  SELECT event_type, count(*) AS n_delta, sum(v) AS sum_delta
+  FROM ev WHERE ts >= TIMESTAMP '{INCR_CUTOFF}' GROUP BY event_type
+),
+merged AS (
+  SELECT coalesce(base.event_type, delta.event_type) AS event_type,
+         coalesce(n_base, 0) AS n_base,
+         coalesce(n_delta, 0) AS n_delta,
+         coalesce(n_base, 0) + coalesce(n_delta, 0) AS n_merged,
+         coalesce(sum_base, CAST('0.00' AS DECIMAL(18,2)))
+           + coalesce(sum_delta, CAST('0.00' AS DECIMAL(18,2)))
+           AS sum_merged_dec
+  FROM base FULL OUTER JOIN delta USING (event_type)
+),
+full_agg AS (
+  SELECT event_type, count(*) AS n_full, sum(v) AS sum_full
+  FROM ev GROUP BY event_type
+)
+SELECT m.event_type,
+       CAST(n_base AS BIGINT) AS n_base,
+       CAST(n_delta AS BIGINT) AS n_delta,
+       CAST(n_merged AS BIGINT) AS n_merged,
+       CAST(sum_merged_dec AS DOUBLE) AS total_merged,
+       CAST(n_merged = n_full AND sum_merged_dec = sum_full AS INT)
+         AS matches_full
+FROM merged m JOIN full_agg f ON m.event_type = f.event_type
+ORDER BY m.event_type
+""",
+        doc="incremental aggregate maintenance: base+delta partial merge "
+        "proven equal to the full recompute per group (associative "
+        "count/DECIMAL-sum partials; the stored-rollup update pattern)",
+        tags=("extension", "warehouse", "incremental"),
+    )
+)
