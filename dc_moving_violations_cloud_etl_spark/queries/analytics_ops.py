@@ -564,3 +564,92 @@ ORDER BY event_day
         tags=("extension", "analytics", "stickiness"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# gaps-and-islands: longest consecutive-day activity streak per user
+# ---------------------------------------------------------------------------
+
+
+def _activity_streaks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest consecutive-day activity streak per user — the classic
+    gaps-and-islands shape via the row_number-difference trick:
+    ``day - row_number`` is constant within a consecutive run, so one
+    partitioned window + one hash-agg finds every island without a
+    self-join. Distinct active days pre-shrink the input (≤ |users| x
+    |days| rows); every value is an integer or date, so the oracle
+    hash-matches exactly. Complements `sessionize_gap30` (time-gap
+    islands) at day granularity."""
+    ev = _events(spark, sf_dir)
+    days = ev.select(
+        "user_id", F.to_date("ts").alias("d")
+    ).distinct()
+    w = Window.partitionBy("user_id").orderBy("d")
+    islands = (
+        days.withColumn(
+            "grp", F.date_sub("d", F.row_number().over(w))
+        )
+        .groupBy("user_id", "grp")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("len"),
+            F.min("d").alias("start"),
+        )
+    )
+    pick = Window.partitionBy("user_id").orderBy(
+        F.desc("len"), F.asc("start")
+    )
+    return (
+        islands.withColumn("rn", F.row_number().over(pick))
+        .groupBy("user_id")
+        .agg(
+            F.sum("len").cast("long").alias("n_active_days"),
+            F.count(F.lit(1)).cast("long").alias("n_streaks"),
+            F.max("len").cast("long").alias("longest_streak"),
+            F.date_format(
+                F.min(F.when(F.col("rn") == 1, F.col("start"))),
+                "yyyy-MM-dd",
+            ).alias("streak_start"),
+        )
+        .orderBy("user_id")
+    )
+
+
+register(
+    QuerySpec(
+        "user_activity_streaks",
+        _activity_streaks,
+        """
+WITH days AS (
+  SELECT DISTINCT user_id, CAST(ts AS DATE) AS d FROM events
+),
+islands AS (
+  SELECT user_id, grp,
+         count(*) AS len, min(d) AS start
+  FROM (
+    SELECT user_id, d,
+           d - CAST(row_number() OVER (
+                 PARTITION BY user_id ORDER BY d) AS INT) AS grp
+    FROM days
+  )
+  GROUP BY user_id, grp
+),
+ranked AS (
+  SELECT *, row_number() OVER (
+           PARTITION BY user_id ORDER BY len DESC, start) AS rn
+  FROM islands
+)
+SELECT user_id,
+       CAST(sum(len) AS BIGINT) AS n_active_days,
+       CAST(count(*) AS BIGINT) AS n_streaks,
+       CAST(max(len) AS BIGINT) AS longest_streak,
+       strftime(min(CASE WHEN rn = 1 THEN start END), '%Y-%m-%d')
+         AS streak_start
+FROM ranked
+GROUP BY user_id ORDER BY user_id
+""",
+        doc="gaps-and-islands: longest consecutive-day streak per user "
+        "via the row_number-difference trick (one window + one agg, no "
+        "self-join); integer/date-exact",
+        tags=("extension", "analytics", "gaps-islands"),
+    )
+)
