@@ -67,6 +67,21 @@ AUDITED = [
         "double-correlated EXISTS/NOT EXISTS as LeftSemi + LeftAnti "
         "joins with supplier-inequality residuals; no per-row subquery",
     ),
+    (
+        "timeseries_gapfill_interpolate",
+        "spine from two scalar aggregates + generator; LOCF windows "
+        "over |days| rows, never the fact table",
+    ),
+    (
+        "text_bm25_scores",
+        "one explode+agg token pass; df and (N, avgdl) stats as "
+        "constant-size broadcast sides",
+    ),
+    (
+        "user_activity_streaks",
+        "row_number-difference islands: one partitioned window + one "
+        "hash-agg, no self-join",
+    ),
 ]
 
 
