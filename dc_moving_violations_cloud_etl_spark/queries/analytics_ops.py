@@ -653,3 +653,80 @@ GROUP BY user_id ORDER BY user_id
         tags=("extension", "analytics", "gaps-islands"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF with TABLE(...) PARTITION BY: per-partition analytic
+# ---------------------------------------------------------------------------
+
+
+def _udtf_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4's PARTITIONED Python UDTF surface: ``TABLE(events)
+    PARTITION BY user_id ORDER BY ts`` streams each user's rows through
+    one stateful class instance (eval per row, terminate per
+    partition) — the imperative escape hatch for per-key sequence
+    logic no window expression covers (here: max inter-event gap,
+    which lag() CAN express — deliberately, so the declarative twin is
+    the oracle). The class lives inside this function so cloudpickle
+    ships it by value; gaps stay integer microseconds end-to-end.
+    Row-at-a-time Python is the cost of this surface — fine for a
+    per-user analytic over pre-projected columns, never for the
+    hot path (the package's batch compute is all Column/Arrow)."""
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
+    class GapStats:
+        def __init__(self):
+            self.user = None
+            self.n = 0
+            self.prev = None
+            self.mx = 0
+
+        def eval(self, row):
+            self.user = row.user_id
+            self.n += 1
+            if self.prev is not None and row.ts_us - self.prev > self.mx:
+                self.mx = row.ts_us - self.prev
+            self.prev = row.ts_us
+
+        def terminate(self):
+            if self.user is not None:
+                yield self.user, self.n, self.mx
+
+    spark.udtf.register("user_gap_stats_udtf", GapStats)
+    _events(spark, sf_dir).select(
+        "user_id", F.unix_micros("ts").alias("ts_us")
+    ).createOrReplaceTempView("_events_ts_us")
+    return spark.sql(
+        """
+        SELECT user_id, n_events, max_gap_us
+        FROM user_gap_stats_udtf(
+          TABLE(_events_ts_us) PARTITION BY user_id ORDER BY ts_us)
+        ORDER BY user_id
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "udtf_partitioned_gap_stats",
+        _udtf_gap_stats,
+        """
+WITH gaps AS (
+  SELECT user_id,
+         epoch_us(ts) - lag(epoch_us(ts)) OVER (
+           PARTITION BY user_id ORDER BY epoch_us(ts)) AS gap_us
+  FROM events
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(coalesce(max(gap_us), 0) AS BIGINT) AS max_gap_us
+FROM gaps
+GROUP BY user_id ORDER BY user_id
+""",
+        doc="partitioned Python UDTF (TABLE(...) PARTITION BY ORDER BY): "
+        "per-user max inter-event gap via one stateful instance per "
+        "partition, verified against the declarative lag() twin",
+        tags=("extension", "udtf", "partitioned"),
+    )
+)
