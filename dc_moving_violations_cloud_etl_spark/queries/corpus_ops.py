@@ -329,3 +329,68 @@ ORDER BY lang, shard, bin_id
         tags=("extension", "curation", "pandas-udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# deterministic weighted sampling (Efraimidis–Spirakis exponential clocks)
+# ---------------------------------------------------------------------------
+
+WSAMPLE_K = 50
+
+
+def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement, fully deterministic — the
+    corpus-mixing primitive (sample long documents proportionally more
+    often) in its distributed form. Efraimidis–Spirakis via exponential
+    clocks: each doc draws u from its md5-prefix hash (seed-free, so
+    both engines replay bit-for-bit), and the k docs with the smallest
+    ``-ln(u)/w`` win — equivalent to sequential weighted draws, but
+    embarrassingly parallel: one projection pass + one top-k
+    (TakeOrderedAndProject at scale, never a global sort of the
+    corpus). Weight = token count. The clock uses each engine's libm
+    ``ln`` (exact inputs; agreement to 1 ulp), rounded to 10 dp in the
+    output; doc_id breaks ranking ties."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        F.size(tokens(normalized(F.col("text")))).cast("long").alias("w"),
+    )
+    h = F.conv(
+        F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10
+    ).cast("long")
+    u = (h + F.lit(1).cast("double")) / F.lit(4294967296.0)
+    clock = -F.log(u) / F.col("w")
+    return (
+        d.select(
+            "doc_id", "w", F.round(clock, 10).alias("clock_r10")
+        )
+        .orderBy(F.col("clock_r10").asc(), F.col("doc_id").asc())
+        .limit(WSAMPLE_K)
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_weighted_sample",
+        _weighted_sample,
+        f"""
+WITH d AS (
+  SELECT doc_id,
+         CAST(len(string_split(
+           lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
+           AS BIGINT) AS w
+  FROM documents
+)
+SELECT doc_id, w,
+       round(-ln((CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)
+                       AS BIGINT) + 1.0) / 4294967296.0) / w, 10)
+         AS clock_r10
+FROM d
+ORDER BY clock_r10 ASC, doc_id ASC
+LIMIT {WSAMPLE_K}
+""",
+        doc="Efraimidis-Spirakis weighted sampling without replacement: "
+        "seed-free md5-derived exponential clocks, smallest k win "
+        "(one pass + top-k; deterministic across engines)",
+        tags=("extension", "curation", "sampling"),
+    )
+)
