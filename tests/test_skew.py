@@ -58,10 +58,16 @@ def test_aqe_runtime_skew_split_fires(spark):
     shared across the whole test run."""
     confs = {
         "spark.sql.autoBroadcastJoinThreshold": "-1",
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.shuffle.partitions": "8",
         "spark.sql.adaptive.skewJoin.enabled": "true",
         "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
-        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "64KB",
-        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "32KB",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "16KB",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "16KB",
+        # the split must fire even when AQE judges it would add a
+        # shuffle (the downstream aggregate re-partitions anyway); in
+        # the full suite AQE's cost check is order-sensitive without it
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
     }
     olds = {k: spark.conf.get(k, None) for k in confs}
     for k, v in confs.items():
