@@ -1254,3 +1254,96 @@ FROM b ORDER BY doc_id
         tags=("extension", "multimodal", "arrow"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# REAL uncompressed-codec decode (round 4): BMP + WAV without any libs
+# ---------------------------------------------------------------------------
+
+
+def _bmp_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.decode_bmp_real(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "file_size",
+        "width",
+        "height",
+        "bpp",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+register(
+    QuerySpec(
+        "multimodal_bmp_decode_real",
+        _bmp_decode_real,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+)
+SELECT doc_id,
+       246 AS file_size,
+       8 AS width,
+       8 AS height,
+       24 AS bpp,
+       round(CAST(list_sum(bytes) AS DOUBLE) / 16.0, 6) AS mean_pixel
+FROM b ORDER BY doc_id
+""",
+        doc="REAL 24bpp BMP decode (no codec libs: struct-parsed "
+        "BITMAPFILE/INFO headers + numpy pixel mean over the actual "
+        "byte array); pixels tile the text digest, so the oracle "
+        "recomputes the stats analytically — 192 bytes = 12 exact "
+        "digest tiles makes mean_pixel == mean(digest)",
+        tags=("extension", "multimodal", "real-codec"),
+    )
+)
+
+
+def _wav_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.decode_wav_real(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "sample_rate",
+        "n_samples",
+        F.round("rms", 6).alias("rms"),
+    )
+
+
+register(
+    QuerySpec(
+        "multimodal_wav_decode_real",
+        _wav_decode_real,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+)
+SELECT doc_id,
+       16000 AS sample_rate,
+       64 AS n_samples,
+       round(sqrt(list_sum(list_transform(bytes,
+               x -> pow(x * 256.0 - 32768.0, 2))) / 16.0), 6) AS rms
+FROM b ORDER BY doc_id
+""",
+        doc="REAL RIFF/PCM16 WAV decode (no codec libs: struct-parsed "
+        "RIFF/fmt/data chunks + numpy RMS over the actual int16 "
+        "samples); 64 samples = 4 exact digest tiles makes the RMS "
+        "analytically recomputable by the oracle",
+        tags=("extension", "multimodal", "real-codec"),
+    )
+)
