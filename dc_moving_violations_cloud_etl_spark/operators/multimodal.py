@@ -266,6 +266,89 @@ def decode_bmp_real(documents: DataFrame) -> DataFrame:
     )
 
 
+Y4M_W, Y4M_H, Y4M_FRAMES = 8, 8, 4
+Y4M_STRIDE = 2  # sample every 2nd frame, the keyframe-ish pattern
+
+Y4M_SCHEMA = (
+    "doc_id long, width int, height int, n_frames int, "
+    "frame_idx int, mean_luma double"
+)
+
+
+def encode_y4m(digest: bytes) -> bytes:
+    """A genuine YUV4MPEG2 stream (the uncompressed video interchange
+    format): text stream header, then per frame a FRAME marker + raw
+    C420 planes (Y 8x8, U/V 4x4). Frame k's luma byte i is
+    ``(digest[(i + 3k) % 16] + k) % 256`` — deterministic, frame-
+    varying, and analytically recomputable by the oracle."""
+    head = f"YUV4MPEG2 W{Y4M_W} H{Y4M_H} F25:1 Ip A1:1 C420\n".encode()
+    out = [head]
+    chroma = bytes((Y4M_W // 2) * (Y4M_H // 2)) * 2  # flat U + V planes
+    for k in range(Y4M_FRAMES):
+        y = bytes(
+            (digest[(i + 3 * k) % len(digest)] + k) % 256
+            for i in range(Y4M_W * Y4M_H)
+        )
+        out.append(b"FRAME\n" + y + chroma)
+    return b"".join(out)
+
+
+def decode_y4m_real(documents: DataFrame) -> DataFrame:
+    """REAL Y4M decode over mapInPandas: parse the stream header's
+    W/H/C tags, walk the FRAME markers, numpy-mean each sampled
+    frame's actual luma plane — ffmpeg-free video frame sampling over
+    the uncompressed interchange format (1→N row-expanding batch fn,
+    same shape as ``frame_sample``)."""
+
+    stride, n_frames = Y4M_STRIDE, Y4M_FRAMES
+    enc = encode_y4m
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        def decode(payload: bytes):
+            nl = payload.index(b"\n")
+            tags = payload[:nl].decode().split(" ")
+            assert tags[0] == "YUV4MPEG2", "not a Y4M payload"
+            w = int(next(t[1:] for t in tags if t.startswith("W")))
+            h = int(next(t[1:] for t in tags if t.startswith("H")))
+            assert "C420" in tags, "C420 chroma only"
+            frame_bytes = w * h + 2 * (w // 2) * (h // 2)
+            pos, frames = nl + 1, []
+            while pos < len(payload):
+                assert payload[pos : pos + 6] == b"FRAME\n", "bad marker"
+                pos += 6
+                y = np.frombuffer(
+                    payload[pos : pos + w * h], np.uint8
+                )
+                frames.append(float(y.mean()))
+                pos += frame_bytes
+            return w, h, frames
+
+        for pdf in it:
+            out: dict[str, list] = {
+                "doc_id": [], "width": [], "height": [],
+                "n_frames": [], "frame_idx": [], "mean_luma": [],
+            }
+            for doc_id, digest in zip(pdf["doc_id"], pdf["digest"]):
+                w, h, frames = decode(enc(digest))
+                assert len(frames) == n_frames
+                for i in range(0, len(frames), stride):
+                    out["doc_id"].append(doc_id)
+                    out["width"].append(w)
+                    out["height"].append(h)
+                    out["n_frames"].append(len(frames))
+                    out["frame_idx"].append(i)
+                    out["mean_luma"].append(frames[i])
+            yield pd.DataFrame(out)
+
+    return (
+        _digest_bytes_col(documents)
+        .mapInPandas(batches, schema=Y4M_SCHEMA)
+        .orderBy("doc_id", "frame_idx")
+    )
+
+
 def decode_wav_real(documents: DataFrame) -> DataFrame:
     """REAL WAV decode over mapInPandas: parse the RIFF/fmt/data chunks
     with struct, then numpy-RMS the actual int16 sample array."""

@@ -1347,3 +1347,58 @@ FROM b ORDER BY doc_id
         tags=("extension", "multimodal", "real-codec"),
     )
 )
+
+
+def _y4m_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.decode_y4m_real(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "width",
+        "height",
+        "n_frames",
+        "frame_idx",
+        F.round("mean_luma", 6).alias("mean_luma"),
+    )
+
+
+register(
+    QuerySpec(
+        "multimodal_y4m_decode_real",
+        _y4m_decode_real,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+),
+frames AS (
+  SELECT doc_id, bytes, unnest([0, 2]) AS frame_idx FROM b
+)
+SELECT doc_id,
+       8 AS width,
+       8 AS height,
+       4 AS n_frames,
+       frame_idx,
+       -- frame k luma bytes tile (digest[(i+3k) mod 16] + k) mod 256
+       -- over 64 pixels = 4 exact tiles, so the mean reduces to the
+       -- 16-byte digest mean after the same rotation+offset transform
+       round(CAST(list_sum(list_transform(bytes,
+               x -> (x + frame_idx) % 256)) AS DOUBLE) / 16.0, 6)
+         AS mean_luma
+FROM frames ORDER BY doc_id, frame_idx
+""",
+        doc="REAL YUV4MPEG2 (uncompressed video) decode: stream-header "
+        "tag parse, FRAME-marker walk, numpy luma mean per sampled "
+        "frame (stride 2) — ffmpeg-free frame sampling; frame bytes "
+        "tile a rotated+offset digest, so the oracle recomputes each "
+        "sampled frame's mean analytically (rotation preserves the "
+        "mean; the +k offset wraps mod 256)",
+        tags=("extension", "multimodal", "real-codec"),
+    )
+)

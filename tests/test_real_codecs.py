@@ -46,3 +46,29 @@ def test_wav_layout_is_a_valid_pcm16_file():
     samples = struct.unpack(f"<{WAV_N}h", payload[44:])
     assert samples[:16] == tuple(b * 256 - 32768 for b in DIGEST)
     assert samples == samples[:16] * 4  # exact tiling
+
+
+def test_y4m_layout_is_a_valid_c420_stream():
+    from dc_moving_violations_cloud_etl_spark.operators.multimodal import (
+        Y4M_FRAMES,
+        Y4M_H,
+        Y4M_W,
+        encode_y4m,
+    )
+
+    payload = encode_y4m(DIGEST)
+    nl = payload.index(b"\n")
+    tags = payload[:nl].decode().split(" ")
+    assert tags[0] == "YUV4MPEG2"
+    assert f"W{Y4M_W}" in tags and f"H{Y4M_H}" in tags and "C420" in tags
+    frame_bytes = Y4M_W * Y4M_H + 2 * (Y4M_W // 2) * (Y4M_H // 2)
+    body = payload[nl + 1 :]
+    assert len(body) == Y4M_FRAMES * (6 + frame_bytes)
+    # frame 0: luma tiles the digest exactly; frame 1: +1 offset, rot 3
+    f0 = body[6 : 6 + Y4M_W * Y4M_H]
+    assert f0 == (DIGEST * 4)
+    f1 = body[6 + frame_bytes + 6 : 6 + frame_bytes + 6 + Y4M_W * Y4M_H]
+    expect1 = bytes(
+        (DIGEST[(i + 3) % 16] + 1) % 256 for i in range(Y4M_W * Y4M_H)
+    )
+    assert f1 == expect1
