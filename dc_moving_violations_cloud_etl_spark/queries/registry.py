@@ -55,6 +55,7 @@ def _load_all() -> None:
         "source_ops",
         "relational_ops",
         "modern_sql",
+        "mining_ops",
         "tpch",
         "streaming_ops",
         "sql_text",
