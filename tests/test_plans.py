@@ -80,6 +80,8 @@ _ALLOWED_BNLJ = {
     "tpch_q22_rich_inactive_customers",  # 1-row positive-balance stats
     "tpch_q11_important_stock",    # 1-row national stock total
     "text_bm25_scores",            # 1-row (N, avgdl) corpus stats
+    "graph_triangle_census",       # nodes/edges/wedges/tri 1x1x1 combine
+    "basket_type_lift",            # 1-row basket-count broadcast
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
