@@ -454,3 +454,56 @@ GROUP BY decile ORDER BY decile
         tags=("extension", "window", "ntile"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# EXECUTE IMMEDIATE + IDENTIFIER: injection-safe dynamic SQL
+# ---------------------------------------------------------------------------
+
+
+def _execute_immediate_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dynamic per-table profiling via ``EXECUTE IMMEDIATE`` with an
+    ``IDENTIFIER(:t)`` table parameter — the engine-native form of the
+    reference's f-string SQL assembly (violation_etl_daily.py:168):
+    the table NAME is bound as a parameter and resolved as an
+    identifier, so neither values nor names are string-spliced. One
+    constant-size EXECUTE per table (3), unioned driver-side; each
+    inner query is an ordinary pushdown count over the parquet scan."""
+    catalog.register_views(
+        spark, sf_dir, ["events", "documents", "embeddings"]
+    )
+    out = None
+    for t in ("documents", "embeddings", "events"):
+        one = spark.sql(
+            """
+            EXECUTE IMMEDIATE
+              'SELECT :name AS table_name,
+                      CAST(count(*) AS BIGINT) AS n_rows
+               FROM IDENTIFIER(:name)'
+              USING ? AS name
+            """,
+            args=[t],
+        )
+        out = one if out is None else out.unionByName(one)
+    return out.orderBy("table_name")
+
+
+register(
+    QuerySpec(
+        "execute_immediate_profile",
+        _execute_immediate_profile,
+        """
+SELECT 'documents' AS table_name, CAST(count(*) AS BIGINT) AS n_rows
+FROM documents
+UNION ALL
+SELECT 'embeddings', CAST(count(*) AS BIGINT) FROM embeddings
+UNION ALL
+SELECT 'events', CAST(count(*) AS BIGINT) FROM events
+ORDER BY table_name
+""",
+        doc="EXECUTE IMMEDIATE with IDENTIFIER(:name) parameter binding: "
+        "dynamic table-name SQL without string splicing (the injection-"
+        "safe form of the reference's f-string assembly)",
+        tags=("extension", "sql-text", "dynamic-sql"),
+    )
+)

@@ -282,3 +282,45 @@ GROUP BY event_type ORDER BY event_type
         tags=("streaming", "update-mode"),
     )
 )
+
+
+from ..streaming.tws import transform_with_state_totals  # noqa: E402
+
+
+def _tws_runtime_available() -> bool:
+    """transformWithStateInPandas drives its state server over protobuf
+    (pyspark.sql.streaming.proto.StateMessage_pb2) — a runtime dep this
+    container does not ship. Gate the registration (container policy:
+    import-try, never a guaranteed-red driver row); on any cluster with
+    `protobuf` installed the query registers and oracle-checks like the
+    rest of the streaming surface (tests/test_streaming_tws.py holds
+    both arms of the gate)."""
+    try:
+        import google.protobuf  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_SPEC = QuerySpec(
+        "stream_transform_with_state",
+        transform_with_state_totals,
+        """
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY user_id
+ORDER BY user_id
+""",
+        doc="Spark-4 transformWithStateInPandas: typed named ValueState "
+        "on the RocksDB provider, real two-batch execution (one file "
+        "per trigger), cumulative per-user totals reduced by monotone "
+        "max — the successor API to applyInPandasWithState",
+        tags=("streaming", "stateful", "transform-with-state"),
+)
+
+if _tws_runtime_available():
+    register(_TWS_SPEC)

@@ -1,0 +1,39 @@
+"""Both arms of the transformWithStateInPandas runtime gate
+(streaming_ops._tws_runtime_available): the API needs `protobuf` in the
+Python workers — present, the query must register and match its oracle;
+absent (this container), the gate must keep it out of the registry so
+the driver never sees a guaranteed-red row."""
+
+from __future__ import annotations
+
+import pytest
+
+from dc_moving_violations_cloud_etl_spark.queries import streaming_ops
+from dc_moving_violations_cloud_etl_spark.queries.registry import QUERIES
+
+from .conftest import assert_df_matches_oracle
+
+_AVAILABLE = streaming_ops._tws_runtime_available()
+
+
+def test_gate_matches_registry_state():
+    assert ("stream_transform_with_state" in QUERIES) == _AVAILABLE
+
+
+def test_spec_is_complete_either_way():
+    """The spec itself is always built (the capability is implemented,
+    only registration is gated), with oracle + doc + tags intact."""
+    spec = streaming_ops._TWS_SPEC
+    assert spec.name == "stream_transform_with_state"
+    assert spec.oracle and "sum_cents" in spec.oracle
+    assert "streaming" in spec.tags
+
+
+@pytest.mark.skipif(
+    not _AVAILABLE, reason="protobuf not installed in this container"
+)
+def test_tws_matches_oracle(spark, sf_dir, ddb):
+    spec = streaming_ops._TWS_SPEC
+    assert_df_matches_oracle(
+        spec.build(spark, sf_dir), ddb, spec.oracle, spec.name
+    )

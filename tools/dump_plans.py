@@ -82,6 +82,22 @@ AUDITED = [
         "row_number-difference islands: one partitioned window + one "
         "hash-agg, no self-join",
     ),
+    (
+        "graph_triangle_census",
+        "triangle join runs on the persisted collapsed EDGE table "
+        "(InMemoryTableScan on both join sides), never the fact scan; "
+        "1-row census combines are the only nested-loop nodes",
+    ),
+    (
+        "events_zscore_outliers",
+        "5-row moment aggregate broadcast back over the fact; outlier "
+        "test is decimal codegen, no float variance",
+    ),
+    (
+        "dedup_sorted_neighborhood",
+        "one window sort per block pass + JVM levenshtein; no "
+        "self-join, no pair explosion beyond W*n",
+    ),
 ]
 
 
