@@ -395,6 +395,20 @@ def minhash_dedup_assign(documents: DataFrame) -> DataFrame:
         minhash_signatures(documents).select("doc_id", "sh", "bands")
     )
     )
+    return minhash_assign_from_signatures(per_doc)
+
+
+def minhash_assign_from_signatures(per_doc: DataFrame) -> DataFrame:
+    """Keeper assignment over an already-materialized signature table
+    ``(doc_id, sh, bands)`` — the second half of
+    ``minhash_dedup_assign``, factored so the signature table can come
+    from storage or an INCREMENTAL union (base signatures ∪ newly
+    sketched delta) instead of a full re-sketch: per-doc signatures are
+    pure functions of the text, so base ∪ delta is bit-identical to the
+    full recompute — the property ``dedup_incremental_signatures``
+    oracle-checks against the full-recompute SQL. The caller persists
+    ``per_doc`` (it feeds the band explode and both verify-join sides).
+    """
     bands = per_doc.select(
         "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
     )

@@ -9,7 +9,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from .. import catalog
+from .. import caching, catalog
 from ..operators import dedup, multimodal, similarity
 from ..oracle import with_ref_views
 from ..operators.text import (
@@ -1400,5 +1400,49 @@ FROM frames ORDER BY doc_id, frame_idx
         "sampled frame's mean analytically (rotation preserves the "
         "mean; the +k offset wraps mod 256)",
         tags=("extension", "multimodal", "real-codec"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# incremental signature maintenance: sketch the delta, not the corpus
+# ---------------------------------------------------------------------------
+
+
+def _incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB dedup-index maintenance path: when a delta batch of
+    documents arrives, only the DELTA is re-sketched; the stored base
+    signature table is reused as-is and the keeper assignment runs over
+    base ∪ delta. Per-doc MinHash signatures are pure functions of the
+    text, so the union is bit-identical to a full re-sketch — which is
+    exactly what the oracle checks: this query's result must hash-match
+    the FULL-recompute assignment SQL (same oracle as
+    ``dedup_minhash_assign``).
+
+    Here the "stored base" is simulated by sketching the two disjoint
+    slices separately (delta = every 10th doc); in production the base
+    half is a parquet/Delta signature table read back from storage.
+    """
+    docs = _docs(spark, sf_dir)
+    base = docs.where(F.col("doc_id") % 10 != 0)
+    delta = docs.where(F.col("doc_id") % 10 == 0)
+    sig_cols = ["doc_id", "sh", "bands"]
+    merged = caching.persist_tracked(
+        dedup.minhash_signatures(base)
+        .select(*sig_cols)
+        .unionByName(dedup.minhash_signatures(delta).select(*sig_cols))
+    )
+    return dedup.minhash_assign_from_signatures(merged)
+
+
+register(
+    QuerySpec(
+        "dedup_incremental_signatures",
+        _incremental_assign,
+        _minhash_assign_sql(),
+        doc="incremental dedup-index maintenance: delta-only re-sketch, "
+        "stored-base signature reuse, keeper assignment over the union "
+        "— oracle-checked equal to the full recompute",
+        tags=("extension", "dedup", "incremental"),
     )
 )

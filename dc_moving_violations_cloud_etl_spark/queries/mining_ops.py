@@ -493,3 +493,103 @@ ORDER BY kind
         tags=("extension", "dedup", "mining"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# distribution drift audit (integer-exact PSI-style bin comparison)
+# ---------------------------------------------------------------------------
+
+
+def _value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-data distribution-shift detection: split the corpus into
+    an OLD and NEW half (by event_id midpoint — ingestion order), bin
+    the value column (10-currency-unit cents bins), and flag bins whose
+    share moved by more than 2 percentage points. The proportion test is
+    cross-multiplied to exact integers
+    (``50 * |n_new*N_old - n_old*N_new| > N_new*N_old``), so both
+    engines agree bit-for-bit — no float shares.
+
+    Shape: one 1-row midpoint aggregate broadcast over the fact scan,
+    one per-bin aggregate (|bins| rows), one 1-row totals combine. The
+    fact table is scanned once and never shuffled beyond the bin agg.
+    """
+    x = _events(spark, sf_dir).select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    mid = x.agg(
+        ((F.min("event_id") + F.max("event_id")) / F.lit(2))
+        .cast("long")
+        .alias("mid")
+    )
+    binned = (
+        x.crossJoin(F.broadcast(mid))
+        .groupBy(F.expr("cents div 1000").alias("value_bin"))
+        .agg(
+            F.sum((F.col("event_id") < F.col("mid")).cast("long"))
+            .cast("long")
+            .alias("n_old"),
+            F.sum((F.col("event_id") >= F.col("mid")).cast("long"))
+            .cast("long")
+            .alias("n_new"),
+        )
+    )
+    totals = binned.agg(
+        F.sum("n_old").cast("long").alias("t_old"),
+        F.sum("n_new").cast("long").alias("t_new"),
+    )
+    return (
+        binned.crossJoin(F.broadcast(totals))
+        .select(
+            "value_bin",
+            "n_old",
+            "n_new",
+            (
+                F.lit(50)
+                * F.abs(
+                    F.col("n_new") * F.col("t_old")
+                    - F.col("n_old") * F.col("t_new")
+                )
+                > F.col("t_new") * F.col("t_old")
+            ).alias("drift"),
+        )
+        .orderBy("value_bin")
+    )
+
+
+register(
+    QuerySpec(
+        "events_value_drift_audit",
+        _value_drift_audit,
+        """
+WITH x AS (
+  SELECT event_id, CAST(round(value * 100) AS BIGINT) AS cents FROM events
+),
+m AS (
+  SELECT CAST((min(event_id) + max(event_id)) // 2 AS BIGINT) AS mid FROM x
+),
+b AS (
+  SELECT cents // 1000 AS value_bin,
+         CAST(sum(CASE WHEN event_id < m.mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_old,
+         CAST(sum(CASE WHEN event_id >= m.mid THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_new
+  FROM x, m GROUP BY 1
+),
+t AS (
+  SELECT CAST(sum(n_old) AS BIGINT) AS t_old,
+         CAST(sum(n_new) AS BIGINT) AS t_new
+  FROM b
+)
+SELECT value_bin, n_old, n_new,
+       50 * abs(n_new * t.t_old - n_old * t.t_new) > t.t_new * t.t_old
+         AS drift
+FROM b, t
+ORDER BY value_bin
+""",
+        doc="distribution-shift audit: old/new halves by event_id "
+        "midpoint, 10-unit value bins, 2-percentage-point share test "
+        "cross-multiplied to exact integers",
+        tags=("extension", "mining", "quality"),
+    )
+)

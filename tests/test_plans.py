@@ -82,6 +82,7 @@ _ALLOWED_BNLJ = {
     "text_bm25_scores",            # 1-row (N, avgdl) corpus stats
     "graph_triangle_census",       # nodes/edges/wedges/tri 1x1x1 combine
     "basket_type_lift",            # 1-row basket-count broadcast
+    "events_value_drift_audit",    # 1-row midpoint + totals broadcasts
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
