@@ -324,3 +324,22 @@ ORDER BY user_id
 
 if _tws_runtime_available():
     register(_TWS_SPEC)
+
+
+from ..streaming.statestore import statestore_counts  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_statestore_read",
+        statestore_counts,
+        """
+SELECT event_type, CAST(count(*) AS BIGINT) AS n_events
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="state-store introspection: the `statestore` batch reader "
+        "over a completed streaming count's checkpoint — keyed operator "
+        "state as an ordinary DataFrame, equal to the flat aggregate",
+        tags=("streaming", "statestore", "introspection"),
+    )
+)

@@ -1,0 +1,102 @@
+"""State-store introspection: Spark 4's ``statestore`` /
+``state-metadata`` batch DataFrame readers over a streaming query's
+checkpoint (SURVEY.md §2.J operational surface).
+
+The reference debugs its incremental state by querying the MySQL table
+it writes (DEPLOYMENT.md verification queries); the Structured
+Streaming analog is reading the OPERATOR STATE itself — the keyed
+running aggregates inside the checkpoint — as an ordinary DataFrame,
+without touching the running query. That is how a production operator
+inspects / audits / repairs streaming state at scale: the reader
+parallelizes over state-store partitions like any other source.
+
+Determinism: the demonstrator runs a per-type streaming count to
+completion (availableNow) against a fixture-identity-keyed checkpoint,
+then reads the final state back. The state equals the flat batch
+aggregate, so the DuckDB oracle is exact. Re-runs over an existing
+checkpoint see no new files, commit no new batch, and read identical
+state — idempotent by construction.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import normalize_event_ts, read_parquet
+from .daily import _SCRATCH_ROOT, _drain_memory_sink, _run_to_completion, _stage_dir
+
+
+def _checkpoint_dir(path: str, tag: str) -> str:
+    """Fixture-identity-keyed checkpoint dir (size+mtime, mirroring
+    ``_stage_dir``): a regenerated fixture never aliases a stale
+    checkpoint; stale generations are swept."""
+    st = os.stat(path)
+    ident = f"ckpt_{tag}-{st.st_size}-{st.st_mtime_ns}"
+    try:
+        for entry in os.listdir(_SCRATCH_ROOT):
+            if entry.startswith(f"ckpt_{tag}-") and entry != ident:
+                shutil.rmtree(
+                    os.path.join(_SCRATCH_ROOT, entry), ignore_errors=True
+                )
+    except FileNotFoundError:
+        pass
+    return os.path.join(_SCRATCH_ROOT, ident)
+
+
+def statestore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a per-type streaming count to completion, then read the
+    keyed state out of the checkpoint with the ``statestore`` reader."""
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = hashlib.md5(f"ssread:{sf_dir}".encode()).hexdigest()[:8]
+    ckpt = _checkpoint_dir(path, tag)
+    name = f"ssread_{tag}"
+
+    # The memory sink cannot RESUME from a checkpoint (by design — its
+    # output lives in driver memory), so the stream is driven only when
+    # this fixture's checkpoint holds no committed batch yet; afterwards
+    # the state alone answers, which is the point of the demonstrator:
+    # state outlives the query and its sink.
+    commits = os.path.join(ckpt, "commits")
+    committed = os.path.isdir(commits) and any(
+        not e.startswith(".") for e in os.listdir(commits)
+    )
+    if not committed:
+        shutil.rmtree(ckpt, ignore_errors=True)  # partial run → start over
+        events = normalize_event_ts(
+            spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+        )
+        agg = events.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n")
+        )
+        _run_to_completion(
+            spark,
+            agg.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True),
+        )
+    # The executor-side state reader resolves the driver's
+    # StateStoreCoordinator RPC endpoint, which Spark registers lazily
+    # with the FIRST streaming query of a session — on the warm-
+    # checkpoint path (no query driven above) force-create it, or the
+    # read tasks fail with an unresolvable endpoint.
+    spark._jsparkSession.sessionState().streamingQueryManager().stateStoreCoordinator()
+
+    # the sink output is irrelevant here — the result comes from the
+    # operator state; _drain_memory_sink drops the memory table
+    state = spark.read.format("statestore").load(ckpt)
+    return _drain_memory_sink(
+        spark,
+        name,
+        state.select(
+            F.col("key.event_type").alias("event_type"),
+            F.col("value.count").cast("long").alias("n_events"),
+        ).orderBy("event_type"),
+    )
