@@ -28,7 +28,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from .. import catalog
+from .. import caching, catalog
 from ..operators.layout import bucketize, zorder_key
 from ..oracle import with_ref_views
 from .extensions import _docs
@@ -544,5 +544,96 @@ GROUP BY event_type, bin ORDER BY event_type, bin
         "bin-packing to target-size files via one running-sum window "
         "over per-partition metadata (integer-exact)",
         tags=("extension", "layout", "compaction"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# heavy-hitters sketch audit: approx_top_k vs exact token top-10
+# ---------------------------------------------------------------------------
+
+
+def _topk_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequent-items audit, the top-k sibling of
+    ``approx_distinct_error_audit``: exact token top-10 (count desc,
+    token asc — deterministic tie-break) alongside the contract that
+    Spark 4.1's ``approx_top_k`` sketch (oversampled k=20, 10k tracked
+    items) (a) contains each exact top-10 token and (b) estimates its
+    count within a 10% envelope. The oracle pins both flags to true —
+    DuckDB 1.0 ships no frequent-items sketch, so this is a one-sided
+    invariant: a regression in the sketch (missed heavy hitter,
+    out-of-envelope estimate) flips a flag and fails the hash. At
+    100 TB the same audit runs with maxItemsTracked ≪ vocabulary and
+    the envelope does real work; on this fixture (30-token vocab) the
+    sketch is exact by capacity.
+    """
+    toks = (
+        catalog.base(spark, sf_dir, "documents")
+        .select(
+            F.explode(
+                F.split(
+                    F.lower(
+                        F.regexp_replace(F.trim("text"), r"\s+", " ")
+                    ),
+                    " ",
+                )
+            ).alias("t")
+        )
+        .where(F.length("t") >= 3)
+    )
+    toks = caching.persist_tracked(toks)
+    exact10 = (
+        toks.groupBy("t")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_exact"))
+        .orderBy(F.col("n_exact").desc(), F.col("t"))
+        .limit(10)
+    )
+    sketch = toks.agg(
+        F.expr("approx_top_k(t, 20, 10000)").alias("sk")
+    ).select(F.explode("sk").alias("e")).select(
+        F.col("e.item").alias("t"), F.col("e.count").alias("n_est")
+    )
+    return (
+        exact10.join(F.broadcast(sketch), "t", "left")
+        .select(
+            "t",
+            "n_exact",
+            F.col("n_est").isNotNull().alias("in_sketch"),
+            (
+                F.col("n_est").isNotNull()
+                & (
+                    F.lit(10) * F.abs(F.col("n_est") - F.col("n_exact"))
+                    <= F.col("n_exact")
+                )
+            ).alias("count_within_10pct"),
+        )
+        .orderBy(F.col("n_exact").desc(), F.col("t"))
+    )
+
+
+register(
+    QuerySpec(
+        "topk_sketch_audit",
+        _topk_sketch_audit,
+        r"""
+WITH toks AS (
+  SELECT unnest(string_split(
+    lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS t
+  FROM documents
+),
+exact10 AS (
+  SELECT t, CAST(count(*) AS BIGINT) AS n_exact
+  FROM toks WHERE length(t) >= 3
+  GROUP BY t ORDER BY n_exact DESC, t LIMIT 10
+)
+SELECT t, n_exact, TRUE AS in_sketch, TRUE AS count_within_10pct
+FROM exact10
+ORDER BY n_exact DESC, t
+""",
+        doc="heavy-hitters audit: exact token top-10 + one-sided "
+        "contract that the engine's approx_top_k sketch covers each "
+        "hitter within a 10% count envelope (sketch values never "
+        "cross-compared; DuckDB 1.0 has no frequent-items sketch)",
+        tags=("extension", "sketch", "audit"),
     )
 )

@@ -92,6 +92,12 @@ def _load_all() -> None:
 # stream_late_data_watermark; all since fixed and sim-green) plus the
 # r3-red-now-fixed inverted_index_postings — and one reference-core
 # canary (q0). Everything official-green in r2/r3 waits in overflow.
+# Round-5 rotation candidates (registered AFTER this round's window was
+# frozen, so they have no official row yet): graph_triangle_census,
+# basket_type_lift, events_zscore_outliers, dedup_sorted_neighborhood,
+# execute_immediate_profile, dedup_incremental_signatures,
+# events_value_drift_audit, stream_statestore_read, topk_sketch_audit —
+# plus anything in this window that comes back red.
 DRIVER_WINDOW = [
     # r3's only red row, fixed this round (posting list serialized to a
     # comma-joined string so the driver's canonicalizer can hash it)
