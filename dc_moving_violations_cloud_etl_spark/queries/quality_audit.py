@@ -637,3 +637,73 @@ ORDER BY n_exact DESC, t
         tags=("extension", "sketch", "audit"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# mergeable-sketch rollup: daily HLL sketches unioned to monthly scopes
+# ---------------------------------------------------------------------------
+
+
+def _hll_union_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The sketch-REUSE path a 100 TB warehouse actually runs: distinct
+    users are counted per month by UNIONING stored per-day Datasketches
+    HLL sketches (``hll_sketch_agg`` → ``hll_union_agg`` →
+    ``hll_sketch_estimate``) — a constant-size merge, no rescan of the
+    fact table per scope. The audit row carries the EXACT per-month
+    distinct count (cross-engine comparable) plus the contract flag
+    that the merged estimate lands within a 15% envelope; DuckDB checks
+    the same envelope with its own approx_count_distinct, sketch values
+    never cross-compared (same design as approx_distinct_error_audit).
+    """
+    ev = catalog.base(spark, sf_dir, "events").select(
+        F.date_format("ts", "yyyy-MM").alias("month"),
+        F.to_date("ts").alias("d"),
+        "user_id",
+    )
+    daily = ev.groupBy("month", "d").agg(
+        F.hll_sketch_agg("user_id").alias("sk")
+    )
+    merged = daily.groupBy("month").agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est")
+    )
+    exact = ev.groupBy("month").agg(
+        F.countDistinct("user_id").cast("long").alias("exact_users")
+    )
+    return (
+        exact.join(F.broadcast(merged), "month")
+        .select(
+            "month",
+            "exact_users",
+            (
+                F.abs(F.col("est") - F.col("exact_users"))
+                / F.col("exact_users")
+                < F.lit(0.15)
+            )
+            .cast("int")
+            .alias("merged_within_15pct"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    QuerySpec(
+        "hll_union_rollup_audit",
+        _hll_union_rollup,
+        """
+SELECT strftime(ts, '%Y-%m') AS month,
+       CAST(count(DISTINCT user_id) AS BIGINT) AS exact_users,
+       CAST(CASE WHEN abs(approx_count_distinct(user_id)
+                          - count(DISTINCT user_id))
+                      / count(DISTINCT user_id) < 0.15
+            THEN 1 ELSE 0 END AS INT) AS merged_within_15pct
+FROM events
+GROUP BY 1 ORDER BY month
+""",
+        doc="mergeable-sketch rollup: per-day HLL sketches unioned to "
+        "monthly estimates (hll_sketch_agg/hll_union_agg — constant-"
+        "size merge, no fact rescan per scope), 15% envelope contract "
+        "beside the exact count; engine sketches never cross-compared",
+        tags=("extension", "sketch", "audit"),
+    )
+)
