@@ -627,12 +627,9 @@ ORDER BY query_vec_id, rank
 )
 
 
-register(
-    QuerySpec(
-        "similarity_ivf_topk",
-        lambda spark, sf_dir: similarity.cosine_topk_ivf(_emb(spark, sf_dir)),
-        _EMB_CTE
-        + """
+# IVF coarse-quantizer chain (centroids -> cell assignment -> in-cell
+# scoring), shared by the top-k oracle and the recall oracle
+_IVF_CHAIN_SQL = """
 , corpus_l AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
 ),
@@ -676,6 +673,16 @@ scored AS (
                i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
   FROM assigned c JOIN queries q ON c.cell_id = q.qcell
 )
+"""
+
+
+register(
+    QuerySpec(
+        "similarity_ivf_topk",
+        lambda spark, sf_dir: similarity.cosine_topk_ivf(_emb(spark, sf_dir)),
+        _EMB_CTE
+        + _IVF_CHAIN_SQL
+        + """
 SELECT query_vec_id, neighbor_vec_id, cos_sim, rank FROM (
   SELECT *, CAST(row_number() OVER (
       PARTITION BY query_vec_id
@@ -1444,5 +1451,86 @@ register(
         "stored-base signature reuse, keeper assignment over the union "
         "— oracle-checked equal to the full recompute",
         tags=("extension", "dedup", "incremental"),
+    )
+)
+
+
+def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the IVF (nprobe=1) ANN against the brute-force exact
+    baseline — the same measurement ``similarity_lsh_recall`` publishes
+    for the hyperplane variant, closing the loop on BOTH bucketed scale
+    paths: nprobe=1 trades recall for a single-cell search, and this is
+    the number that decides whether to raise nprobe."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    ivf = similarity.cosine_topk_ivf(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    matched = exact.join(ivf, ["query_vec_id", "neighbor_vec_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_ivf = ivf.agg(F.count(F.lit(1)).alias("n_ivf_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_exact_pairs",
+            "n_ivf_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_ivf_recall",
+        _ivf_recall,
+        _EMB_CTE
+        + _IVF_CHAIN_SQL
+        + """
+, ivf5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM scored
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact JOIN ivf5 USING (query_vec_id, neighbor_vec_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ivf5) AS n_ivf_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6
+""",
+        doc="recall@5 of the IVF nprobe=1 cell search vs the brute-force "
+        "exact baseline — the measured evidence for the inverted-file "
+        "scale path (sibling of similarity_lsh_recall)",
+        tags=("extension", "similarity", "ivf", "recall"),
     )
 )

@@ -707,3 +707,68 @@ GROUP BY 1 ORDER BY month
         tags=("extension", "sketch", "audit"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# quantile-sketch audit: approx_percentile vs the exact interpolated value
+# ---------------------------------------------------------------------------
+
+
+def _quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The quantile member of the sketch-audit family (HLL distinct,
+    approx_top_k heavy hitters, and now percentile): per-type EXACT
+    interpolated p50/p90 (cross-engine comparable at 6 dp, proven by
+    ``events_value_percentiles``) beside contract flags that the
+    engine's own quantile sketch (Spark: Greenwald-Khanna
+    ``approx_percentile``; DuckDB: t-digest ``approx_quantile``) lands
+    within a 10%-relative + 0.1-absolute envelope of the truth. Sketch
+    values are never cross-compared — each engine audits its own sketch
+    (the approx_distinct_error_audit design)."""
+    ev = catalog.base(spark, sf_dir, "events")
+    exact50 = F.expr("percentile(value, 0.5D)")
+    exact90 = F.expr("percentile(value, 0.9D)")
+    ap = F.percentile_approx("value", [0.5, 0.9], 10000)
+
+    def ok(approx, exact):
+        return (
+            F.abs(approx - exact) <= F.lit(0.1) * F.abs(exact) + F.lit(0.1)
+        ).cast("int")
+
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(exact50, 6).alias("p50_exact_r6"),
+            F.round(exact90, 6).alias("p90_exact_r6"),
+            ok(ap[0], exact50).alias("approx_p50_ok"),
+            ok(ap[1], exact90).alias("approx_p90_ok"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "quantile_sketch_audit",
+        _quantile_sketch_audit,
+        """
+SELECT event_type,
+       round(quantile_cont(value, 0.5), 6) AS p50_exact_r6,
+       round(quantile_cont(value, 0.9), 6) AS p90_exact_r6,
+       CAST(CASE WHEN abs(approx_quantile(value, 0.5)
+                          - quantile_cont(value, 0.5))
+                  <= 0.1 * abs(quantile_cont(value, 0.5)) + 0.1
+            THEN 1 ELSE 0 END AS INT) AS approx_p50_ok,
+       CAST(CASE WHEN abs(approx_quantile(value, 0.9)
+                          - quantile_cont(value, 0.9))
+                  <= 0.1 * abs(quantile_cont(value, 0.9)) + 0.1
+            THEN 1 ELSE 0 END AS INT) AS approx_p90_ok
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="quantile-sketch audit: exact interpolated p50/p90 beside "
+        "per-engine contract flags that the native quantile sketch "
+        "(GK / t-digest) is within a 10%+0.1 envelope — sketch values "
+        "never cross-compared",
+        tags=("extension", "sketch", "audit"),
+    )
+)

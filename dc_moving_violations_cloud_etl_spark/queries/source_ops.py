@@ -351,3 +351,30 @@ GROUP BY event_type ORDER BY event_type
         tags=("extension", "source", "pushdown"),
     )
 )
+
+
+def _orc_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ORC completes the columnar-format matrix (parquet is the native
+    fixture; JSON/CSV are the text paths): schema preserved by the file
+    footer — no timestampFormat needed — and the scan supports the same
+    predicate pushdown / column pruning as parquet."""
+    d = _staged(
+        spark,
+        sf_dir,
+        "orc",
+        lambda df, out: df.coalesce(2).write.mode("overwrite").orc(out),
+    )
+    return _roundtrip_agg(spark.read.orc(d))
+
+
+register(
+    QuerySpec(
+        "orc_source_roundtrip_agg",
+        _orc_source_agg,
+        _AGG_ORACLE,
+        doc="ORC round-trip: schema-carrying columnar format, same "
+        "pushdown/pruning class as parquet; microsecond ts extrema in "
+        "the hash prove losslessness",
+        tags=("extension", "source", "orc"),
+    )
+)

@@ -90,6 +90,7 @@ _ALLOWED_BNLJ = {
     "similarity_lsh_topk",
     "similarity_ivf_topk",
     "similarity_lsh_recall",
+    "similarity_ivf_recall",
 }
 
 
