@@ -394,3 +394,108 @@ LIMIT {WSAMPLE_K}
         tags=("extension", "curation", "sampling"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# vocabulary encode (numericalization): tokens -> ids with OOV
+# ---------------------------------------------------------------------------
+
+_VOCAB_SIZE = 25
+
+
+def _vocab_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The numericalization step between tokenized text and training
+    shards: build a frequency-ranked vocabulary (top 25, count desc /
+    token asc — the explicit tie-break makes the boundary rank
+    deterministic in both engines), broadcast it as the dictionary, and
+    encode every document to an order-preserving id sequence with OOV
+    id 0.
+
+    Scale shape: one token-count aggregate for the vocabulary (tiny,
+    broadcast back), one posexplode + broadcast-hash dictionary join
+    over the token stream, one per-doc re-assembly aggregate
+    (collect_list of (pos, id) structs sorted in-array — never a global
+    sort). The id sequence is serialized to CSV so the driver's
+    canonicalizer hashes it (the inverted_index_postings lesson).
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", F.split(normalized(F.col("text")), " ").alias("toks")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "t")
+    )
+    vocab = (
+        tok.groupBy("t")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy(F.col("n").desc(), F.col("t"))
+        .limit(_VOCAB_SIZE)
+        .select(
+            "t",
+            F.row_number()
+            .over(Window.orderBy(F.col("n").desc(), F.col("t")))
+            .cast("long")
+            .alias("tid"),
+        )
+    )
+    enc = tok.join(F.broadcast(vocab), "t", "left").select(
+        "doc_id", "pos", F.coalesce("tid", F.lit(0)).alias("tid")
+    )
+    return (
+        enc.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tokens"),
+            F.sum((F.col("tid") == 0).cast("long"))
+            .cast("long")
+            .alias("n_oov"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "tid"))),
+                    lambda x: x["tid"].cast("string"),
+                ),
+                ",",
+            ).alias("ids_csv"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_vocab_encode",
+        _vocab_encode,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(toks) AS t,
+         generate_subscripts(toks, 1) AS pos
+  FROM d
+),
+vocab AS (
+  SELECT t, CAST(row_number() OVER (ORDER BY n DESC, t) AS BIGINT) AS tid
+  FROM (SELECT t, count(*) AS n FROM tok GROUP BY t)
+  ORDER BY n DESC, t LIMIT 25
+),
+enc AS (
+  SELECT doc_id, pos, coalesce(v.tid, 0) AS tid
+  FROM tok LEFT JOIN vocab v USING (t)
+)
+SELECT doc_id,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN tid = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+       string_agg(CAST(tid AS VARCHAR), ',' ORDER BY pos) AS ids_csv
+FROM enc
+GROUP BY doc_id
+ORDER BY doc_id
+""",
+        doc="vocabulary encode (numericalization): frequency-ranked "
+        "top-25 dictionary with deterministic tie-break, broadcast "
+        "dictionary join, order-preserving id sequences with OOV=0, "
+        "CSV-serialized for the driver's canonicalizer",
+        tags=("extension", "curation", "tokenizer"),
+    )
+)

@@ -343,3 +343,27 @@ GROUP BY event_type ORDER BY event_type
         tags=("streaming", "statestore", "introspection"),
     )
 )
+
+
+from ..streaming.filesink import file_sink_roundtrip  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_file_sink_exactly_once",
+        file_sink_roundtrip,
+        """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(DISTINCT event_id) AS BIGINT) AS n_unique_ids,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="exactly-once streaming file sink: checkpointed append "
+        "parquet + _spark_metadata manifest; replay over a warm "
+        "checkpoint commits nothing and the manifest-aware batch read "
+        "returns the identical table (n_events == n_unique_ids proves "
+        "no duplicate landings)",
+        tags=("streaming", "sink", "exactly-once"),
+    )
+)
