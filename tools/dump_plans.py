@@ -98,6 +98,11 @@ AUDITED = [
         "one window sort per block pass + JVM levenshtein; no "
         "self-join, no pair explosion beyond W*n",
     ),
+    (
+        "corpus_vocab_encode",
+        "tiny vocabulary broadcast-hash dictionary join over the token "
+        "stream; per-doc reassembly via in-array sort, no global sort",
+    ),
 ]
 
 
