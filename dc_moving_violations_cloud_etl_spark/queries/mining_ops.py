@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import caching, catalog
+from ..operators.text import normalized
 from .registry import QuerySpec, register
 
 
@@ -74,6 +75,10 @@ def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
+    # persisted: the co-occurrence projection feeds BOTH sides of the
+    # pair self-join — without it the click filter + JSON extract +
+    # DISTINCT pass over the fact table runs twice
+    uk = caching.persist_tracked(uk)
     edges = (
         uk.alias("a")
         .join(uk.alias("b"), ["k", "d"])
@@ -369,11 +374,13 @@ def _sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``n_blocks`` counts blocks that produced at least one candidate
     pair (multi-document blocks).
     """
-    d = _documents(spark, sf_dir).select(
-        "doc_id",
-        F.lower(
-            F.regexp_replace(F.trim("text"), r"\s+", " ")
-        ).alias("norm"),
+    # null-text documents are dropped on BOTH engines (a NULL norm
+    # would otherwise diverge: Spark counts the neighbor pair by bid,
+    # DuckDB by snip) — the guard is a plain pushed isnotnull filter
+    d = (
+        _documents(spark, sf_dir)
+        .where(F.col("text").isNotNull())
+        .select("doc_id", normalized(F.col("text")).alias("norm"))
     )
     blocks = (
         d.select(
@@ -444,6 +451,7 @@ WITH d AS (
   SELECT doc_id,
          lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
   FROM documents
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT 'prefix' AS kind, left(norm, 32) AS key, doc_id,

@@ -30,6 +30,7 @@ from pyspark.sql import functions as F
 
 from .. import caching, catalog
 from ..operators.layout import bucketize, zorder_key
+from ..operators.text import normalized
 from ..oracle import with_ref_views
 from .extensions import _docs
 from .registry import QuerySpec, register
@@ -570,14 +571,7 @@ def _topk_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = (
         catalog.base(spark, sf_dir, "documents")
         .select(
-            F.explode(
-                F.split(
-                    F.lower(
-                        F.regexp_replace(F.trim("text"), r"\s+", " ")
-                    ),
-                    " ",
-                )
-            ).alias("t")
+            F.explode(F.split(normalized(F.col("text")), " ")).alias("t")
         )
         .where(F.length("t") >= 3)
     )

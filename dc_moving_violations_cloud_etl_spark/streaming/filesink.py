@@ -32,10 +32,15 @@ def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet(spark, path).schema
     st = os.stat(path)
-    ident = f"fsink-{st.st_size}-{st.st_mtime_ns}"
+    tag = hashlib.md5(f"fsink:{sf_dir}".encode()).hexdigest()[:8]
+    # sweep is keyed per FIXTURE (tag) like statestore._checkpoint_dir:
+    # only a regenerated generation of the SAME sf dir is stale — an
+    # unscoped sweep would delete the other fixtures' sinks on every
+    # sf0.001/sf0.01/sf0.1 alternation and defeat the warm-replay path
+    ident = f"fsink-{tag}-{st.st_size}-{st.st_mtime_ns}"
     try:
         for entry in os.listdir(_SCRATCH_ROOT):
-            if entry.startswith("fsink-") and entry != ident:
+            if entry.startswith(f"fsink-{tag}-") and entry != ident:
                 shutil.rmtree(
                     os.path.join(_SCRATCH_ROOT, entry), ignore_errors=True
                 )
@@ -44,7 +49,6 @@ def file_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     root = os.path.join(_SCRATCH_ROOT, ident)
     out_dir = os.path.join(root, "out")
     ckpt = os.path.join(root, "ckpt")
-    tag = hashlib.md5(f"fsink:{sf_dir}".encode()).hexdigest()[:8]
 
     # Drive the sink. On a warm checkpoint the availableNow run sees no
     # new files and commits nothing — the manifest (and therefore the

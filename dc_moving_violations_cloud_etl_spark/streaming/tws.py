@@ -15,10 +15,11 @@ Differences this demonstrator exercises deliberately:
   reads back RocksDB state written by the first.
 
 The processor keeps one running (count, cents-sum) per user and emits
-the cumulative snapshot each time a batch touches the user. Both
-accumulators are monotone, so the final per-user row is the MAX over
-emissions — deterministic regardless of batch slicing, hence fully
-oracle-checkable against the flat per-user aggregate.
+the cumulative snapshot each time a batch touches the user. The count
+is strictly monotone, so the final per-user row is the emission with
+the highest ``cum_n`` (``max_by`` for the cents — sign-safe) —
+deterministic regardless of batch slicing, hence fully oracle-checkable
+against the flat per-user aggregate.
 """
 
 from __future__ import annotations
@@ -87,8 +88,8 @@ def transform_with_state_totals(
 ) -> DataFrame:
     """events stream (2 files, 1 per trigger) →
     ``transformWithStateInPandas`` running per-user totals on RocksDB
-    state → memory sink; final = per-user MAX over cumulative
-    emissions."""
+    state → memory sink; final = each user's LAST cumulative
+    emission."""
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet(spark, path).schema
     st = os.stat(path)
@@ -144,7 +145,13 @@ def transform_with_state_totals(
         .groupBy("user_id")
         .agg(
             F.max("cum_n").cast("long").alias("n_events"),
-            F.max("cum_cents").cast("long").alias("sum_cents"),
+            # the LATEST emission (highest cum_n), not max of the cents
+            # column: cum_cents is monotone only for non-negative values,
+            # and the two maxima could otherwise come from different
+            # batches if a refund-style negative value ever appears
+            F.expr("max_by(cum_cents, cum_n)")
+            .cast("long")
+            .alias("sum_cents"),
         )
         .orderBy("user_id"),
     )

@@ -105,6 +105,12 @@ def test_registry_wide_plan_guardrails(spark, sf_dir):
     for name, spec in QUERIES.items():
         if name.startswith("stream_"):
             continue  # streaming queries execute at build time
+        if name == "bloom_pruned_fact_join":
+            # executes eagerly inside its conf guard and returns a
+            # LocalTableScan of the collected aggregate — its plan is
+            # vacuous here (and building it would run the join); the
+            # REAL plan is asserted by test_bloom_filter_prunes_fact_scan
+            continue
         plan = _plan(spec.build(spark, sf_dir))
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
