@@ -730,3 +730,56 @@ GROUP BY user_id ORDER BY user_id
         tags=("extension", "udtf", "partitioned"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# explicit GROUPING SETS (the third of the rollup/cube/sets trio)
+# ---------------------------------------------------------------------------
+
+
+def _grouping_sets_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom grouping sets via the Spark 4 ``DataFrame.groupingSets``
+    API — exactly the two marginals plus the grand total, WITHOUT the
+    full cross-product a CUBE would compute (``events_cube_type_weekday``
+    is the CUBE twin; ``qa_rollup_totals`` the ROLLUP one). One Expand
+    (×3) + one hash aggregate; ``grouping_id`` disambiguates the NULLs
+    of each set from data NULLs."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        (F.dayofweek("ts") - 1).alias("wd"),  # 0 = Sunday, both engines
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    return (
+        ev.groupingSets([["event_type"], ["wd"], []], "event_type", "wd")
+        .agg(
+            F.expr("grouping_id(event_type, wd)").cast("long").alias("gid"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("sum_cents"),
+        )
+        .orderBy("gid", "event_type", "wd")
+    )
+
+
+register(
+    QuerySpec(
+        "events_grouping_sets_matrix",
+        _grouping_sets_matrix,
+        """
+SELECT event_type,
+       CASE WHEN GROUPING(dayofweek(ts)) = 0
+            THEN dayofweek(ts) END AS wd,
+       CAST(GROUPING(event_type) * 2 + GROUPING(dayofweek(ts)) AS BIGINT)
+         AS gid,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(round(value * 100) AS BIGINT)) AS BIGINT)
+         AS sum_cents
+FROM events
+GROUP BY GROUPING SETS ((event_type), (dayofweek(ts)), ())
+ORDER BY gid, event_type, wd
+""",
+        doc="explicit GROUPING SETS (marginals + grand total, no cube "
+        "cross-product) via the Spark 4 DataFrame.groupingSets API; "
+        "grouping_id disambiguates set NULLs",
+        tags=("extension", "analytics", "grouping-sets"),
+    )
+)

@@ -601,3 +601,65 @@ ORDER BY value_bin
         tags=("extension", "mining", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# exact correlation-direction audit (integer cross-multiplied covariance)
+# ---------------------------------------------------------------------------
+
+
+def _corr_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Does the event value co-move with the ``props.k`` attribute?
+    The covariance NUMERATOR ``n*Σxy − Σx*Σy`` is computed in exact
+    integer arithmetic (cents × k fits comfortably in 64 bits at any
+    plausible scale) — the sign answers the direction question without
+    ever dividing by a float stddev, so both engines agree exactly
+    (same trap-avoidance as events_zscore_outliers)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("x"),
+        F.get_json_object("props", "$.k").cast("long").alias("y"),
+    ).where(F.col("y").isNotNull())
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            (
+                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
+                - F.sum("x") * F.sum("y")
+            )
+            .cast("long")
+            .alias("cov_scaled"),
+        )
+        .withColumn("corr_positive", F.col("cov_scaled") > 0)
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "events_value_k_corr_direction",
+        _corr_direction,
+        """
+WITH x AS (
+  SELECT event_type,
+         CAST(round(value * 100) AS BIGINT) AS x,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+)
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
+         AS cov_scaled,
+       count(*) * sum(x * y) - sum(x) * sum(y) > 0 AS corr_positive
+FROM x
+GROUP BY event_type
+ORDER BY event_type
+""",
+        doc="correlation-direction audit: covariance numerator "
+        "n*Sxy - Sx*Sy in exact integer arithmetic — sign without "
+        "float stddev division",
+        tags=("extension", "mining", "statistics"),
+    )
+)

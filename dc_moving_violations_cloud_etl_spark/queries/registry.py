@@ -96,8 +96,12 @@ def _load_all() -> None:
 # frozen, so they have no official row yet): graph_triangle_census,
 # basket_type_lift, events_zscore_outliers, dedup_sorted_neighborhood,
 # execute_immediate_profile, dedup_incremental_signatures,
-# events_value_drift_audit, stream_statestore_read, topk_sketch_audit —
-# plus anything in this window that comes back red.
+# events_value_drift_audit, stream_statestore_read, topk_sketch_audit,
+# hll_union_rollup_audit, quantile_sketch_audit, orc_source_roundtrip_agg,
+# similarity_ivf_recall, stream_file_sink_exactly_once,
+# corpus_vocab_encode, events_grouping_sets_matrix,
+# events_value_k_corr_direction — plus anything in this window that
+# comes back red.
 DRIVER_WINDOW = [
     # r3's only red row, fixed this round (posting list serialized to a
     # comma-joined string so the driver's canonicalizer can hash it)
