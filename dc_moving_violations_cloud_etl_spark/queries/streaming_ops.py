@@ -367,3 +367,27 @@ GROUP BY event_type ORDER BY event_type
         tags=("streaming", "sink", "exactly-once"),
     )
 )
+
+
+from ..streaming.statestore import statestore_metadata  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_state_metadata_read",
+        statestore_metadata,
+        """
+SELECT CAST(0 AS BIGINT) AS operator_id,
+       'stateStoreSave' AS operator_name,
+       'default' AS store_name,
+       CAST(8 AS BIGINT) AS n_state_partitions,
+       CAST(0 AS BIGINT) AS min_batch_id,
+       CAST(0 AS BIGINT) AS max_batch_id
+""",
+        doc="state-metadata reader over the statestore demo checkpoint: "
+        "operator inventory, store names, state partition count "
+        "(= STREAM_SHUFFLE_PARTITIONS), committed batch range — the "
+        "pre-flight for state repartitioning/migration; oracle pins the "
+        "deterministic single-operator single-commit shape",
+        tags=("streaming", "statestore", "introspection"),
+    )
+)

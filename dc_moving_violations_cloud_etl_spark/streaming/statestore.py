@@ -48,20 +48,22 @@ def _checkpoint_dir(path: str, tag: str) -> str:
     return os.path.join(_SCRATCH_ROOT, ident)
 
 
-def statestore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Drive a per-type streaming count to completion, then read the
-    keyed state out of the checkpoint with the ``statestore`` reader."""
+def _ensure_checkpoint(spark: SparkSession, sf_dir: str) -> tuple[str, str]:
+    """Drive the per-type streaming count to completion for this fixture
+    (once) and return ``(ckpt, name)``. The memory sink cannot RESUME
+    from a checkpoint (by design — its output lives in driver memory),
+    so the stream is driven only when this fixture's checkpoint holds no
+    committed batch yet; afterwards the state alone answers, which is
+    the point of the demonstrators: state outlives the query and its
+    sink. Also force-creates the driver's StateStoreCoordinator RPC
+    endpoint (registered lazily with a session's FIRST streaming query)
+    so the warm path's executor-side state readers can resolve it."""
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet(spark, path).schema
     tag = hashlib.md5(f"ssread:{sf_dir}".encode()).hexdigest()[:8]
     ckpt = _checkpoint_dir(path, tag)
     name = f"ssread_{tag}"
 
-    # The memory sink cannot RESUME from a checkpoint (by design — its
-    # output lives in driver memory), so the stream is driven only when
-    # this fixture's checkpoint holds no committed batch yet; afterwards
-    # the state alone answers, which is the point of the demonstrator:
-    # state outlives the query and its sink.
     commits = os.path.join(ckpt, "commits")
     committed = os.path.isdir(commits) and any(
         not e.startswith(".") for e in os.listdir(commits)
@@ -82,12 +84,14 @@ def statestore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True),
         )
-    # The executor-side state reader resolves the driver's
-    # StateStoreCoordinator RPC endpoint, which Spark registers lazily
-    # with the FIRST streaming query of a session — on the warm-
-    # checkpoint path (no query driven above) force-create it, or the
-    # read tasks fail with an unresolvable endpoint.
     spark._jsparkSession.sessionState().streamingQueryManager().stateStoreCoordinator()
+    return ckpt, name
+
+
+def statestore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drive a per-type streaming count to completion, then read the
+    keyed state out of the checkpoint with the ``statestore`` reader."""
+    ckpt, name = _ensure_checkpoint(spark, sf_dir)
 
     # the sink output is irrelevant here — the result comes from the
     # operator state; _drain_memory_sink drops the memory table
@@ -99,4 +103,28 @@ def statestore_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("key.event_type").alias("event_type"),
             F.col("value.count").cast("long").alias("n_events"),
         ).orderBy("event_type"),
+    )
+
+
+def statestore_metadata(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The ``state-metadata`` sibling reader: the checkpoint's operator
+    metadata (which stateful operators exist, their store names, state
+    partition counts, committed batch range) as a DataFrame — what an
+    operator consults before repartitioning state or planning a
+    state-aware migration. Fully deterministic for this demonstrator:
+    one aggregation operator, stream-sized partitions
+    (``STREAM_SHUFFLE_PARTITIONS``), a single availableNow commit."""
+    ckpt, name = _ensure_checkpoint(spark, sf_dir)
+    meta = spark.read.format("state-metadata").load(ckpt)
+    return _drain_memory_sink(
+        spark,
+        name,
+        meta.select(
+            F.col("operatorId").cast("long").alias("operator_id"),
+            F.col("operatorName").alias("operator_name"),
+            F.col("stateStoreName").alias("store_name"),
+            F.col("numPartitions").cast("long").alias("n_state_partitions"),
+            F.col("minBatchId").cast("long").alias("min_batch_id"),
+            F.col("maxBatchId").cast("long").alias("max_batch_id"),
+        ).orderBy("operator_id"),
     )
