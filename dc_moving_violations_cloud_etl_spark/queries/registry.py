@@ -100,7 +100,8 @@ def _load_all() -> None:
 # hll_union_rollup_audit, quantile_sketch_audit, orc_source_roundtrip_agg,
 # similarity_ivf_recall, stream_file_sink_exactly_once,
 # corpus_vocab_encode, events_grouping_sets_matrix,
-# events_value_k_corr_direction, stream_state_metadata_read — plus
+# events_value_k_corr_direction, stream_state_metadata_read,
+# partitioned_month_layer_agg — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

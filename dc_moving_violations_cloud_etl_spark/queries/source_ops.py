@@ -378,3 +378,75 @@ register(
         tags=("extension", "source", "orc"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# month-partitioned layout + partition-pruned read (reference A7)
+# ---------------------------------------------------------------------------
+
+from ..oracle import with_ref_views  # noqa: E402
+
+_PRUNE_MONTH = "1998-03"
+
+
+def _partitioned_layout_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's month-layer routing (violation_etl_history.py's
+    per-month MapServer layers) as a REAL partitioned table layout:
+    the violations fact is written ``partitionBy('month')`` once per
+    fixture generation, and the month query reads it back with the
+    filter reaching the DIRECTORY level — Catalyst partition pruning
+    lists exactly one month folder, the 100 TB answer to 'scan only the
+    layer you asked for' (pruning itself is plan-asserted in
+    tests/test_partitioning.py; this query puts the layout on the
+    driver-checked surface)."""
+    from .. import catalog
+
+    path = f"{sf_dir}/lineitem.parquet"
+    st = os.stat(path)
+    tag = hashlib.md5(
+        f"monthpart:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
+    d = os.path.join(_SCRATCH, f"monthpart_{tag}")
+    done = os.path.join(d, "_STAGED")
+    if not os.path.exists(done):
+        shutil.rmtree(d, ignore_errors=True)
+        catalog.violations(spark, sf_dir).write.partitionBy(
+            "month"
+        ).mode("overwrite").parquet(d)
+        with open(done, "w") as f:
+            f.write("ok")
+    v = spark.read.parquet(d).where(F.col("month") == _PRUNE_MONTH)
+    return (
+        v.groupBy("issuing_agency_name")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_tickets"),
+            F.sum(F.col("fine_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("fines_total"),
+        )
+        .orderBy("issuing_agency_name")
+    )
+
+
+register(
+    QuerySpec(
+        "partitioned_month_layer_agg",
+        _partitioned_layout_agg,
+        with_ref_views(
+            f"""
+SELECT issuing_agency_name,
+       CAST(count(*) AS BIGINT) AS n_tickets,
+       CAST(sum(CAST(fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS fines_total
+FROM violations
+WHERE month = '{_PRUNE_MONTH}'
+GROUP BY issuing_agency_name
+ORDER BY issuing_agency_name
+"""
+        ),
+        doc="month-partitioned table layout (reference A7 layer routing): "
+        "partitionBy('month') write staged once per fixture, month "
+        "filter pruned to one partition directory at the scan",
+        tags=("extension", "layout", "partitioning"),
+    )
+)
