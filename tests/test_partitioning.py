@@ -39,3 +39,18 @@ def test_partitioned_write_roundtrip_and_pruning(spark, sf_dir, tmp_path):
     plan = pruned._jdf.queryExecution().executedPlan().toString()
     assert "PartitionFilters" in plan
     assert "month" in plan.split("PartitionFilters", 1)[1].split("]", 1)[0]
+
+
+def test_month_layer_query_prunes_partitions(spark, sf_dir):
+    """The registered partitioned-layout query's scan must carry the
+    month as a PartitionFilter (directory-level pruning), not a data
+    filter over a flat file."""
+    from dc_moving_violations_cloud_etl_spark.queries.source_ops import (
+        _PRUNE_MONTH,
+        _partitioned_layout_agg,
+    )
+
+    df = _partitioned_layout_agg(spark, sf_dir)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert f"PartitionFilters: [isnotnull(month" in plan
+    assert f"month#" in plan and _PRUNE_MONTH in plan
