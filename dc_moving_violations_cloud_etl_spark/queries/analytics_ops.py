@@ -746,7 +746,7 @@ def _grouping_sets_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     of each set from data NULLs."""
     ev = _events(spark, sf_dir).select(
         "event_type",
-        (F.dayofweek("ts") - 1).alias("wd"),  # 0 = Sunday, both engines
+        (F.dayofweek("ts") - 1).cast("long").alias("wd"),  # 0 = Sunday; BIGINT both engines
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     return (

@@ -41,19 +41,30 @@ def _staged(
     sf_dir: str,
     kind: str,
     write,
+    build=None,
+    ident_files: tuple[str, ...] = ("events.parquet",),
 ) -> str:
-    """Stage the events fixture via ``write(df, dir)`` once per fixture
-    generation; identity-tagged so regenerated testdata re-stages."""
-    path = f"{sf_dir}/events.parquet"
-    st = os.stat(path)
-    tag = hashlib.md5(
-        f"{kind}:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:8]
+    """Stage a fixture-derived table via ``write(df, dir)`` once per
+    fixture generation. ``build(spark, sf_dir)`` supplies the DataFrame
+    (default: the raw events table); ``ident_files`` lists EVERY source
+    parquet whose identity (size+mtime) keys the staging — a table built
+    from a join must include all its inputs or a regenerated input would
+    silently serve a stale staged copy."""
+    ident = ":".join(
+        f"{f}={os.stat(f'{sf_dir}/{f}').st_size}"
+        f"-{os.stat(f'{sf_dir}/{f}').st_mtime_ns}"
+        for f in ident_files
+    )
+    tag = hashlib.md5(f"{kind}:{sf_dir}:{ident}".encode()).hexdigest()[:8]
     d = os.path.join(_SCRATCH, f"src{kind}_{tag}")
     done = os.path.join(d, "_STAGED")
     if not os.path.exists(done):
         shutil.rmtree(d, ignore_errors=True)
-        df = catalog.base(spark, sf_dir, "events")
+        df = (
+            build(spark, sf_dir)
+            if build is not None
+            else catalog.base(spark, sf_dir, "events")
+        )
         write(df, d)
         with open(done, "w") as f:
             f.write("ok")
@@ -398,23 +409,19 @@ def _partitioned_layout_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     lists exactly one month folder, the 100 TB answer to 'scan only the
     layer you asked for' (pruning itself is plan-asserted in
     tests/test_partitioning.py; this query puts the layout on the
-    driver-checked surface)."""
-    from .. import catalog
-
-    path = f"{sf_dir}/lineitem.parquet"
-    st = os.stat(path)
-    tag = hashlib.md5(
-        f"monthpart:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
-    ).hexdigest()[:8]
-    d = os.path.join(_SCRATCH, f"monthpart_{tag}")
-    done = os.path.join(d, "_STAGED")
-    if not os.path.exists(done):
-        shutil.rmtree(d, ignore_errors=True)
-        catalog.violations(spark, sf_dir).write.partitionBy(
-            "month"
-        ).mode("overwrite").parquet(d)
-        with open(done, "w") as f:
-            f.write("ok")
+    driver-checked surface). The staged copy is identity-keyed on BOTH
+    source parquets — violations is a lineitem⋈orders build, so a
+    regenerated orders alone must re-stage."""
+    d = _staged(
+        spark,
+        sf_dir,
+        "monthpart",
+        lambda df, out: df.write.partitionBy("month")
+        .mode("overwrite")
+        .parquet(out),
+        build=lambda sp, sf: catalog.violations(sp, sf),
+        ident_files=("lineitem.parquet", "orders.parquet"),
+    )
     v = spark.read.parquet(d).where(F.col("month") == _PRUNE_MONTH)
     return (
         v.groupBy("issuing_agency_name")

@@ -371,15 +371,17 @@ GROUP BY event_type ORDER BY event_type
 
 from ..streaming.statestore import statestore_metadata  # noqa: E402
 
+from ..streaming.daily import STREAM_SHUFFLE_PARTITIONS  # noqa: E402
+
 register(
     QuerySpec(
         "stream_state_metadata_read",
         statestore_metadata,
-        """
+        f"""
 SELECT CAST(0 AS BIGINT) AS operator_id,
        'stateStoreSave' AS operator_name,
        'default' AS store_name,
-       CAST(8 AS BIGINT) AS n_state_partitions,
+       CAST({STREAM_SHUFFLE_PARTITIONS} AS BIGINT) AS n_state_partitions,
        CAST(0 AS BIGINT) AS min_batch_id,
        CAST(0 AS BIGINT) AS max_batch_id
 """,

@@ -50,7 +50,16 @@ def test_month_layer_query_prunes_partitions(spark, sf_dir):
         _partitioned_layout_agg,
     )
 
+    import re
+
     df = _partitioned_layout_agg(spark, sf_dir)
     plan = df._jdf.queryExecution().executedPlan().toString()
-    assert f"PartitionFilters: [isnotnull(month" in plan
-    assert f"month#" in plan and _PRUNE_MONTH in plan
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m, "no PartitionFilters in the scan"
+    # the month EQUALITY itself must live at the directory level —
+    # isnotnull alone (with the literal demoted to a data filter)
+    # would mean pruning regressed
+    assert re.search(rf"month#\d+ = {_PRUNE_MONTH}", m.group(1)), m.group(1)
+    # and the pruned partition is non-empty: the literal matched real
+    # directory values (a type-inference change would yield 0 rows)
+    assert df.count() > 0
