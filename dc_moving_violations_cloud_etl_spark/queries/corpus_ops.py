@@ -24,6 +24,7 @@ from pyspark.sql.types import (
     StructType,
 )
 
+from .. import caching
 from ..operators.text import normalized, tokens
 from .extensions import _docs
 from .registry import QuerySpec, register
@@ -497,5 +498,112 @@ ORDER BY doc_id
         "dictionary join, order-preserving id sequences with OOV=0, "
         "CSV-serialized for the driver's canonicalizer",
         tags=("extension", "curation", "tokenizer"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# bigram language-model scoring (corpus-trained avg negative log-likelihood)
+# ---------------------------------------------------------------------------
+
+
+def _bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score: train an add-one-
+    smoothed bigram LM on the corpus itself, then score every document
+    by the average negative log-likelihood of its bigrams —
+    ``avg(-ln((c(w1,w2)+1) / (c(w1)+V)))``. Low avg-NLL = stereotyped,
+    predictable text; high = rare constructions (or noise). This is the
+    classic perplexity-filter signal LLM data pipelines run beside the
+    heuristic quality score (``text_stats_quality``) — here with the
+    corpus itself as the model so the whole thing is one deterministic,
+    oracle-twinnable query (a real pipeline would swap in frozen
+    counts from a reference corpus; the query shape is identical).
+
+    Scale posture: bigrams are emitted JVM-side with a
+    ``transform(sequence(...))`` HOF over the token array (no
+    posexplode self-join, no Python). The two count tables are
+    VOCABULARY-bounded, not corpus-bounded — at 100 TB they are the
+    small side and Spark's size estimate broadcasts them (the scoring
+    join stays shuffle-free on the corpus side); the vocab size is a
+    1-row aggregate combined via broadcast crossJoin (the repo's
+    scalar-combine pattern). Accumulation-order float drift across
+    engines is ~1e-15 relative, far inside the 6-decimal rounding.
+    """
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(normalized(F.col("text"))).alias("t"))
+    big = caching.persist_tracked(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform("
+                    "sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    )
+    return (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.round(
+                F.avg(
+                    -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))
+                ),
+                6,
+            ).alias("avg_nll"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_bigram_lm_nll",
+        _bigram_lm_nll,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+cb AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS vsz FROM tok)
+SELECT big.doc_id,
+       CAST(count(*) AS BIGINT) AS n_bigrams,
+       round(avg(-ln((cb.c2 + 1.0) / (cu.c1 + (SELECT vsz FROM v)))), 6)
+         AS avg_nll
+FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+GROUP BY big.doc_id
+ORDER BY big.doc_id
+""",
+        doc="add-one-smoothed bigram LM trained on the corpus, every "
+        "document scored by avg negative log-likelihood — the "
+        "perplexity-filter signal next to the heuristic quality score",
+        tags=("extension", "corpus", "text", "quality"),
     )
 )

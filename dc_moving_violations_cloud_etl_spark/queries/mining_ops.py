@@ -47,24 +47,15 @@ def _documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return catalog.base(spark, sf_dir, "documents")
 
 
-# ---------------------------------------------------------------------------
-# co-occurrence graph triangle census
-# ---------------------------------------------------------------------------
-
-
-def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Project clicks into a user-user co-occurrence graph (two users
-    are adjacent iff they clicked the same ``props.k`` item on the same
-    day) and compute the global census: nodes, edges, wedges
-    (length-2 paths), triangles.
-
-    The edge list is persisted once (``caching.persist_tracked`` — it
-    feeds the degree aggregate AND both sides of the triangle join) and
-    every number is an exact integer. Triangles use the standard
-    oriented edge-edge-edge join (u < v < w), which at cluster scale is
-    two shuffle joins on the collapsed edge table, never on the fact
-    table.
-    """
+def _coclick_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected user-user co-click edge list ``(u, v)`` with
+    ``u < v``: two users are adjacent iff they clicked the same
+    ``props.k`` item on the same day. Shared by the triangle census and
+    PageRank. The per-``(k, day)`` pair generator is quadratic only
+    within one key's daily clicker set (tens of users), never across
+    the corpus; both the co-occurrence projection and the collapsed
+    edge table are persisted because every caller reads them at least
+    twice (self-join sides / per-iteration scans)."""
     uk = (
         _events(spark, sf_dir)
         .where(F.col("event_type") == "click")
@@ -88,7 +79,28 @@ def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    edges = caching.persist_tracked(edges)
+    return caching.persist_tracked(edges)
+
+
+# ---------------------------------------------------------------------------
+# co-occurrence graph triangle census
+# ---------------------------------------------------------------------------
+
+
+def _triangle_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Project clicks into a user-user co-occurrence graph (two users
+    are adjacent iff they clicked the same ``props.k`` item on the same
+    day) and compute the global census: nodes, edges, wedges
+    (length-2 paths), triangles.
+
+    The edge list is persisted once (``caching.persist_tracked`` — it
+    feeds the degree aggregate AND both sides of the triangle join) and
+    every number is an exact integer. Triangles use the standard
+    oriented edge-edge-edge join (u < v < w), which at cluster scale is
+    two shuffle joins on the collapsed edge table, never on the fact
+    table.
+    """
+    edges = _coclick_edges(spark, sf_dir)
 
     deg = (
         edges.select(F.col("u").alias("n"))
@@ -661,5 +673,110 @@ ORDER BY event_type
         "n*Sxy - Sx*Sy in exact integer arithmetic — sign without "
         "float stddev division",
         tags=("extension", "mining", "statistics"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# PageRank over the co-click graph (fixed-iteration power method)
+# ---------------------------------------------------------------------------
+
+
+_PR_ITERS = 3
+_PR_DAMP = 0.85
+
+
+def _pagerank_coclick(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 3 fixed power iterations, uniform init)
+    over the undirected co-click user graph — the canonical iterative
+    graph algorithm alongside ``dedup_components``'s connected
+    components (SURVEY.md §2 extension surface; the reference's flat
+    GROUP-BY layer, sql/analysis_queries.sql:5-91, has no graph ops).
+
+    Iterative posture (the 100 TB lens): the directed edge list joined
+    with out-degrees (``out``) is built once and persisted — each
+    iteration is ONE shuffle join of the rank vector (|V| rows) against
+    it plus ONE groupBy on the destination key; ``localCheckpoint``
+    truncates lineage so the plan stays one-round deep (on a cluster:
+    checkpoint to durable storage). On an undirected graph every node
+    has degree >= 1, so there is no dangling-mass term, and the node
+    count is the iterative algorithm's one legitimate driver scalar
+    (constant size, read once, baked into the teleport constant — the
+    same posture as connected components' convergence scalar,
+    operators/dedup.py). The fixed iteration count keeps the query
+    deterministic and oracle-twinnable (the DuckDB twin unrolls the
+    same 3 rounds as CTEs); ranks are rounded to 8 decimals on both
+    sides, and the per-node in-neighbour sums drift at most ~1e-15
+    relative between engines (accumulation order), far inside the
+    rounding quantum.
+    """
+    edges = _coclick_edges(spark, sf_dir)
+    directed = edges.select(
+        F.col("u").alias("src"), F.col("v").alias("dst")
+    ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
+    deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    out = caching.persist_tracked(directed.join(deg, "src"))
+    n_nodes = deg.count()
+    ranks = (
+        out.select(F.col("src").alias("node"))
+        .distinct()
+        .withColumn("r", F.lit(1.0 / n_nodes))
+        .localCheckpoint()
+    )
+    for _ in range(_PR_ITERS):
+        ranks = (
+            out.join(ranks, out.src == ranks.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(
+                (
+                    F.lit((1.0 - _PR_DAMP) / n_nodes)
+                    + F.lit(_PR_DAMP) * F.sum(F.col("r") / F.col("d"))
+                ).alias("r")
+            )
+            .localCheckpoint()
+        )
+    return ranks.select(
+        F.col("node").alias("user_id"), F.round("r", 8).alias("pagerank")
+    ).orderBy("user_id")
+
+
+register(
+    QuerySpec(
+        "graph_pagerank_coclick",
+        _pagerank_coclick,
+        """
+WITH uk AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM uk a JOIN uk b ON a.k = b.k AND a.d = b.d
+  WHERE a.user_id < b.user_id
+),
+dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+deg AS (SELECT src AS n, count(*) AS d FROM dir GROUP BY src),
+nn AS (SELECT count(*) AS c FROM deg),
+r0 AS (SELECT n AS node, 1.0 / (SELECT c FROM nn) AS r FROM deg),
+r1 AS (SELECT dir.dst AS node,
+              0.15 / (SELECT c FROM nn) + 0.85 * sum(r0.r / deg.d) AS r
+       FROM dir JOIN r0 ON dir.src = r0.node JOIN deg ON dir.src = deg.n
+       GROUP BY dir.dst),
+r2 AS (SELECT dir.dst AS node,
+              0.15 / (SELECT c FROM nn) + 0.85 * sum(r1.r / deg.d) AS r
+       FROM dir JOIN r1 ON dir.src = r1.node JOIN deg ON dir.src = deg.n
+       GROUP BY dir.dst),
+r3 AS (SELECT dir.dst AS node,
+              0.15 / (SELECT c FROM nn) + 0.85 * sum(r2.r / deg.d) AS r
+       FROM dir JOIN r2 ON dir.src = r2.node JOIN deg ON dir.src = deg.n
+       GROUP BY dir.dst)
+SELECT node AS user_id, round(r, 8) AS pagerank FROM r3 ORDER BY user_id
+""",
+        doc="PageRank over the co-click user graph: damping 0.85, "
+        "3 fixed power iterations unrolled as oracle CTEs; one "
+        "join + one groupBy per round over the persisted "
+        "edge-with-degree table",
+        tags=("extension", "graph", "mining", "iterative"),
     )
 )
