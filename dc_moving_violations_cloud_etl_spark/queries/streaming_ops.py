@@ -393,3 +393,45 @@ SELECT CAST(0 AS BIGINT) AS operator_id,
         tags=("streaming", "statestore", "introspection"),
     )
 )
+
+
+from ..streaming.joins import left_outer_join_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_outer_join_sealed",
+        left_outer_join_streaming,
+        """
+WITH mx AS (SELECT max(ts) AS m FROM events),
+errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events
+  WHERE event_type = 'error'
+    AND ts <= (SELECT m FROM mx) - INTERVAL 7200 SECOND
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+),
+lj AS (
+  SELECT e.user_id, e.error_id, c.click_id
+  FROM errors e LEFT JOIN clicks c
+    ON e.user_id = c.user_id
+   AND c.ts >= e.ts - INTERVAL 300 SECOND
+   AND c.ts <= e.ts - INTERVAL 1 SECOND
+)
+SELECT user_id,
+       CAST(count(DISTINCT error_id) AS BIGINT) AS n_errors_sealed,
+       CAST(sum(CASE WHEN click_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched_pairs,
+       CAST(count(DISTINCT CASE WHEN click_id IS NULL THEN error_id END)
+            AS BIGINT) AS n_unmatched_errors
+FROM lj GROUP BY user_id ORDER BY user_id
+""",
+        doc="stream-stream LEFT OUTER join with watermark-driven null "
+        "emission: unmatched errors surface once the click watermark "
+        "seals their range; compared on the sealed region (post-sink "
+        "cutoff = max ts - watermark - range - slack) against the "
+        "batch left join",
+        tags=("streaming", "join", "outer"),
+    )
+)

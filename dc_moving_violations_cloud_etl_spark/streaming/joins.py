@@ -139,3 +139,106 @@ def static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(
         spark, name, spark.table(name).orderBy("c_mktsegment")
     )
+
+
+SEAL_S = 7200  # post-sink seal horizon: watermark (1 h) + range (300 s) + slack
+
+
+def left_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT OUTER join — the outer cell of the streaming
+    join matrix: every error pairs with preceding clicks (same user,
+    1..300 s before) and errors with NO such click are null-emitted once
+    the watermark seals their range.
+
+    Outer-join emission is watermark-DRIVEN: a left row's null result
+    only fires after the click watermark passes ``e_ts - 1 s`` (the
+    newest click that could still match), so rows near the stream head
+    stay pending in the state store — under ``availableNow`` the final
+    no-data micro-batch advances the watermark to ``max(ts) - 1 h`` and
+    flushes everything older. The query therefore compares only the
+    SEALED region: the drained sink is filtered to
+    ``e_ts <= max(ts) - 2 h`` (watermark + range + slack) — every error
+    there has its final outcome — and the DuckDB twin applies the same
+    cutoff to a plain batch left join. Filtering AFTER the sink matters:
+    a pre-filter on the error stream would lower that side's node
+    watermark (global watermark = min across nodes) and withhold the
+    last hour of sealed rows (measured: 5 rows short at sf0.01).
+
+    At 100 TB the posture is the same as the inner interval join — the
+    watermark + range bound expires both sides' state — plus the outer
+    guarantee that unmatched facts surface instead of silently dropping
+    (the reconciliation shape: "which errors had no click precursor").
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    batch = normalize_event_ts(read_parquet(spark, path))
+    max_ts = batch.agg(F.max("ts")).collect()[0][0]
+    cutoff = F.lit(max_ts) - F.expr(f"INTERVAL {SEAL_S} SECONDS")
+
+    tag = hashlib.md5(f"ssloj:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"outer_join_{tag}"
+    stage = _stage_dir(path, tag)
+
+    def _stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+
+    errors = (
+        _stream()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+
+    pairs = errors.join(
+        clicks,
+        F.expr(
+            f"""
+            e_user = c_user AND
+            c_ts >= e_ts - INTERVAL {UPPER_S} SECONDS AND
+            c_ts <= e_ts - INTERVAL {LOWER_S} SECONDS
+            """
+        ),
+        "left_outer",
+    )
+
+    _run_to_completion(
+        spark,
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True),
+    )
+
+    return _drain_memory_sink(
+        spark,
+        name,
+        spark.table(name)
+        .where(F.col("e_ts") <= cutoff)
+        .groupBy(F.col("e_user").alias("user_id"))
+        .agg(
+            F.countDistinct("error_id").cast("long").alias("n_errors_sealed"),
+            F.sum(
+                F.when(F.col("click_id").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_matched_pairs"),
+            F.countDistinct(
+                F.when(F.col("click_id").isNull(), F.col("error_id"))
+            ).cast("long").alias("n_unmatched_errors"),
+        )
+        .orderBy("user_id"),
+    )
