@@ -101,7 +101,8 @@ def _load_all() -> None:
 # similarity_ivf_recall, stream_file_sink_exactly_once,
 # corpus_vocab_encode, events_grouping_sets_matrix,
 # events_value_k_corr_direction, stream_state_metadata_read,
-# partitioned_month_layer_agg — plus
+# partitioned_month_layer_agg, graph_pagerank_coclick,
+# corpus_bigram_lm_nll, stream_outer_join_sealed — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
