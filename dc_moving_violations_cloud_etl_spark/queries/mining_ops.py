@@ -780,3 +780,174 @@ SELECT node AS user_id, round(r, 8) AS pagerank FROM r3 ORDER BY user_id
         tags=("extension", "graph", "mining", "iterative"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# exact-arithmetic k-means over the embedding corpus (2 Lloyd rounds)
+# ---------------------------------------------------------------------------
+
+
+_KM_K = 8
+
+
+def _kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means (k=8, two Lloyd assignment rounds, first-k init) over the
+    embedding corpus with EVERY step in cross-engine-exact arithmetic —
+    the iterative-ML companion to PageRank and connected components.
+
+    Float k-means is not oracle-twinnable: a near-tie distance that
+    differs in the last ulp flips a cluster assignment and the discrete
+    divergence cascades. So the query quantizes components to integer
+    milli-units once (``round(x * 1000)`` — identical float→double
+    promotion and half-away-from-zero rounding in both engines, the
+    repo's integer-cents pattern), computes squared-L2 distances as
+    exact BIGINT sums, breaks argmin ties by lowest cluster id
+    (``row_number`` over ``(dist, cluster)``), and re-quantizes round-1
+    centroids with round-half-up in integer space via
+    ``floor((2·S + n) / (2·n))`` (double division of exact integers —
+    bit-identical inputs and ops in both engines, avoiding the
+    ``//``-semantics divergence on negatives).
+
+    Scale posture: fully relational — the exploded ``(vec_id, pos, q)``
+    table is persisted and read by all four passes; each assignment is
+    one broadcast join against the k×dims centroid table (512 rows)
+    followed by a (vec, cluster) partial-agg groupBy — linear passes
+    over the corpus, no all-pairs, no driver-side math. At 100 TB the
+    centroid table is still 512 rows; rounds add linear passes, exactly
+    like a cluster k-means (MLlib does the same dance with float
+    centroids).
+    """
+    emb = catalog.base(spark, sf_dir, "embeddings")
+    q = caching.persist_tracked(
+        emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
+        .select(
+            "vec_id",
+            "pos",
+            F.round(F.col("x").cast("double") * 1000, 0)
+            .cast("long")
+            .alias("q"),
+        )
+    )
+
+    def assign(cent: DataFrame) -> DataFrame:
+        # ONE shuffle per round: k is a constant, so the per-cluster
+        # distances fold into k conditional sums under a single
+        # groupBy(vec_id) (instead of groupBy(vec, cluster) + a second
+        # argmin aggregation). array_position(array_min) takes the FIRST
+        # minimum — the lowest-cluster-id tie-break the oracle's
+        # ORDER BY dist, cluster row_number expresses; an empty
+        # cluster's sum is NULL and both array_min and the oracle's
+        # missing row skip it.
+        term = (F.col("q") - F.col("c")) * (F.col("q") - F.col("c"))
+        d = (
+            q.join(F.broadcast(cent), "pos")
+            .groupBy("vec_id")
+            .agg(
+                *[
+                    F.sum(F.when(F.col("cluster") == i, term)).alias(
+                        f"d{i}"
+                    )
+                    for i in range(_KM_K)
+                ]
+            )
+        )
+        arr = F.array(*[F.col(f"d{i}") for i in range(_KM_K)])
+        return d.select(
+            "vec_id",
+            (F.array_position(arr, F.array_min(arr)) - 1)
+            .cast("int")
+            .alias("cluster"),
+        )
+
+    c0 = q.where(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").cast("int").alias("cluster"),
+        "pos",
+        F.col("q").alias("c"),
+    )
+    a1 = assign(c0)
+    c1 = (
+        q.join(F.broadcast(a1), "vec_id")
+        .groupBy("cluster", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select(
+            "cluster",
+            "pos",
+            F.floor((2.0 * F.col("s") + F.col("n")) / (2.0 * F.col("n")))
+            .cast("long")
+            .alias("c"),
+        )
+    )
+    a2 = assign(c1)
+    return (
+        q.groupBy("vec_id")
+        .agg(F.sum("q").alias("vq"))
+        .join(F.broadcast(a2), "vec_id")
+        .groupBy("cluster")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            F.sum("vq").cast("long").alias("sum_q_checksum"),
+            F.min("vec_id").cast("long").alias("min_vec_id"),
+        )
+        .orderBy("cluster")
+    )
+
+
+register(
+    QuerySpec(
+        "embedding_kmeans_exact",
+        _kmeans_exact,
+        """
+WITH qt AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+c0 AS (
+  SELECT CAST(vec_id AS INTEGER) AS cluster, pos, q AS c
+  FROM qt WHERE vec_id < 8
+),
+d1 AS (
+  SELECT qt.vec_id, c0.cluster, sum((qt.q - c0.c) * (qt.q - c0.c)) AS dist
+  FROM qt JOIN c0 USING (pos) GROUP BY qt.vec_id, c0.cluster
+),
+a1 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d1
+  ) WHERE rn = 1
+),
+c1 AS (
+  SELECT a1.cluster, qt.pos,
+         CAST(floor((2.0 * sum(qt.q) + count(*)) / (2.0 * count(*)))
+              AS BIGINT) AS c
+  FROM qt JOIN a1 USING (vec_id) GROUP BY a1.cluster, qt.pos
+),
+d2 AS (
+  SELECT qt.vec_id, c1.cluster, sum((qt.q - c1.c) * (qt.q - c1.c)) AS dist
+  FROM qt JOIN c1 USING (pos) GROUP BY qt.vec_id, c1.cluster
+),
+a2 AS (
+  SELECT vec_id, cluster FROM (
+    SELECT vec_id, cluster,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY dist, cluster) AS rn
+    FROM d2
+  ) WHERE rn = 1
+),
+vq AS (SELECT vec_id, sum(q) AS vq FROM qt GROUP BY vec_id)
+SELECT a2.cluster,
+       CAST(count(*) AS BIGINT) AS n_members,
+       CAST(sum(vq.vq) AS BIGINT) AS sum_q_checksum,
+       CAST(min(a2.vec_id) AS BIGINT) AS min_vec_id
+FROM a2 JOIN vq USING (vec_id)
+GROUP BY a2.cluster ORDER BY a2.cluster
+""",
+        doc="exact-arithmetic k-means (k=8, 2 Lloyd rounds): integer "
+        "milli-unit quantization, BIGINT squared-L2, lowest-id tie "
+        "break, round-half-up centroid requantization — discrete "
+        "assignments cannot diverge between engines",
+        tags=("extension", "mining", "embedding", "iterative"),
+    )
+)

@@ -102,7 +102,8 @@ def _load_all() -> None:
 # corpus_vocab_encode, events_grouping_sets_matrix,
 # events_value_k_corr_direction, stream_state_metadata_read,
 # partitioned_month_layer_agg, graph_pagerank_coclick,
-# corpus_bigram_lm_nll, stream_outer_join_sealed — plus
+# corpus_bigram_lm_nll, stream_outer_join_sealed,
+# embedding_kmeans_exact — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
