@@ -507,3 +507,78 @@ ORDER BY table_name
         tags=("extension", "sql-text", "dynamic-sql"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# SQL-bodied CREATE FUNCTION (declarative scalar UDFs, Spark 4)
+# ---------------------------------------------------------------------------
+
+
+def _sql_udf_weather_flags(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The reference's scalar shims (G-ops) as SQL-BODIED functions:
+    ``CREATE TEMPORARY FUNCTION ... RETURN <expr>`` — Spark 4's
+    declarative UDF mechanism. Unlike Python UDFs these inline into the
+    plan as Catalyst expressions (whole-stage codegen, pushdown-safe),
+    so they are the idiomatic way to package the reference's per-row
+    helper logic (is_rain weather_etl_daily.py:158-160 /
+    weather_etl_history.py:85, month bucket
+    violation_etl_history.py:120) as reusable catalog objects rather
+    than copy-pasted CASE expressions. The oracle inlines the same
+    expressions (DuckDB macros would be the twin mechanism)."""
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_rain_v1_f(p DOUBLE) "
+        "RETURNS INT RETURN CASE WHEN coalesce(p, 0.0) > 0 "
+        "THEN 1 ELSE 0 END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION is_rain_v2_f("
+        "p DOUBLE, c STRING) RETURNS INT RETURN CASE WHEN "
+        "coalesce(p, 0.0) > 0 OR contains(lower(coalesce(c, '')), "
+        "'rain') THEN 1 ELSE 0 END"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY FUNCTION month_bucket_f(d DATE) "
+        "RETURNS STRING RETURN date_format(d, 'yyyy-MM')"
+    )
+    catalog.weather_daily(spark, sf_dir).createOrReplaceTempView(
+        "weather_daily_sqludf"
+    )
+    return spark.sql(
+        """
+        SELECT month_bucket_f(weather_date) AS ym,
+               count(*) AS n_days,
+               CAST(sum(is_rain_v1_f(precip)) AS BIGINT) AS rainy_v1_days,
+               CAST(sum(is_rain_v2_f(precip, conditions)) AS BIGINT)
+                 AS rainy_v2_days
+        FROM weather_daily_sqludf
+        GROUP BY month_bucket_f(weather_date)
+        ORDER BY ym
+        """
+    )
+
+
+register(
+    QuerySpec(
+        "sql_udf_weather_flags",
+        _sql_udf_weather_flags,
+        with_ref_views(
+            """
+SELECT strftime(weather_date, '%Y-%m') AS ym,
+       count(*) AS n_days,
+       CAST(sum(CASE WHEN coalesce(precip, 0.0) > 0 THEN 1 ELSE 0 END)
+            AS BIGINT) AS rainy_v1_days,
+       CAST(sum(CASE WHEN coalesce(precip, 0.0) > 0
+                       OR contains(lower(coalesce(conditions, '')), 'rain')
+                     THEN 1 ELSE 0 END) AS BIGINT) AS rainy_v2_days
+FROM weather_daily
+GROUP BY strftime(weather_date, '%Y-%m')
+ORDER BY ym
+"""
+        ),
+        doc="SQL-bodied CREATE TEMPORARY FUNCTION (Spark 4 declarative "
+        "UDFs): the reference's is_rain v1/v2 and month-bucket shims as "
+        "catalog functions that inline into codegen — zero Python, "
+        "pushdown-safe",
+        tags=("extension", "modern-sql", "udf"),
+    )
+)

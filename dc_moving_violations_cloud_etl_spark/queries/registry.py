@@ -103,7 +103,8 @@ def _load_all() -> None:
 # events_value_k_corr_direction, stream_state_metadata_read,
 # partitioned_month_layer_agg, graph_pagerank_coclick,
 # corpus_bigram_lm_nll, stream_outer_join_sealed,
-# embedding_kmeans_exact — plus
+# embedding_kmeans_exact, xml_source_roundtrip_agg,
+# sql_udf_weather_flags, py_sink_roundtrip_agg — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

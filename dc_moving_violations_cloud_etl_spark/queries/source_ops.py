@@ -457,3 +457,94 @@ ORDER BY issuing_agency_name
         tags=("extension", "layout", "partitioning"),
     )
 )
+
+
+def _xml_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 built-in XML source (no external package): events staged
+    as ``<event>`` rows, read back schema-first with the microsecond
+    timestampFormat, aggregated per type. Null columns are absent
+    elements (XML convention) and JSON-in-``props`` survives entity
+    escaping — both covered by the hash because the aggregate touches
+    every column including ts extrema."""
+    d = _staged(
+        spark,
+        sf_dir,
+        "xml",
+        lambda df, out: df.coalesce(2)
+        .write.format("xml")
+        .option("rootTag", "events")
+        .option("rowTag", "event")
+        .option("timestampFormat", _TS_FMT)
+        .mode("overwrite")
+        .save(out),
+    )
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.read.format("xml")
+        .schema(schema)
+        .option("rowTag", "event")
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .load(d)
+    )
+    return _roundtrip_agg(src)
+
+
+register(
+    QuerySpec(
+        "xml_source_roundtrip_agg",
+        _xml_source_agg,
+        _AGG_ORACLE,
+        doc="built-in XML source (Spark 4, StaxXmlParser JVM-side): "
+        "schema-first read of staged <event> rows equals the parquet "
+        "oracle — completes the text-format matrix (JSON/CSV/ORC/XML)",
+        tags=("extension", "source", "xml"),
+    )
+)
+
+
+def _py_sink_roundtrip_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom Python DataSource WRITER exercised end-to-end: events are
+    written through the ``jsonl_tx_sink`` (per-partition staged files →
+    driver-side atomic rename commit + manifest — the two-phase-commit
+    shape of the reference's one-transaction MySQL load,
+    violation_etl_history.py:138-150), then re-read schema-first with
+    the built-in JSON reader and aggregated. Hash-equality with the
+    parquet oracle proves the sink is lossless AND committed (a
+    dropped/partial staging file would change counts)."""
+    from ..sources.py_sink import SINK_NAME, make_jsonl_sink
+
+    spark.dataSource.register(make_jsonl_sink())
+
+    def write(df: DataFrame, out: str) -> None:
+        df.coalesce(2).write.format(SINK_NAME).mode("append").save(out)
+
+    d = _staged(spark, sf_dir, "pysink", write)
+    schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.read.schema(schema)
+        .option("timestampFormat", _TS_FMT)
+        .option("mode", "FAILFAST")
+        .json(f"{d}/part-*.jsonl")
+    )
+    return _roundtrip_agg(src)
+
+
+register(
+    QuerySpec(
+        "py_sink_roundtrip_agg",
+        _py_sink_roundtrip_agg,
+        _AGG_ORACLE,
+        doc="custom Python DataSource writer (Spark 4 API): "
+        "per-partition staged writes, driver-side atomic rename "
+        "commit + manifest, abort cleanup — the sink half of the "
+        "custom-connector surface, round-tripped and hash-checked",
+        tags=("extension", "source", "sink", "python-datasource"),
+    )
+)

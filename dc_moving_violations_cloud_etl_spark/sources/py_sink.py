@@ -1,0 +1,130 @@
+"""Custom Python DataSource WRITER (Spark 4 API) — the sink half of the
+custom-connector surface (the reader half is ``paged_api.py``).
+
+The reference's write path is a Python loop pushing batched tuples into
+MySQL with executemany + commit (reference
+etl/full_load/violation_etl_history.py:138-150; daily INSERT IGNORE,
+etl/daily_load/violation_etl_daily.py:289). This sink reproduces the
+protocol shape inside Spark's writer API instead:
+
+- ``write(iterator)`` runs ONE PER PARTITION as a parallel task — each
+  task streams its Arrow record batches to a task-private staging file
+  (the analogue of one DB connection's batched inserts; a live
+  connector would open the connection and executemany right here),
+  fsyncs, and returns the staged path + row count as its commit
+  message;
+- ``commit(messages)`` is the driver-side transaction: staged files are
+  atomically renamed into the destination and a manifest records the
+  per-task row counts — so a failed/speculated task (whose ``abort``
+  drops its staging file) can never leave partial output visible, the
+  same all-or-nothing contract the reference gets from one big DB
+  commit and Spark parquet gets from _temporary + rename.
+
+JSON-lines is the staged format so the round-trip query can re-read the
+committed output with the built-in JSON reader (schema-first) and prove
+losslessness against the parquet oracle.
+
+Everything is defined inside a factory so cloudpickle ships the classes
+BY VALUE — executors of a vanilla session don't have this package on
+their PYTHONPATH (same pattern as paged_api.py).
+"""
+
+from __future__ import annotations
+
+SINK_NAME = "jsonl_tx_sink"
+
+
+def make_jsonl_sink():
+    """Build (by value) the writer DataSource class for registration via
+    ``spark.dataSource.register``."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceWriter,
+        WriterCommitMessage,
+    )
+
+    sink_name = SINK_NAME
+
+    class _StagedFile(WriterCommitMessage):
+        def __init__(self, staged: str, final: str, n_rows: int):
+            self.staged, self.final, self.n_rows = staged, final, n_rows
+
+    class _JsonlWriter(DataSourceWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.ts_fmt = options.get("tsFormat", "%Y-%m-%dT%H:%M:%S.%f")
+
+        def write(self, iterator):
+            """Per-task: stream Arrow batches to a staging file. Runs on
+            executors; imports stay inside (by-value pickling)."""
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+            token = uuid.uuid4().hex[:12]
+            staged = os.path.join(
+                self.path, "_staging", f"part-{pid:05d}-{token}.jsonl"
+            )
+            final = os.path.join(self.path, f"part-{pid:05d}-{token}.jsonl")
+            n = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    d = row.asDict()
+                    for k, v in d.items():
+                        if hasattr(v, "strftime"):
+                            d[k] = v.strftime(self.ts_fmt)
+                    f.write(json.dumps(d) + "\n")
+                    n += 1
+                f.flush()
+                os.fsync(f.fileno())
+            return _StagedFile(staged, final, n)
+
+        def commit(self, messages):
+            """Driver-side atomic publish: rename every staged file into
+            place, then write the manifest (presence of _MANIFEST is the
+            committed marker readers key on)."""
+            import json
+            import os
+
+            total = 0
+            for m in messages:
+                os.replace(m.staged, m.final)
+                total += m.n_rows
+            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+                json.dump(
+                    {
+                        "n_rows": total,
+                        "files": sorted(
+                            os.path.basename(m.final) for m in messages
+                        ),
+                    },
+                    f,
+                )
+
+        def abort(self, messages):
+            import os
+            import shutil
+
+            for m in messages:
+                try:
+                    os.remove(m.staged)
+                except FileNotFoundError:
+                    pass
+            shutil.rmtree(
+                os.path.join(self.path, "_staging"), ignore_errors=True
+            )
+
+    class _JsonlSinkSource(DataSource):
+        @classmethod
+        def name(cls):
+            return sink_name
+
+        def writer(self, schema, overwrite):
+            return _JsonlWriter(self.options)
+
+    return _JsonlSinkSource
