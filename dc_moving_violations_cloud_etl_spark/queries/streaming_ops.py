@@ -402,11 +402,15 @@ register(
         "stream_outer_join_sealed",
         left_outer_join_streaming,
         """
-WITH mx AS (SELECT max(ts) AS m FROM events),
+WITH mx AS (
+  SELECT least(max(ts) FILTER (event_type = 'error'),
+               max(ts) FILTER (event_type = 'click')) AS m
+  FROM events
+),
 errors AS (
   SELECT user_id, ts, event_id AS error_id FROM events
   WHERE event_type = 'error'
-    AND ts <= (SELECT m FROM mx) - INTERVAL 7200 SECOND
+    AND ts <= (SELECT m FROM mx) - INTERVAL 5400 SECOND
 ),
 clicks AS (
   SELECT user_id, ts, event_id AS click_id FROM events
@@ -430,8 +434,9 @@ FROM lj GROUP BY user_id ORDER BY user_id
         doc="stream-stream LEFT OUTER join with watermark-driven null "
         "emission: unmatched errors surface once the click watermark "
         "seals their range; compared on the sealed region (post-sink "
-        "cutoff = max ts - watermark - range - slack) against the "
-        "batch left join",
+        "cutoff = min of both sides' max event time - watermark - "
+        "range - slack, since the global watermark trails the lagging "
+        "side) against the batch left join",
         tags=("streaming", "join", "outer"),
     )
 )

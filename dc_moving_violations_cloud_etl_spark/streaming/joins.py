@@ -141,7 +141,7 @@ def static_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-SEAL_S = 7200  # post-sink seal horizon: watermark (1 h) + range (300 s) + slack
+SEAL_S = 5400  # seal horizon past the watermark base: 1 h wm + 300 s range + slack
 
 
 def left_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -157,12 +157,17 @@ def left_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     no-data micro-batch advances the watermark to ``max(ts) - 1 h`` and
     flushes everything older. The query therefore compares only the
     SEALED region: the drained sink is filtered to
-    ``e_ts <= max(ts) - 2 h`` (watermark + range + slack) — every error
-    there has its final outcome — and the DuckDB twin applies the same
-    cutoff to a plain batch left join. Filtering AFTER the sink matters:
-    a pre-filter on the error stream would lower that side's node
-    watermark (global watermark = min across nodes) and withhold the
-    last hour of sealed rows (measured: 5 rows short at sf0.01).
+    ``e_ts <= min(max error ts, max click ts) - 1.5 h`` (watermark +
+    range + slack past the watermark BASE) — every error there has its
+    final outcome — and the DuckDB twin applies the same cutoff to a
+    plain batch left join. Two measured traps shape the cutoff: the
+    global watermark is the MIN across both sides' watermark nodes, so
+    it trails the LAGGING side's max event time, not the stream's
+    (sf0.001: the last error precedes the last click by 3 h — a
+    global-max-based cutoff left one sealed error unemitted); and the
+    filter must run AFTER the sink — a pre-filter on the error stream
+    lowers that side's node watermark and withholds the last hour of
+    sealed rows (measured: 5 rows short at sf0.01).
 
     At 100 TB the posture is the same as the inner interval join — the
     watermark + range bound expires both sides' state — plus the outer
@@ -172,8 +177,13 @@ def left_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     schema = read_parquet(spark, path).schema
     batch = normalize_event_ts(read_parquet(spark, path))
-    max_ts = batch.agg(F.max("ts")).collect()[0][0]
-    cutoff = F.lit(max_ts) - F.expr(f"INTERVAL {SEAL_S} SECONDS")
+    wm_base = batch.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        )
+    ).collect()[0][0]
+    cutoff = F.lit(wm_base) - F.expr(f"INTERVAL {SEAL_S} SECONDS")
 
     tag = hashlib.md5(f"ssloj:{sf_dir}".encode()).hexdigest()[:8]
     name = f"outer_join_{tag}"

@@ -103,6 +103,26 @@ AUDITED = [
         "tiny vocabulary broadcast-hash dictionary join over the token "
         "stream; per-doc reassembly via in-array sort, no global sort",
     ),
+    (
+        "graph_pagerank_coclick",
+        "final-round plan only one round deep (localCheckpoint "
+        "truncates lineage); rank-vector join against the persisted "
+        "edge-with-degree table + one partial+final hash-agg per round",
+    ),
+    (
+        "embedding_kmeans_exact",
+        "512-row centroid tables broadcast; ONE shuffle per assignment "
+        "round (k folds into conditional sums under groupBy(vec_id)); "
+        "argmin is an array expression in codegen, no per-cluster "
+        "shuffle and no window sort",
+    ),
+    (
+        "corpus_bigram_lm_nll",
+        "bigrams emitted by a transform(sequence) HOF over the token "
+        "array (no posexplode self-join); vocabulary-bounded count "
+        "tables joined broadcast-hash; 1-row vocab size as broadcast "
+        "crossJoin",
+    ),
 ]
 
 
