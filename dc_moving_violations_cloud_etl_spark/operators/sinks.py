@@ -118,3 +118,66 @@ def write_partitioned(
         .partitionBy(partition_col)
         .parquet(path)
     )
+
+
+def merge_matrix(
+    target: DataFrame,
+    source: DataFrame,
+    keys: Sequence[str],
+    delete_cond: "F.Column",
+    update_cols: dict[str, "F.Column"],
+) -> DataFrame:
+    """Full MERGE semantics on plain DataFrames — the three-way matrix
+    the simpler sinks don't cover:
+
+    - WHEN MATCHED AND ``delete_cond``      → row removed
+    - WHEN MATCHED (else)                   → ``update_cols`` applied
+    - WHEN NOT MATCHED (source-only key)    → row inserted
+    - target-only key                       → row carried unchanged
+
+    (Spark SQL's MERGE INTO statement requires a v2 table; this is the
+    DataFrame re-expression for parquet-backed state, generalizing
+    ``upsert_last_writer_wins``/``insert_if_absent`` exactly the way
+    ``ON DUPLICATE KEY UPDATE``/``INSERT IGNORE`` generalize to ANSI
+    MERGE.) Preconditions: both sides key-unique (the sinks' standing
+    invariant). ``update_cols``/``delete_cond`` reference the joined
+    row via ``t.<col>`` / ``s.<col>`` aliases.
+
+    Scale posture: ONE full-outer shuffle join on the key — the same
+    cost envelope as any MERGE at 100 TB; with a small CDC batch AQE
+    degrades it to a broadcast-side outer join, and a bucketed target
+    co-locates it entirely. The action column is plain codegen.
+    An ``_action`` column ('carry'/'update'/'insert') is returned for
+    auditability; callers that want the bare table drop it.
+    """
+    t = target.alias("t")
+    s = source.alias("s")
+    cond = None
+    for k in keys:
+        eq = F.col(f"t.{k}") == F.col(f"s.{k}")
+        cond = eq if cond is None else (cond & eq)
+    joined = t.join(s, cond, "full_outer")
+    matched = F.col(f"t.{keys[0]}").isNotNull() & F.col(
+        f"s.{keys[0]}"
+    ).isNotNull()
+    src_only = F.col(f"t.{keys[0]}").isNull()
+    out_cols = []
+    for c in target.columns:
+        if c in keys:
+            out_cols.append(F.coalesce(F.col(f"t.{c}"), F.col(f"s.{c}")).alias(c))
+        else:
+            upd = update_cols.get(c, F.col(f"t.{c}"))
+            ins = F.col(f"s.{c}") if c in source.columns else F.lit(None)
+            out_cols.append(
+                F.when(matched, upd)
+                .when(src_only, ins)
+                .otherwise(F.col(f"t.{c}"))
+                .alias(c)
+            )
+    action = (
+        F.when(matched, F.lit("update"))
+        .when(src_only, F.lit("insert"))
+        .otherwise(F.lit("carry"))
+        .alias("_action")
+    )
+    return joined.where(~(matched & delete_cond)).select(*out_cols, action)

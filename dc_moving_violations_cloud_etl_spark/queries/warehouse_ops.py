@@ -555,3 +555,205 @@ ORDER BY m.event_type
         tags=("extension", "warehouse", "incremental"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# positional phrase search over the inverted index
+# ---------------------------------------------------------------------------
+
+_PHRASE = ("fast", "table")
+
+
+def _phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("fast table") the way a positional inverted
+    index answers it: fetch ONLY the two terms' posting lists (doc_id,
+    position), join them on ``doc_id`` + adjacent position, count
+    matches per document — the companion to ``inverted_index_postings``
+    that actually USES the index shape.
+
+    Scale posture: the filter to the two query terms runs BEFORE any
+    join (the "read two posting lists, not the corpus" property that
+    makes positional indexes work at scale); the adjacency join is an
+    equi-join on (doc_id, pos) between two term-bounded tables. No
+    regex/substring scan of the corpus text in the Spark path — the
+    DuckDB twin derives the same adjacency from a lead() window, so the
+    two engines agree on word-boundary semantics by construction
+    (substring counting would miscount overlapping/boundary-sharing
+    repeats)."""
+    docs = catalog.base(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    tok = docs.select(
+        "doc_id", F.posexplode(F.split(norm, " ")).alias("pos", "w")
+    )
+    w1, w2 = _PHRASE
+    p1 = tok.where(F.col("w") == w1).select("doc_id", "pos")
+    p2 = tok.where(F.col("w") == w2).select(
+        "doc_id", (F.col("pos") - 1).alias("pos")
+    )
+    return (
+        p1.join(p2, ["doc_id", "pos"])
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_occurrences"))
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "phrase_search_positional",
+        _phrase_search,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks
+),
+adj AS (
+  SELECT doc_id, w AS w1,
+         lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+  FROM tok
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_occurrences
+FROM adj WHERE w1 = 'fast' AND w2 = 'table'
+GROUP BY doc_id ORDER BY doc_id
+""",
+        doc="positional-index phrase search: two term-bounded posting "
+        "lists joined on (doc_id, adjacent pos) — never a corpus "
+        "substring scan; lead()-window twin fixes word-boundary "
+        "semantics in both engines",
+        tags=("extension", "warehouse", "text", "retrieval"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# full MERGE matrix (update / delete / insert / carry) on CDC state
+# ---------------------------------------------------------------------------
+
+_MERGE_SPLIT = "2024-01-16"
+
+
+def _cdc_merge_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANSI-MERGE semantics exercised end-to-end on parquet-backed
+    state via ``operators.sinks.merge_matrix`` (Spark SQL's MERGE INTO
+    statement requires a v2 table — this is the DataFrame
+    re-expression, the full matrix the reference's two MySQL idioms
+    span between them: ON DUPLICATE KEY UPDATE = matched-update,
+    INSERT IGNORE = not-matched-insert; DELETE is the cell neither
+    covers).
+
+    Scenario: per-user state built from the first half of the event
+    history (the "table"), merged with the second half as a CDC batch
+    (the "delta") — matched users whose delta is errors-only are
+    DELETED (churn compaction), other matched users get additive
+    updates (counts/cents summed, last_day = greatest), users first
+    seen in the delta are INSERTED, untouched users carry. Every value
+    is integer/string-exact; the _action audit column is part of the
+    checked result so the oracle verifies WHICH merge cell each row
+    took, not just the final values."""
+    from ..operators.sinks import merge_matrix
+
+    ev = catalog.base(spark, sf_dir, "events").select(
+        "user_id",
+        F.col("ts"),
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
+    )
+    split = F.lit(_MERGE_SPLIT).cast("date")
+
+    def _state(df: DataFrame, with_err: bool) -> DataFrame:
+        aggs = [
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("cents").cast("long").alias("cents"),
+            F.date_format(F.max("ts"), "yyyy-MM-dd").alias("last_day"),
+        ]
+        if with_err:
+            aggs.append(
+                F.sum(F.when(F.col("event_type") == "error", 1).otherwise(0))
+                .cast("long")
+                .alias("n_err")
+            )
+        return df.groupBy("user_id").agg(*aggs)
+
+    target = _state(ev.where(F.to_date("ts") < split), with_err=False)
+    source = _state(ev.where(F.to_date("ts") >= split), with_err=True)
+
+    merged = merge_matrix(
+        target,
+        source,
+        ["user_id"],
+        delete_cond=F.col("s.n_err") == F.col("s.n_events"),
+        update_cols={
+            "n_events": F.col("t.n_events") + F.col("s.n_events"),
+            "cents": F.col("t.cents") + F.col("s.cents"),
+            "last_day": F.greatest(F.col("t.last_day"), F.col("s.last_day")),
+        },
+    )
+    return merged.select(
+        "user_id",
+        "n_events",
+        "cents",
+        "last_day",
+        F.col("_action").alias("action"),
+    ).orderBy("user_id")
+
+
+register(
+    QuerySpec(
+        "cdc_merge_matrix",
+        _cdc_merge_matrix,
+        f"""
+WITH ev AS (
+  SELECT user_id, ts, event_type,
+         CAST(round(value * 100) AS BIGINT) AS cents
+  FROM events
+),
+target AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS cents,
+         strftime(max(ts), '%Y-%m-%d') AS last_day
+  FROM ev WHERE CAST(ts AS DATE) < DATE '{_MERGE_SPLIT}'
+  GROUP BY user_id
+),
+source AS (
+  SELECT user_id, CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(cents) AS BIGINT) AS cents,
+         strftime(max(ts), '%Y-%m-%d') AS last_day,
+         CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_err
+  FROM ev WHERE CAST(ts AS DATE) >= DATE '{_MERGE_SPLIT}'
+  GROUP BY user_id
+)
+SELECT coalesce(t.user_id, s.user_id) AS user_id,
+       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+              THEN t.n_events + s.n_events
+            WHEN t.user_id IS NULL THEN s.n_events
+            ELSE t.n_events END AS n_events,
+       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+              THEN t.cents + s.cents
+            WHEN t.user_id IS NULL THEN s.cents
+            ELSE t.cents END AS cents,
+       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+              THEN greatest(t.last_day, s.last_day)
+            WHEN t.user_id IS NULL THEN s.last_day
+            ELSE t.last_day END AS last_day,
+       CASE WHEN t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+              THEN 'update'
+            WHEN t.user_id IS NULL THEN 'insert'
+            ELSE 'carry' END AS action
+FROM target t FULL OUTER JOIN source s ON t.user_id = s.user_id
+WHERE NOT (t.user_id IS NOT NULL AND s.user_id IS NOT NULL
+           AND s.n_err = s.n_events)
+ORDER BY user_id
+""",
+        doc="full MERGE matrix on parquet state (matched-delete / "
+        "matched-update / not-matched-insert / carry) via one "
+        "full-outer key join; _action cell membership is part of the "
+        "hashed result",
+        tags=("extension", "warehouse", "cdc", "merge"),
+    )
+)
