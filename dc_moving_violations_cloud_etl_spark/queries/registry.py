@@ -105,7 +105,8 @@ def _load_all() -> None:
 # corpus_bigram_lm_nll, stream_outer_join_sealed,
 # embedding_kmeans_exact, xml_source_roundtrip_agg,
 # sql_udf_weather_flags, py_sink_roundtrip_agg,
-# phrase_search_positional, cdc_merge_matrix — plus
+# phrase_search_positional, cdc_merge_matrix,
+# graph_cc_incremental — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
