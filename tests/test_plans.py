@@ -83,6 +83,7 @@ _ALLOWED_BNLJ = {
     "graph_triangle_census",       # nodes/edges/wedges/tri 1x1x1 combine
     "basket_type_lift",            # 1-row basket-count broadcast
     "events_value_drift_audit",    # 1-row midpoint + totals broadcasts
+    "corpus_bigram_lm_nll",        # 1-row vocabulary-size broadcast
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
