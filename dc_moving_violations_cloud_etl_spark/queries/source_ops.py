@@ -58,16 +58,31 @@ def _staged(
     tag = hashlib.md5(f"{kind}:{sf_dir}:{ident}".encode()).hexdigest()[:8]
     d = os.path.join(_SCRATCH, f"src{kind}_{tag}")
     done = os.path.join(d, "_STAGED")
-    if not os.path.exists(done):
-        shutil.rmtree(d, ignore_errors=True)
-        df = (
-            build(spark, sf_dir)
-            if build is not None
-            else catalog.base(spark, sf_dir, "events")
-        )
-        write(df, d)
-        with open(done, "w") as f:
-            f.write("ok")
+    if os.path.exists(done):
+        return d
+    # Stage into a process-private dir and publish with one atomic
+    # rename: two concurrent processes (e.g. the test suite and a sim
+    # run over the same fixture) must never rmtree a directory the
+    # other is mid-writing — the loser of the rename race just discards
+    # its copy.
+    tmp = f"{d}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    df = (
+        build(spark, sf_dir)
+        if build is not None
+        else catalog.base(spark, sf_dir, "events")
+    )
+    write(df, tmp)
+    with open(os.path.join(tmp, "_STAGED"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if os.path.exists(done):
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+        else:
+            shutil.rmtree(d, ignore_errors=True)  # stale partial dir
+            os.rename(tmp, d)
     return d
 
 
