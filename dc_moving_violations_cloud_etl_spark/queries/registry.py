@@ -106,7 +106,7 @@ def _load_all() -> None:
 # embedding_kmeans_exact, xml_source_roundtrip_agg,
 # sql_udf_weather_flags, py_sink_roundtrip_agg,
 # phrase_search_positional, cdc_merge_matrix,
-# graph_cc_incremental — plus
+# graph_cc_incremental, table_fingerprint_audit — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

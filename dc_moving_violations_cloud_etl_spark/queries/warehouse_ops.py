@@ -757,3 +757,76 @@ ORDER BY user_id
         tags=("extension", "warehouse", "cdc", "merge"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# order-insensitive table fingerprint (replication / migration audit)
+# ---------------------------------------------------------------------------
+
+
+def _table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Content fingerprint of the events table, per month: every row is
+    canonically serialized (fixed decimal cents, microsecond timestamp
+    format, NULL→'' — the cross-engine-stable forms the round-trip
+    sources already rely on), md5-hashed, and the first 8 hex digits
+    SUMMED per month. Addition is commutative, so the fingerprint is
+    order-insensitive — two replicas (or a pre/post-migration pair)
+    compare constant-size summaries instead of shipping rows, and any
+    single-row difference moves the sum with probability ~1-2^-32 per
+    row. This is the distributed analog of the reference's verification
+    queries (DEPLOYMENT.md row-count probes), upgraded from "same
+    count" to "same content".
+
+    Scale posture: embarrassingly parallel — one projection + md5 per
+    row fused into the scan, one partial+final hash aggregate on the
+    month key; no shuffle beyond the per-month combine, no sort, no
+    row movement between replicas. md5 (not xxhash64) because both
+    engines implement it identically, which is the whole point of a
+    CROSS-engine fingerprint."""
+    ev = catalog.base(spark, sf_dir, "events")
+    row_str = F.concat_ws(
+        "|",
+        F.col("event_id").cast("string"),
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
+        F.col("user_id").cast("string"),
+        F.col("event_type"),
+        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+        F.coalesce(F.col("props"), F.lit("")),
+    )
+    h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
+    return (
+        ev.groupBy(F.date_format("ts", "yyyy-MM").alias("month"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            F.sum(h).cast("long").alias("fingerprint"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    QuerySpec(
+        "table_fingerprint_audit",
+        _table_fingerprint,
+        """
+SELECT strftime(ts, '%Y-%m') AS month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(('0x' || substr(md5(
+              event_id || '|' ||
+              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
+              user_id || '|' ||
+              event_type || '|' ||
+              CAST(round(value * 100) AS BIGINT) || '|' ||
+              coalesce(props, '')), 1, 8)) AS BIGINT)) AS BIGINT)
+         AS fingerprint
+FROM events
+GROUP BY strftime(ts, '%Y-%m')
+ORDER BY month
+""",
+        doc="order-insensitive per-month content fingerprint: canonical "
+        "row serialization -> md5 -> 8-hex-digit sum; constant-size "
+        "replica comparison, the content-level upgrade of the "
+        "reference's row-count verification probes",
+        tags=("extension", "warehouse", "audit"),
+    )
+)
