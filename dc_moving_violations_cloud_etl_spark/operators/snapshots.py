@@ -1,0 +1,76 @@
+"""Snapshot-versioned parquet tables: time travel on a plain
+filesystem, the minimal transactional core of a table format (Delta /
+Iceberg) re-expressed with nothing but parquet directories and one
+atomically-swapped manifest.
+
+The reference overwrite-updates its MySQL tables in place, so "what did
+the table look like before yesterday's load?" is unanswerable there
+(reference DEPLOYMENT.md replays the Lambda instead). Versioned
+snapshots answer it structurally:
+
+- ``write_snapshot`` writes a NEW immutable directory ``v=<n>/`` (never
+  touching prior versions) and then publishes it by atomically
+  replacing the ``_versions.json`` manifest — readers either see the
+  old manifest or the new one, never a half-written table (the same
+  commit shape as the custom Python sink, sources/py_sink.py, and of
+  Delta's _delta_log).
+- ``read_snapshot`` resolves a version (default: latest) through the
+  manifest, so a reader pinned to v1 is immune to concurrent writers —
+  snapshot isolation by immutability.
+
+Scale posture: a snapshot write is one parquet write of the new data —
+no rewrite of history; the manifest is O(versions) bytes. Reads are
+ordinary parquet scans of one version directory, so every pushdown /
+pruning property of the engine applies unchanged. Garbage collection
+(dropping unreferenced versions) is a directory delete, omitted here.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+def _manifest_path(table_dir: str) -> str:
+    return os.path.join(table_dir, "_versions.json")
+
+
+def list_versions(table_dir: str) -> list[int]:
+    try:
+        with open(_manifest_path(table_dir)) as f:
+            return sorted(json.load(f)["versions"])
+    except FileNotFoundError:
+        return []
+
+
+def write_snapshot(df: DataFrame, table_dir: str) -> int:
+    """Write ``df`` as the next version of the table and publish it
+    atomically. Returns the new version number."""
+    os.makedirs(table_dir, exist_ok=True)
+    versions = list_versions(table_dir)
+    v = (versions[-1] + 1) if versions else 1
+    vdir = os.path.join(table_dir, f"v={v}")
+    df.write.mode("overwrite").parquet(vdir)
+    fd, tmp = tempfile.mkstemp(dir=table_dir, prefix="_versions.")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"versions": versions + [v]}, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    return v
+
+
+def read_snapshot(
+    spark: SparkSession, table_dir: str, version: int | None = None
+) -> DataFrame:
+    """Read one committed version (default latest). Unpublished or
+    partially-written directories are invisible — only manifest
+    versions resolve."""
+    versions = list_versions(table_dir)
+    if not versions:
+        raise FileNotFoundError(f"no committed snapshots in {table_dir}")
+    v = versions[-1] if version is None else version
+    if v not in versions:
+        raise ValueError(f"version {v} not in {versions}")
+    return spark.read.parquet(os.path.join(table_dir, f"v={v}"))

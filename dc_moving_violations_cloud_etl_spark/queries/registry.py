@@ -106,7 +106,8 @@ def _load_all() -> None:
 # embedding_kmeans_exact, xml_source_roundtrip_agg,
 # sql_udf_weather_flags, py_sink_roundtrip_agg,
 # phrase_search_positional, cdc_merge_matrix,
-# graph_cc_incremental, table_fingerprint_audit — plus
+# graph_cc_incremental, table_fingerprint_audit,
+# snapshot_time_travel_diff — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
