@@ -783,3 +783,116 @@ ORDER BY gid, event_type, wd
         tags=("extension", "analytics", "grouping-sets"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# time-bounded conversion funnel (click -> purchase within 24 h)
+# ---------------------------------------------------------------------------
+
+_CONV_WINDOW_H = 24
+
+
+def _conversion_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Attribution-style conversion: per click day, how many clicks had
+    a purchase by the same user within the following 24 hours — the
+    TIME-BOUNDED funnel (the ordered funnel `funnel_view_click_purchase`
+    has no deadline; ad attribution always does).
+
+    Scale posture: the existence test is a day-bucketed equi-join, the
+    bounded-range-join pattern of `range_click_before_error` — each
+    purchase explodes to its (day, day-1) candidate buckets, the join
+    key is (user, day), and the exact 0 < Δt <= 24 h filter runs inside
+    the joined bucket, so candidate volume is bounded by per-(user,
+    adjacent-day) activity, never all click×purchase pairs. EXISTS
+    multiplicity is collapsed with a distinct on the click identity
+    BEFORE the final aggregate, so multi-purchase users cannot
+    double-count a click."""
+    ev = _events(spark, sf_dir)
+    clicks = ev.where(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("cts"),
+        F.to_date("ts").alias("click_day"),
+    )
+    purchases = (
+        ev.where(F.col("event_type") == "purchase")
+        .select("user_id", F.col("ts").alias("pts"))
+        .withColumn(
+            "click_day",
+            F.explode(
+                F.array(
+                    F.to_date("pts"), F.date_sub(F.to_date("pts"), 1)
+                )
+            ),
+        )
+    )
+    converted = (
+        clicks.join(purchases, ["user_id", "click_day"])
+        .where(
+            (F.col("pts") > F.col("cts"))
+            & (
+                F.col("pts")
+                <= F.col("cts") + F.expr(f"INTERVAL {_CONV_WINDOW_H} HOURS")
+            )
+        )
+        .select("user_id", "cts")
+        .distinct()
+        .withColumn("converted", F.lit(1))
+    )
+    return (
+        clicks.join(converted, ["user_id", "cts"], "left")
+        .groupBy(F.date_format("click_day", "yyyy-MM-dd").alias("click_day"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.sum(F.coalesce(F.col("converted"), F.lit(0)))
+            .cast("long")
+            .alias("n_converted"),
+            F.countDistinct(
+                F.when(F.col("converted") == 1, F.col("user_id"))
+            )
+            .cast("long")
+            .alias("n_converting_users"),
+        )
+        .orderBy("click_day")
+    )
+
+
+register(
+    QuerySpec(
+        "funnel_conversion_window_24h",
+        _conversion_window,
+        f"""
+WITH clicks AS (
+  SELECT user_id, ts AS cts, CAST(ts AS DATE) AS click_day
+  FROM events WHERE event_type = 'click'
+),
+purchases AS (
+  SELECT user_id, ts AS pts FROM events WHERE event_type = 'purchase'
+),
+conv AS (
+  SELECT c.user_id, c.cts, c.click_day
+  FROM clicks c
+  WHERE EXISTS (
+    SELECT 1 FROM purchases p
+    WHERE p.user_id = c.user_id
+      AND p.pts > c.cts
+      AND p.pts <= c.cts + INTERVAL {_CONV_WINDOW_H} HOUR
+  )
+)
+SELECT strftime(c.click_day, '%Y-%m-%d') AS click_day,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CASE WHEN v.cts IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_converted,
+       CAST(count(DISTINCT CASE WHEN v.cts IS NOT NULL
+                                THEN c.user_id END) AS BIGINT)
+         AS n_converting_users
+FROM clicks c
+LEFT JOIN conv v ON v.user_id = c.user_id AND v.cts = c.cts
+GROUP BY strftime(c.click_day, '%Y-%m-%d')
+ORDER BY click_day
+""",
+        doc="time-bounded conversion funnel: click -> same-user purchase "
+        "within 24 h via the day-bucketed bounded range join; EXISTS "
+        "multiplicity collapsed before aggregation",
+        tags=("extension", "analytics", "funnel", "temporal"),
+    )
+)

@@ -107,7 +107,7 @@ def _load_all() -> None:
 # sql_udf_weather_flags, py_sink_roundtrip_agg,
 # phrase_search_positional, cdc_merge_matrix,
 # graph_cc_incremental, table_fingerprint_audit,
-# snapshot_time_travel_diff — plus
+# snapshot_time_travel_diff, funnel_conversion_window_24h — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
