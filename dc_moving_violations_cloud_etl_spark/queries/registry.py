@@ -107,7 +107,8 @@ def _load_all() -> None:
 # sql_udf_weather_flags, py_sink_roundtrip_agg,
 # phrase_search_positional, cdc_merge_matrix,
 # graph_cc_incremental, table_fingerprint_audit,
-# snapshot_time_travel_diff, funnel_conversion_window_24h — plus
+# snapshot_time_travel_diff, funnel_conversion_window_24h,
+# corpus_bpe_train_merges — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
