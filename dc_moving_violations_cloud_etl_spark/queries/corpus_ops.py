@@ -616,8 +616,13 @@ ORDER BY big.doc_id
 _BPE_ROUNDS = 8
 
 
-def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Real BPE training — 8 iterative merge rounds, not just one round
+def _bpe_core(spark: SparkSession, sf_dir: str):
+    """Shared BPE trainer core: returns ``(merges, final_seq)`` — the
+    8 learned merges and the per-word final symbol sequences (the
+    trained tokenizer's state). See ``_bpe_train`` for the full
+    algorithm/scale discussion.
+
+    Real BPE training — 8 iterative merge rounds, not just one round
     of pair counting (``bpe_merge_pair_counts`` is the single-round
     probe): per round, count adjacent symbol pairs weighted by word
     frequency, pick the argmax pair (ties broken lexicographically),
@@ -730,12 +735,48 @@ def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
+    return merges, seq
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 8 learned merges (see ``_bpe_core``)."""
+    merges, _ = _bpe_core(spark, sf_dir)
     return spark.createDataFrame(
         merges, "round int, merged_pair string, pair_count long"
     ).orderBy("round")
 
 
-def _bpe_oracle() -> str:
+def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ENCODING under the trained tokenizer: BPE merges are word-
+    internal, so a document's token count is the sum over its words of
+    that word's final symbol count — the encode step touches only the
+    vocabulary-bounded trained state (``final_seq``) plus one pass over
+    the document token stream (broadcast dictionary join, the
+    ``corpus_vocab_encode`` shape). Output: per-document BPE token
+    count vs raw character count — the compression the 8 merges bought,
+    which is THE metric a tokenizer-training pipeline watches."""
+    _, seq = _bpe_core(spark, sf_dir)
+    wlen = seq.select(
+        F.col("rid").alias("w"),
+        F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+    )
+    docs = _docs(spark, sf_dir)
+    dw = docs.select(
+        "doc_id", F.explode(tokens(normalized(F.col("text")))).alias("w")
+    ).where(F.length("w") >= 1)
+    return (
+        dw.join(F.broadcast(wlen), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_tokens").cast("long").alias("n_bpe_tokens"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _bpe_oracle(tail: str | None = None) -> str:
     head = r"""
 WITH RECURSIVE words AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
@@ -786,15 +827,16 @@ seq{i + 1} AS MATERIALIZED (
   WHERE k2.pos IS NULL
   GROUP BY t.rid, t.freq
 )"""
-    tail = (
-        "\nSELECT * FROM (\n"
-        + "\nUNION ALL\n".join(
-            f"SELECT {i + 1} AS round, pair AS merged_pair, "
-            f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
-            for i in range(_BPE_ROUNDS)
+    if tail is None:
+        tail = (
+            "\nSELECT * FROM (\n"
+            + "\nUNION ALL\n".join(
+                f"SELECT {i + 1} AS round, pair AS merged_pair, "
+                f"CAST(cnt AS BIGINT) AS pair_count FROM best{i}"
+                for i in range(_BPE_ROUNDS)
+            )
+            + "\n) ORDER BY round"
         )
-        + "\n) ORDER BY round"
-    )
     return head + body + tail
 
 
@@ -810,5 +852,35 @@ register(
         "unrolls the same rounds as materialized CTEs, validated "
         "against a pure-Python BPE reference",
         tags=("extension", "corpus", "text", "iterative", "tokenizer"),
+    )
+)
+
+
+register(
+    QuerySpec(
+        "corpus_bpe_encode_lengths",
+        _bpe_encode,
+        _bpe_oracle(
+            tail=rf"""
+, dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(
+      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(len(string_split(s.seq, ' '))) AS BIGINT) AS n_bpe_tokens,
+       CAST(sum(length(dw.w)) AS BIGINT) AS n_chars
+FROM dw JOIN seq{_BPE_ROUNDS} s ON s.rid = dw.w
+GROUP BY dw.doc_id ORDER BY dw.doc_id
+"""
+        ),
+        doc="encoding under the trained BPE tokenizer: per-doc token "
+        "count = broadcast dictionary join of doc words against the "
+        "vocabulary-bounded trained state — the chars-per-token "
+        "compression metric tokenizer pipelines watch",
+        tags=("extension", "corpus", "text", "tokenizer"),
     )
 )
