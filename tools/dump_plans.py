@@ -123,6 +123,30 @@ AUDITED = [
         "tables joined broadcast-hash; 1-row vocab size as broadcast "
         "crossJoin",
     ),
+    (
+        "cdc_merge_matrix",
+        "the whole MERGE is ONE outer key join (broadcast or shuffle "
+        "per AQE) + codegen CASE routing; no row_number sort, no "
+        "second pass over the target",
+    ),
+    (
+        "funnel_conversion_window_24h",
+        "existence test as a day-bucketed hash equi-join on "
+        "(user, day) with the exact 24 h filter inside the bucket — "
+        "no nested-loop and no all click x purchase pairs",
+    ),
+    (
+        "phrase_search_positional",
+        "both posting lists filtered to their term BEFORE the "
+        "adjacency equi-join (read two posting lists, not the corpus); "
+        "no substring scan of text in the plan",
+    ),
+    (
+        "table_fingerprint_audit",
+        "md5 + projection fused into the parquet scan inside one "
+        "codegen span; single partial+final aggregate on the month "
+        "key — full scan bandwidth, minimal shuffle",
+    ),
 ]
 
 
