@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from .. import catalog
+from .. import caching, catalog
 from ..oracle import with_ref_views
 from .registry import QuerySpec, register
 
@@ -894,5 +894,142 @@ ORDER BY click_day
         "within 24 h via the day-bucketed bounded range join; EXISTS "
         "multiplicity collapsed before aggregation",
         tags=("extension", "analytics", "funnel", "temporal"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# bucketed geo radius join (spatial join without a spatial index)
+# ---------------------------------------------------------------------------
+
+_GEO_R_U = 10_000  # radius in integer micro-degrees (0.01 deg ~ 1.1 km)
+_GEO_TOPK = 5
+
+
+def _geo_radius_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Radius join — "how many violations fall within R of each hotspot
+    center" — the canonical spatial join, expressed with the engine's
+    bucketing discipline instead of a spatial index: coordinates
+    quantize to integer micro-degrees, space is gridded at cell = R, a
+    center's candidates come ONLY from its 3x3 neighbor cells (a
+    9-key equi-join, never a distance cross join), and the exact
+    in-radius test is integer planar distance-squared inside the
+    bucket — every comparison exact in both engines (no trig, no float
+    thresholds; at DC's latitude the planar metric is the right
+    operational approximation for km-scale radii, and the grid/filter
+    SHAPE is unchanged for a haversine refinement).
+
+    Centers are the top-5 busiest cells (deterministic count-desc /
+    cell-asc tie-break), each represented by its centroid. At 100 TB:
+    the center set is broadcast (45 candidate-cell rows), the fact side
+    is one scan + one equi-join on the cell key — the same posture as
+    the banded dedup joins."""
+    v = catalog.violations(spark, sf_dir)
+    pts = v.where(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    ).select(
+        F.round(F.col("latitude") * 1e6, 0).cast("long").alias("lat_u"),
+        F.round(F.col("longitude") * 1e6, 0).cast("long").alias("lon_u"),
+    )
+    pts = pts.select(
+        "lat_u",
+        "lon_u",
+        F.floor(F.col("lat_u") / _GEO_R_U).cast("long").alias("cell_lat"),
+        F.floor(F.col("lon_u") / _GEO_R_U).cast("long").alias("cell_lon"),
+    )
+    pts = caching.persist_tracked(pts)
+    centers = (
+        pts.groupBy("cell_lat", "cell_lon")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy(
+            F.col("cnt").desc(),
+            F.col("cell_lat").asc(),
+            F.col("cell_lon").asc(),
+        )
+        .limit(_GEO_TOPK)
+        .select(
+            (F.col("cell_lat") * _GEO_R_U + _GEO_R_U // 2).alias("c_lat_u"),
+            (F.col("cell_lon") * _GEO_R_U + _GEO_R_U // 2).alias("c_lon_u"),
+        )
+    )
+    off = F.explode(F.array(*[F.lit(i) for i in (-1, 0, 1)]))
+    cand_cells = (
+        centers.withColumn("dlat", off)
+        .withColumn("dlon", off)
+        .select(
+            "c_lat_u",
+            "c_lon_u",
+            (F.floor(F.col("c_lat_u") / _GEO_R_U) + F.col("dlat"))
+            .cast("long")
+            .alias("cell_lat"),
+            (F.floor(F.col("c_lon_u") / _GEO_R_U) + F.col("dlon"))
+            .cast("long")
+            .alias("cell_lon"),
+        )
+    )
+    d2 = (F.col("lat_u") - F.col("c_lat_u")) * (
+        F.col("lat_u") - F.col("c_lat_u")
+    ) + (F.col("lon_u") - F.col("c_lon_u")) * (
+        F.col("lon_u") - F.col("c_lon_u")
+    )
+    return (
+        pts.join(F.broadcast(cand_cells), ["cell_lat", "cell_lon"])
+        .where(d2 <= _GEO_R_U * _GEO_R_U)
+        .groupBy("c_lat_u", "c_lon_u")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_in_radius"))
+        .orderBy("c_lat_u", "c_lon_u")
+    )
+
+
+register(
+    QuerySpec(
+        "geo_radius_join_hotspots",
+        _geo_radius_join,
+        with_ref_views(
+            f"""
+, pts AS (
+  SELECT CAST(round(latitude * 1e6) AS BIGINT) AS lat_u,
+         CAST(round(longitude * 1e6) AS BIGINT) AS lon_u
+  FROM violations
+  WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+),
+cells AS (
+  SELECT lat_u, lon_u,
+         CAST(floor(lat_u / {_GEO_R_U}.0) AS BIGINT) AS cell_lat,
+         CAST(floor(lon_u / {_GEO_R_U}.0) AS BIGINT) AS cell_lon
+  FROM pts
+),
+centers AS (
+  SELECT cell_lat * {_GEO_R_U} + {_GEO_R_U // 2} AS c_lat_u,
+         cell_lon * {_GEO_R_U} + {_GEO_R_U // 2} AS c_lon_u
+  FROM (
+    SELECT cell_lat, cell_lon, count(*) AS cnt
+    FROM cells GROUP BY cell_lat, cell_lon
+    ORDER BY cnt DESC, cell_lat ASC, cell_lon ASC LIMIT {_GEO_TOPK}
+  )
+),
+cand AS (
+  SELECT c.c_lat_u, c.c_lon_u,
+         CAST(floor(c.c_lat_u / {_GEO_R_U}.0) AS BIGINT) + dl.d AS cell_lat,
+         CAST(floor(c.c_lon_u / {_GEO_R_U}.0) AS BIGINT) + dn.d AS cell_lon
+  FROM centers c,
+       (SELECT unnest([-1, 0, 1]) AS d) dl,
+       (SELECT unnest([-1, 0, 1]) AS d) dn
+)
+SELECT cand.c_lat_u, cand.c_lon_u,
+       CAST(count(*) AS BIGINT) AS n_in_radius
+FROM cells JOIN cand USING (cell_lat, cell_lon)
+WHERE (cells.lat_u - cand.c_lat_u) * (cells.lat_u - cand.c_lat_u)
+    + (cells.lon_u - cand.c_lon_u) * (cells.lon_u - cand.c_lon_u)
+   <= {_GEO_R_U * _GEO_R_U}
+GROUP BY cand.c_lat_u, cand.c_lon_u
+ORDER BY c_lat_u, c_lon_u
+"""
+        ),
+        doc="bucketed geo radius join: grid at cell = R, candidates "
+        "from 3x3 neighbor cells only (broadcast 45-row equi-join), "
+        "exact integer planar distance-squared filter inside the "
+        "bucket — the spatial join without a spatial index",
+        tags=("extension", "analytics", "geo", "join"),
     )
 )
