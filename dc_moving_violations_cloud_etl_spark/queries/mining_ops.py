@@ -1049,3 +1049,142 @@ FROM comp GROUP BY component_id ORDER BY component_id
         tags=("extension", "graph", "iterative", "incremental"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# robust outliers: median absolute deviation in exact integer arithmetic
+# ---------------------------------------------------------------------------
+
+
+def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust per-type outlier flagging with the MEDIAN/MAD estimator —
+    the companion to ``events_zscore_outliers`` that a heavy-tailed
+    column needs (mean/variance are themselves dragged by the outliers
+    they're meant to find; median/MAD have a 50% breakdown point).
+
+    Everything is exact integers: medians are computed by RANK
+    SELECTION (row_number over the per-type sort; the two middle ranks
+    summed give 2x the interpolated median — ``sum(rn = r1) +
+    sum(rn = r2)`` double-counts the single middle rank exactly when n
+    is odd), deviations are ``|2*xi - med2|``, and the flag test
+    ``|xi - med| > 3 * MAD`` cross-multiplies to ``2*di > 3*madd2`` —
+    no percentile functions, no float interpolation, so both engines
+    agree bit-for-bit.
+
+    Scale note: exact median selection sorts each type's partition
+    (two ranking windows here) — that IS the cost of exactness;
+    the sketch path (approx_percentile / quantile digests) is the
+    100 TB default and is separately audited in
+    ``quantile_sketch_audit``. Partition-wise the windows are keyed by
+    event_type (5 groups locally; a high-cardinality key keeps windows
+    bounded)."""
+    ev = _events(spark, sf_dir).select(
+        "event_type",
+        F.round(F.col("value") * 100, 0).cast("long").alias("xi"),
+    )
+    wt = Window.partitionBy("event_type").orderBy("xi")
+    ranked = ev.withColumn("rn", F.row_number().over(wt))
+    cnt = ev.groupBy("event_type").agg(F.count(F.lit(1)).cast("long").alias("n"))
+    r1 = F.floor((F.col("n") + 1) / 2).cast("long")
+    r2 = F.floor((F.col("n") + 2) / 2).cast("long")
+    med = (
+        ranked.join(F.broadcast(cnt), "event_type")
+        .groupBy("event_type", "n")
+        .agg(
+            (
+                F.sum(F.when(F.col("rn") == r1, F.col("xi")))
+                + F.sum(F.when(F.col("rn") == r2, F.col("xi")))
+            ).alias("med2")
+        )
+    )
+    dev = (
+        ev.join(F.broadcast(med.select("event_type", "med2")), "event_type")
+        .withColumn("di", F.abs(2 * F.col("xi") - F.col("med2")))
+    )
+    wd = Window.partitionBy("event_type").orderBy("di")
+    dranked = dev.withColumn("rn", F.row_number().over(wd))
+    madd = (
+        dranked.join(F.broadcast(cnt), "event_type")
+        .groupBy("event_type")
+        .agg(
+            (
+                F.sum(F.when(F.col("rn") == r1, F.col("di")))
+                + F.sum(F.when(F.col("rn") == r2, F.col("di")))
+            ).alias("madd2")
+        )
+    )
+    return (
+        dev.join(F.broadcast(madd), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("med2").cast("long").alias("med2"),
+            F.max("madd2").cast("long").alias("madd2"),
+            F.sum(
+                F.when(2 * F.col("di") > 3 * F.col("madd2"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_outliers"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "events_mad_outliers",
+        _mad_outliers,
+        """
+WITH ev AS (
+  SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xi FROM events
+),
+cnt AS (
+  SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1
+),
+ranked AS (
+  SELECT event_type, xi,
+         row_number() OVER (PARTITION BY event_type ORDER BY xi) AS rn
+  FROM ev
+),
+med AS (
+  SELECT r.event_type,
+         sum(CASE WHEN r.rn = (c.n + 1) // 2 THEN r.xi END)
+         + sum(CASE WHEN r.rn = (c.n + 2) // 2 THEN r.xi END) AS med2
+  FROM ranked r JOIN cnt c USING (event_type)
+  GROUP BY r.event_type
+),
+dev AS (
+  SELECT e.event_type, abs(2 * e.xi - m.med2) AS di
+  FROM ev e JOIN med m USING (event_type)
+),
+dranked AS (
+  SELECT event_type, di,
+         row_number() OVER (PARTITION BY event_type ORDER BY di) AS rn
+  FROM dev
+),
+madd AS (
+  SELECT d.event_type,
+         sum(CASE WHEN d.rn = (c.n + 1) // 2 THEN d.di END)
+         + sum(CASE WHEN d.rn = (c.n + 2) // 2 THEN d.di END) AS madd2
+  FROM dranked d JOIN cnt c USING (event_type)
+  GROUP BY d.event_type
+)
+SELECT dev.event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(max(med.med2) AS BIGINT) AS med2,
+       CAST(max(madd.madd2) AS BIGINT) AS madd2,
+       CAST(sum(CASE WHEN 2 * dev.di > 3 * madd.madd2
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers
+FROM dev
+JOIN med USING (event_type)
+JOIN madd USING (event_type)
+GROUP BY dev.event_type
+ORDER BY dev.event_type
+""",
+        doc="robust MAD outlier flagging in exact integers: medians by "
+        "rank selection (two middle ranks summed = 2x median), flag "
+        "test |xi-med| > 3*MAD cross-multiplied to 2*di > 3*madd2 — "
+        "no percentile functions, no float interpolation",
+        tags=("extension", "mining", "statistics", "robust"),
+    )
+)
