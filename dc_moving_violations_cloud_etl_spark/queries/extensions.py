@@ -1534,3 +1534,99 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
         tags=("extension", "similarity", "ivf", "recall"),
     )
 )
+
+
+def _ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of multi-probe IVF (nprobe=2) vs the brute-force exact
+    baseline — the other end of the dial measured by
+    ``similarity_ivf_recall`` (nprobe=1): doubling the probed cells
+    should close most of the recall gap at 2x the per-query candidate
+    cost, and this query is the evidence."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    ivf2 = similarity.cosine_topk_ivf_multiprobe(emb, nprobe=2).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    matched = exact.join(ivf2, ["query_vec_id", "neighbor_vec_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_ivf = ivf2.agg(F.count(F.lit(1)).alias("n_ivf2_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_ivf))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_exact_pairs",
+            "n_ivf2_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_ivf_nprobe2_recall",
+        _ivf_recall_nprobe2,
+        _EMB_CTE
+        + _IVF_CHAIN_SQL
+        + """
+, qcells2 AS (
+  SELECT query_vec_id, qe, qnorm, qcell FROM (
+    SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm,
+           cell_id AS qcell,
+           row_number() OVER (PARTITION BY vec_id
+               ORDER BY cscore DESC, cell_id ASC) AS qrn
+    FROM cscored WHERE vec_id % 100 = 0
+  ) WHERE qrn <= 2
+),
+scored2 AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM assigned c JOIN qcells2 q ON c.cell_id = q.qcell
+),
+ivf5_2 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM scored2
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact JOIN ivf5_2 USING (query_vec_id, neighbor_vec_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ivf5_2) AS n_ivf2_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6
+""",
+        doc="recall@5 of multi-probe IVF (nprobe=2) vs brute force — "
+        "the measured other end of the nprobe dial next to "
+        "similarity_ivf_recall's nprobe=1",
+        tags=("extension", "similarity", "ivf", "recall"),
+    )
+)

@@ -109,7 +109,8 @@ def _load_all() -> None:
 # graph_cc_incremental, table_fingerprint_audit,
 # snapshot_time_travel_diff, funnel_conversion_window_24h,
 # corpus_bpe_train_merges, corpus_bpe_encode_lengths,
-# geo_radius_join_hotspots, events_mad_outliers — plus
+# geo_radius_join_hotspots, events_mad_outliers,
+# similarity_ivf_nprobe2_recall — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
