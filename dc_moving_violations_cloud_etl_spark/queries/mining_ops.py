@@ -800,8 +800,12 @@ SELECT node AS user_id, round(r, 8) AS pagerank FROM r3 ORDER BY user_id
 _KM_K = 8
 
 
-def _kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """K-means (k=8, two Lloyd assignment rounds, first-k init) over the
+def _kmeans_core(spark: SparkSession, sf_dir: str):
+    """Shared exact-k-means core: returns ``(q, a2)`` — the persisted
+    quantized component table and the round-2 cluster assignment.
+    See ``_kmeans_exact`` for the full algorithm/exactness discussion.
+
+    K-means (k=8, two Lloyd assignment rounds, first-k init) over the
     embedding corpus with EVERY step in cross-engine-exact arithmetic —
     the iterative-ML companion to PageRank and connected components.
 
@@ -888,6 +892,12 @@ def _kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     a2 = assign(c1)
+    return q, a2
+
+
+def _kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-cluster summary of the exact k-means (see ``_kmeans_core``)."""
+    q, a2 = _kmeans_core(spark, sf_dir)
     return (
         q.groupBy("vec_id")
         .agg(F.sum("q").alias("vq"))
@@ -902,11 +912,7 @@ def _kmeans_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    QuerySpec(
-        "embedding_kmeans_exact",
-        _kmeans_exact,
-        """
+_KMEANS_CHAIN_SQL = """
 WITH qt AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
@@ -945,8 +951,15 @@ a2 AS (
                               ORDER BY dist, cluster) AS rn
     FROM d2
   ) WHERE rn = 1
-),
-vq AS (SELECT vec_id, sum(q) AS vq FROM qt GROUP BY vec_id)
+)"""
+
+
+register(
+    QuerySpec(
+        "embedding_kmeans_exact",
+        _kmeans_exact,
+        _KMEANS_CHAIN_SQL + """
+, vq AS (SELECT vec_id, sum(q) AS vq FROM qt GROUP BY vec_id)
 SELECT a2.cluster,
        CAST(count(*) AS BIGINT) AS n_members,
        CAST(sum(vq.vq) AS BIGINT) AS sum_q_checksum,
@@ -1186,5 +1199,103 @@ ORDER BY dev.event_type
         "test |xi-med| > 3*MAD cross-multiplied to 2*di > 3*madd2 — "
         "no percentile functions, no float interpolation",
         tags=("extension", "mining", "statistics", "robust"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup: semantic dedup candidates via k-means cluster blocking
+# ---------------------------------------------------------------------------
+
+
+def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup (Abbas et al., 2023: cluster the
+    embedding space, then look for near-duplicates ONLY within a
+    cluster): the exact k-means assignment (``_kmeans_core``) is the
+    blocking key, and cosine similarity is scored for within-cluster
+    pairs only — the cluster structure prunes the O(n²) pair space to
+    sum-of-cluster-sizes², the same blocking discipline as the MinHash
+    bands and LSH buckets, but in SEMANTIC space. Output: the top-20
+    most similar within-cluster pairs (rank-limited, so no
+    threshold-tuning dependence; a production run would cut at a cosine
+    threshold per cluster).
+
+    At 100 TB: k scales with corpus size (k ≈ n/avg_cluster), keeping
+    per-cluster pair generation bounded; the k-means pass is linear
+    (see ``embedding_kmeans_exact``) and scoring touches only
+    co-clustered pairs."""
+    from ..operators.similarity import _as_double, _dot
+
+    _, a2 = _kmeans_core(spark, sf_dir)
+    emb = catalog.base(spark, sf_dir, "embeddings").select(
+        "vec_id", _as_double(F.col("embedding")).alias("e")
+    )
+    normed = emb.select(
+        "vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm")
+    )
+    memb = caching.persist_tracked(normed.join(a2, "vec_id"))
+    a = memb.alias("a")
+    b = memb.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("a_vec_id"),
+            F.col("b.vec_id").alias("b_vec_id"),
+            F.col("a.cluster").alias("cluster"),
+            F.round(
+                _dot(F.col("a.e"), F.col("b.e"))
+                / (F.col("a.nrm") * F.col("b.nrm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    return (
+        pairs.orderBy(
+            F.col("cos_sim").desc(),
+            F.col("a_vec_id").asc(),
+            F.col("b_vec_id").asc(),
+        )
+        .limit(20)
+    )
+
+
+register(
+    QuerySpec(
+        "semdedup_cluster_pairs",
+        _semdedup_pairs,
+        _KMEANS_CHAIN_SQL
+        + """
+, corpus_d AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+normd AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)),
+              i -> e[i] * e[i]))) AS nrm
+  FROM corpus_d
+),
+memb AS (
+  SELECT n.vec_id, n.e, n.nrm, a2.cluster
+  FROM normd n JOIN a2 USING (vec_id)
+),
+p AS (
+  SELECT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id, a.cluster,
+         round(list_sum(list_transform(generate_series(1, len(a.e)),
+               i -> a.e[i] * b.e[i])) / (a.nrm * b.nrm), 6) AS cos_sim
+  FROM memb a JOIN memb b
+    ON a.cluster = b.cluster AND a.vec_id < b.vec_id
+)
+SELECT a_vec_id, b_vec_id, cluster, cos_sim
+FROM p ORDER BY cos_sim DESC, a_vec_id ASC, b_vec_id ASC LIMIT 20
+""",
+        doc="SemDeDup: exact k-means clusters as semantic blocking "
+        "keys, cosine scored for within-cluster pairs only (pair space "
+        "pruned from O(n^2) to sum of cluster sizes squared); top-20 "
+        "rank-limited output",
+        tags=("extension", "dedup", "embedding", "semantic"),
     )
 )
