@@ -92,6 +92,7 @@ _ALLOWED_BNLJ = {
     "similarity_ivf_topk",
     "similarity_lsh_recall",
     "similarity_ivf_recall",
+    "similarity_ivf_nprobe2_recall",
 }
 
 
