@@ -1033,3 +1033,77 @@ ORDER BY c_lat_u, c_lon_u
         tags=("extension", "analytics", "geo", "join"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# exponentially-decayed leaderboard (trending items, exact integers)
+# ---------------------------------------------------------------------------
+
+
+def _decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trending-item leaderboard under exponential time decay — recency
+    weighting with a 1-week half-life, in EXACT integers: ages bucket
+    to weeks and the weight ladder is powers of two
+    (16/8/4/2/1, >4 weeks → 0), so the decayed score is a plain BIGINT
+    sum in both engines — no float pow(), no decay-constant drift. This
+    is how a leaderboard stays hash-comparable across engines AND
+    mergeable: per-day integer partials can be stored and re-weighted
+    at query time by shifting, the standard trick for incremental
+    trending at scale.
+
+    One scan + one groupBy on the item key; the reference day (max
+    event date) is the 1-row broadcast scalar-combine."""
+    ev = _events(spark, sf_dir).select(
+        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.to_date("ts").alias("d"),
+    ).where(F.col("k").isNotNull())
+    ref = ev.agg(F.max("d").alias("ref_d"))
+    age_w = F.floor(F.datediff(F.col("ref_d"), F.col("d")) / 7)
+    weight = (
+        F.when(age_w == 0, 16)
+        .when(age_w == 1, 8)
+        .when(age_w == 2, 4)
+        .when(age_w == 3, 2)
+        .when(age_w == 4, 1)
+        .otherwise(0)
+    )
+    return (
+        ev.crossJoin(F.broadcast(ref))
+        .groupBy("k")
+        .agg(
+            F.sum(weight).cast("long").alias("decayed_score"),
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+        )
+        .orderBy(F.col("decayed_score").desc(), F.col("k").asc())
+        .limit(10)
+    )
+
+
+register(
+    QuerySpec(
+        "events_decayed_leaderboard",
+        _decayed_leaderboard,
+        """
+WITH ev AS (
+  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ts AS DATE) AS d
+  FROM events
+  WHERE json_extract_string(props, '$.k') IS NOT NULL
+),
+ref AS (SELECT max(d) AS ref_d FROM ev)
+SELECT k,
+       CAST(sum(CASE date_diff('day', d, (SELECT ref_d FROM ref)) // 7
+                WHEN 0 THEN 16 WHEN 1 THEN 8 WHEN 2 THEN 4
+                WHEN 3 THEN 2 WHEN 4 THEN 1 ELSE 0 END) AS BIGINT)
+         AS decayed_score,
+       CAST(count(*) AS BIGINT) AS n_events
+FROM ev
+GROUP BY k
+ORDER BY decayed_score DESC, k ASC LIMIT 10
+""",
+        doc="trending leaderboard under 1-week-half-life decay in exact "
+        "integers (power-of-two weight ladder, no float pow) — "
+        "mergeable per-day partials re-weighted by shifting",
+        tags=("extension", "analytics", "trending"),
+    )
+)

@@ -110,7 +110,8 @@ def _load_all() -> None:
 # snapshot_time_travel_diff, funnel_conversion_window_24h,
 # corpus_bpe_train_merges, corpus_bpe_encode_lengths,
 # geo_radius_join_hotspots, events_mad_outliers,
-# similarity_ivf_nprobe2_recall, semdedup_cluster_pairs — plus
+# similarity_ivf_nprobe2_recall, semdedup_cluster_pairs,
+# events_decayed_leaderboard — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
