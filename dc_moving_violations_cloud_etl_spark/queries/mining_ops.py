@@ -721,6 +721,21 @@ def _pagerank_coclick(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounding quantum.
     """
     edges = _coclick_edges(spark, sf_dir)
+    ranks = pagerank_undirected(edges, _PR_ITERS, _PR_DAMP)
+    return ranks.select(
+        F.col("node").alias("user_id"), F.round("r", 8).alias("pagerank")
+    ).orderBy("user_id")
+
+
+def pagerank_undirected(
+    edges: DataFrame, n_iter: int = _PR_ITERS, damp: float = _PR_DAMP
+) -> DataFrame:
+    """Fixed-iteration PageRank over an undirected ``(u, v)`` edge list
+    → ``(node, r)``. The iteration core of ``graph_pagerank_coclick``,
+    factored over a generic edge list so the algorithm is
+    property-testable against a dense numpy power iteration
+    (tests/test_graph_property.py) independent of the co-click edge
+    construction — the same layering as ``components_from_edges``."""
     directed = edges.select(
         F.col("u").alias("src"), F.col("v").alias("dst")
     ).unionAll(edges.select(F.col("v").alias("src"), F.col("u").alias("dst")))
@@ -733,21 +748,19 @@ def _pagerank_coclick(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("r", F.lit(1.0 / n_nodes))
         .localCheckpoint()
     )
-    for _ in range(_PR_ITERS):
+    for _ in range(n_iter):
         ranks = (
             out.join(ranks, out.src == ranks.node)
             .groupBy(F.col("dst").alias("node"))
             .agg(
                 (
-                    F.lit((1.0 - _PR_DAMP) / n_nodes)
-                    + F.lit(_PR_DAMP) * F.sum(F.col("r") / F.col("d"))
+                    F.lit((1.0 - damp) / n_nodes)
+                    + F.lit(damp) * F.sum(F.col("r") / F.col("d"))
                 ).alias("r")
             )
             .localCheckpoint()
         )
-    return ranks.select(
-        F.col("node").alias("user_id"), F.round("r", 8).alias("pagerank")
-    ).orderBy("user_id")
+    return ranks
 
 
 register(
