@@ -814,9 +814,17 @@ _KM_K = 8
 
 
 def _kmeans_core(spark: SparkSession, sf_dir: str):
-    """Shared exact-k-means core: returns ``(q, a2)`` — the persisted
-    quantized component table and the round-2 cluster assignment.
-    See ``_kmeans_exact`` for the full algorithm/exactness discussion.
+    """Shared exact-k-means core over the fixture embeddings: returns
+    ``(q, a2)`` — the persisted quantized component table and the
+    round-2 cluster assignment."""
+    return kmeans_assign(catalog.base(spark, sf_dir, "embeddings"))
+
+
+def kmeans_assign(emb: DataFrame):
+    """Exact k-means over an ``(vec_id, embedding)`` DataFrame →
+    ``(q, a2)``. Factored over a generic input so the algorithm is
+    property-testable against a dense pure-Python reference
+    (tests/test_graph_property.py) independent of the fixture.
 
     K-means (k=8, two Lloyd assignment rounds, first-k init) over the
     embedding corpus with EVERY step in cross-engine-exact arithmetic —
@@ -844,7 +852,6 @@ def _kmeans_core(spark: SparkSession, sf_dir: str):
     like a cluster k-means (MLlib does the same dance with float
     centroids).
     """
-    emb = catalog.base(spark, sf_dir, "embeddings")
     q = caching.persist_tracked(
         emb.select("vec_id", F.posexplode("embedding").alias("pos", "x"))
         .select(
