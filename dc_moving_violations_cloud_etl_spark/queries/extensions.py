@@ -1630,3 +1630,127 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
         tags=("extension", "similarity", "ivf", "recall"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH candidate-generation recall vs exact Jaccard (query subset)
+# ---------------------------------------------------------------------------
+
+_DEDUP_QUERY_MOD = 50
+
+
+def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of MinHash(16)+LSH(4-band) CANDIDATE GENERATION against
+    the exact char-3-gram Jaccard ground truth, measured on a bounded
+    query subset (``doc_id % 50 = 0``) — the text-dedup twin of
+    ``similarity_lsh_recall``/``similarity_ivf_recall``: those measure
+    the embedding ANN trade, this measures the banded-MinHash trade the
+    whole dedup family rides on. Ground truth is brute-force Jaccard of
+    the query docs against the corpus (query set broadcast — bounded
+    like the ANN baselines, never corpus x corpus); candidates are the
+    band-collision pairs touching the query set, BEFORE Jaccard
+    verification (post-verify pairs equal truth-intersect-candidates by
+    construction, so verifying first would make recall trivially 1)."""
+    per_doc = dedup.persist_tracked(
+        dedup.minhash_signatures(_docs(spark, sf_dir)).select(
+            "doc_id", "sh", "bands"
+        )
+    )
+    qset = per_doc.where(F.col("doc_id") % _DEDUP_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("q_doc_id"), F.col("sh").alias("q_sh")
+    )
+    exact = (
+        per_doc.crossJoin(F.broadcast(qset))
+        .where(F.col("doc_id") != F.col("q_doc_id"))
+        .where(dedup._jaccard(F.col("sh"), F.col("q_sh")) >= 0.5)
+        .select(
+            F.least("doc_id", "q_doc_id").alias("a"),
+            F.greatest("doc_id", "q_doc_id").alias("b"),
+        )
+        .distinct()
+    )
+    bands = per_doc.select(
+        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    qbands = bands.join(
+        F.broadcast(qset.select(F.col("q_doc_id").alias("doc_id"))),
+        "doc_id",
+    ).select(
+        F.col("doc_id").alias("q_doc_id"), "band_idx", "band_hash"
+    )
+    cand = (
+        bands.join(F.broadcast(qbands), ["band_idx", "band_hash"])
+        .where(F.col("doc_id") != F.col("q_doc_id"))
+        .select(
+            F.least("doc_id", "q_doc_id").alias("a"),
+            F.greatest("doc_id", "q_doc_id").alias("b"),
+        )
+        .distinct()
+    )
+    matched = exact.join(cand, ["a", "b"])
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+    n_cand = cand.agg(
+        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+    )
+    n_match = matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_true_pairs",
+            "n_candidate_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_true_pairs"), 6
+            ).alias("recall_r6"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "dedup_minhash_recall",
+        _minhash_recall,
+        _DOCS_CTE
+        + _MINHASH_SIG_SQL
+        + f"""
+, per_doc AS (
+  SELECT s.doc_id, d.sh FROM sigs s JOIN docs_n d USING (doc_id)
+),
+qset AS (
+  SELECT doc_id AS q_doc_id, sh AS q_sh FROM per_doc
+  WHERE doc_id % {_DEDUP_QUERY_MOD} = 0
+),
+exact AS (
+  SELECT DISTINCT least(p.doc_id, q.q_doc_id) AS a,
+         greatest(p.doc_id, q.q_doc_id) AS b
+  FROM per_doc p, qset q
+  WHERE p.doc_id <> q.q_doc_id
+    AND round(CAST(len(list_intersect(p.sh, q.q_sh)) AS DOUBLE)
+        / CAST(len(list_distinct(list_concat(p.sh, q.q_sh))) AS DOUBLE), 6)
+        >= 0.5
+),
+qbands AS (
+  SELECT b.doc_id AS q_doc_id, b.band_idx, b.band_hash
+  FROM bands b JOIN qset q ON b.doc_id = q.q_doc_id
+),
+cand AS (
+  SELECT DISTINCT least(b.doc_id, q.q_doc_id) AS a,
+         greatest(b.doc_id, q.q_doc_id) AS b
+  FROM bands b JOIN qbands q
+    ON b.band_idx = q.band_idx AND b.band_hash = q.band_hash
+  WHERE b.doc_id <> q.q_doc_id
+),
+m AS (SELECT count(*) AS n_matched FROM exact JOIN cand USING (a, b))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM cand) AS n_candidate_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6
+""",
+        doc="MinHash-LSH candidate-generation recall vs exact Jaccard "
+        "ground truth on a bounded query subset — the text-dedup twin "
+        "of the ANN recall audits",
+        tags=("extension", "dedup", "recall"),
+    )
+)

@@ -84,6 +84,7 @@ _ALLOWED_BNLJ = {
     "basket_type_lift",            # 1-row basket-count broadcast
     "events_value_drift_audit",    # 1-row midpoint + totals broadcasts
     "corpus_bigram_lm_nll",        # 1-row vocabulary-size broadcast
+    "events_decayed_leaderboard",  # 1-row reference-day broadcast
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
@@ -93,6 +94,7 @@ _ALLOWED_BNLJ = {
     "similarity_lsh_recall",
     "similarity_ivf_recall",
     "similarity_ivf_nprobe2_recall",
+    "dedup_minhash_recall",        # bounded doc query set, brute-force truth
 }
 
 
