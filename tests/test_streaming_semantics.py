@@ -98,3 +98,69 @@ def test_multibatch_watermark_advances_and_append_withholds(
     assert out, "append emitted nothing"
     assert 20 not in out and 21 not in out, sorted(out)
     assert all(n == 24 for n in out.values()), out
+
+
+def test_progress_reports_rows_dropped_by_watermark(spark, tmp_path):
+    """The engine's own telemetry must show late rows being DROPPED by
+    the watermark (stateOperators[].numRowsDroppedByWatermark in query
+    progress) — stronger evidence than output absence alone, and the
+    metric an operator dashboards at scale. Because the operative
+    watermark lags one batch in availableNow (module docstring), the
+    late file arrives as the THIRD batch: batch 0 (days 10..21)
+    advances event time, batch 1 (day 22) runs under the propagated
+    watermark, batch 2 (days 1..6) is then genuinely below it. Exact
+    per-batch counts stay unpinned; the run-total must account for
+    some-to-all of the 120 late rows (5 days x 24)."""
+    d = str(tmp_path / "in3")
+    os.makedirs(d)
+
+    def write(name, day_lo, day_hi, mtime):
+        df = spark.range(day_lo * 24, day_hi * 24).select(
+            (F.col("id") * 3600).cast("timestamp").alias("ts")
+        )
+        path = os.path.join(d, name)
+        df.coalesce(1).write.parquet(path)
+        for root, _, files in os.walk(path):
+            os.utime(root, (mtime, mtime))
+            for f in files:
+                os.utime(os.path.join(root, f), (mtime, mtime))
+
+    write("b0.parquet", 10, 21, 1_000_000)
+    write("b1.parquet", 21, 22, 2_000_000)
+    write("b2.parquet", 1, 6, 3_000_000)
+    ev = (
+        spark.readStream.schema("ts timestamp")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(f"{d}/*")
+    )
+    agg = (
+        ev.withWatermark("ts", "1 day")
+        .groupBy(F.window("ts", "1 day").alias("win"))
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    q = (
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("wm_dropped_metric")
+        .option("checkpointLocation", str(tmp_path / "ckpt2"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    try:
+        q.awaitTermination()
+        progresses = [
+            json.loads(p.json) if not isinstance(p, dict) else p
+            for p in q.recentProgress
+        ]
+    finally:
+        q.stop()
+    dropped = sum(
+        op.get("numRowsDroppedByWatermark", 0)
+        for p in progresses
+        for op in p.get("stateOperators", [])
+    )
+    assert 0 < dropped <= 120, (
+        dropped,
+        [p.get("batchId") for p in progresses],
+    )
+    spark.catalog.dropTempView("wm_dropped_metric")
