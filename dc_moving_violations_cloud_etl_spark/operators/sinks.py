@@ -139,8 +139,9 @@ def merge_matrix(
     DataFrame re-expression for parquet-backed state, generalizing
     ``upsert_last_writer_wins``/``insert_if_absent`` exactly the way
     ``ON DUPLICATE KEY UPDATE``/``INSERT IGNORE`` generalize to ANSI
-    MERGE.) Preconditions: both sides key-unique (the sinks' standing
-    invariant). ``update_cols``/``delete_cond`` reference the joined
+    MERGE.) Preconditions: both sides key-unique with NON-NULL keys
+    (the sinks' standing PK invariant — the matched/source-only tests
+    read key nullness as row presence). ``update_cols``/``delete_cond`` reference the joined
     row via ``t.<col>`` / ``s.<col>`` aliases.
 
     Scale posture: ONE full-outer shuffle join on the key — the same

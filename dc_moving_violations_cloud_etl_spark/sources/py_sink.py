@@ -8,7 +8,7 @@ etl/daily_load/violation_etl_daily.py:289). This sink reproduces the
 protocol shape inside Spark's writer API instead:
 
 - ``write(iterator)`` runs ONE PER PARTITION as a parallel task — each
-  task streams its Arrow record batches to a task-private staging file
+  task streams its row iterator to a task-private staging file
   (the analogue of one DB connection's batched inserts; a live
   connector would open the connection and executemany right here),
   fsyncs, and returns the staged path + row count as its commit
@@ -55,8 +55,11 @@ def make_jsonl_sink():
             self.ts_fmt = options.get("tsFormat", "%Y-%m-%dT%H:%M:%S.%f")
 
         def write(self, iterator):
-            """Per-task: stream Arrow batches to a staging file. Runs on
-            executors; imports stay inside (by-value pickling)."""
+            """Per-task: stream the partition's rows to a staging file
+            (the Python DataSource writer API hands a Row iterator; the
+            reference's executemany loop is the same row-wise protocol).
+            Runs on executors; imports stay inside (by-value
+            pickling)."""
             import json
             import os
             import uuid
