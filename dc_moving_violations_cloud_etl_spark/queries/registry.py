@@ -111,7 +111,8 @@ def _load_all() -> None:
 # corpus_bpe_train_merges, corpus_bpe_encode_lengths,
 # geo_radius_join_hotspots, events_mad_outliers,
 # similarity_ivf_nprobe2_recall, semdedup_cluster_pairs,
-# events_decayed_leaderboard, dedup_minhash_recall — plus
+# events_decayed_leaderboard, dedup_minhash_recall,
+# rollup_serving_qa — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

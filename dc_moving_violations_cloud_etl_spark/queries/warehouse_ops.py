@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import catalog
+from ..oracle import with_ref_views
 from .registry import QuerySpec, register
 
 
@@ -949,5 +950,81 @@ ORDER BY user_id
         "through the manifest and diffed — the minimal Delta-style "
         "versioning core on plain parquet",
         tags=("extension", "warehouse", "snapshot", "time-travel"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# materialized-rollup serving (aggregate navigation)
+# ---------------------------------------------------------------------------
+
+
+def _rollup_serving(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate navigation — answering the reference's Qa from a
+    STORED day-grain rollup instead of the fact table: a
+    ``(violation_date, month, agency) -> count`` rollup is written once
+    per fixture generation (parquet, process-private dir + atomic
+    rename) and the monthly answer re-aggregates THE ROLLUP — the
+    BI-serving pattern where a day-grain summary answers every
+    coarser-grain question. The oracle computes Qa from the raw fact
+    CTEs, so the green row proves the rollup path is EQUAL to the fact
+    path (the correctness condition of materialized-view rewriting;
+    the freshness half is ``incremental_agg_maintenance``).
+
+    Scale posture: the serving read scans rollup rows (days x agencies
+    — thousands), not fact rows (billions at 100 TB); count partials
+    re-aggregate associatively to any coarser grain."""
+    import hashlib
+    import os
+    import shutil
+
+    src = f"{sf_dir}/lineitem.parquet"
+    st = os.stat(src)
+    tag = hashlib.md5(
+        f"rollup:{src}:{st.st_size}:{st.st_mtime_ns}".encode()
+    ).hexdigest()[:8]
+    d = f"/tmp/spark_graft_stream/rollup_{tag}"
+    done = os.path.join(d, "_SUCCESS")
+    if not os.path.exists(done):
+        tmp = f"{d}.tmp.{os.getpid()}"
+        shutil.rmtree(tmp, ignore_errors=True)
+        (
+            catalog.violations(spark, sf_dir)
+            .groupBy("violation_date", "month", "issuing_agency_name")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .write.mode("overwrite")
+            .parquet(tmp)
+        )
+        try:
+            os.rename(tmp, d)
+        except OSError:
+            shutil.rmtree(tmp, ignore_errors=True)  # lost the race
+    return (
+        spark.read.parquet(d)
+        .groupBy("month", "issuing_agency_name")
+        .agg(F.sum("n").cast("long").alias("tickets_count"))
+        .orderBy("month", "issuing_agency_name")
+    )
+
+
+register(
+    QuerySpec(
+        "rollup_serving_qa",
+        _rollup_serving,
+        # the fact-path oracle: a green row proves rollup == fact
+        with_ref_views(
+            """
+SELECT month, issuing_agency_name,
+       CAST(count(*) AS BIGINT) AS tickets_count
+FROM violations
+GROUP BY month, issuing_agency_name
+ORDER BY month, issuing_agency_name
+"""
+        ),
+        doc="aggregate navigation: Qa answered from a stored day-grain "
+        "rollup (associative count partials re-aggregated to month "
+        "grain) proven equal to the fact-table path — the "
+        "materialized-view rewriting correctness condition",
+        tags=("extension", "warehouse", "rollup", "serving"),
     )
 )
