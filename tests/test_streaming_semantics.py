@@ -164,3 +164,48 @@ def test_progress_reports_rows_dropped_by_watermark(spark, tmp_path):
         [p.get("batchId") for p in progresses],
     )
     spark.catalog.dropTempView("wm_dropped_metric")
+
+
+def test_checkpoint_restart_resumes_exactly_once(spark, tmp_path):
+    """Recovery contract: a stream stopped and RESTARTED from its
+    checkpoint must process exactly the unseen input — no re-emission
+    of committed batches, no loss. Deterministic (no mid-batch kill
+    race): run 1 processes file A to completion, files B and C land
+    while the query is DOWN, run 2 resumes from the same checkpoint.
+    The parquet sink must hold every row exactly once."""
+    src = str(tmp_path / "src")
+    sink = str(tmp_path / "sink")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def add_file(name, lo, hi):
+        spark.range(lo, hi).select(
+            F.col("id"), (F.col("id") * 3600).cast("timestamp").alias("ts")
+        ).coalesce(1).write.parquet(os.path.join(src, name))
+
+    def run():
+        ev = spark.readStream.schema("id long, ts timestamp").parquet(
+            f"{src}/*"
+        )
+        q = (
+            ev.writeStream.format("parquet")
+            .option("path", sink)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        q.stop()
+
+    add_file("a.parquet", 0, 100)
+    run()
+    n1 = spark.read.parquet(sink).count()
+    assert n1 == 100
+
+    add_file("b.parquet", 100, 250)
+    add_file("c.parquet", 250, 300)
+    run()
+    out = spark.read.parquet(sink)
+    assert out.count() == 300  # no loss, no re-emission of file A
+    assert out.select("id").distinct().count() == 300  # no duplicates
+    assert out.agg(F.sum("id")).collect()[0][0] == 299 * 300 // 2
