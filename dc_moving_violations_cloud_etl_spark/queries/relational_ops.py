@@ -287,3 +287,87 @@ GROUP BY quartile ORDER BY quartile
         tags=("extension", "curation", "quantile-bucketing"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# nested arrays-of-structs: reassembly + higher-order-function processing
+# ---------------------------------------------------------------------------
+
+
+def _nested_hof_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nested-data cell: lineitems are REASSEMBLED into one
+    array-of-structs per order (the document shape a JSON/VARIANT
+    pipeline carries) and every per-order metric is then computed with
+    higher-order functions over the nested column — ``size``/``filter``
+    / ``transform``/``aggregate`` with an exact integer-cents
+    accumulator — never by re-flattening. The oracle computes the same
+    metrics RELATIONALLY from the flat table, so the green row proves
+    the nested pipeline is semantics-preserving (reassembly loses no
+    rows; the HOF fold equals the relational aggregate).
+
+    Scale posture: the reassembly is one groupBy(orderkey) collect_list
+    — the shuffle any per-entity nesting costs; all HOF evaluation is
+    JVM codegen over the array column with no explode and no second
+    shuffle. Orders with < 4 lines are filtered (inside the HOF
+    pipeline) to keep the checked output compact."""
+    li = catalog.base(spark, sf_dir, "lineitem").select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_quantity",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("cents"),
+    )
+    nested = li.groupBy("l_orderkey").agg(
+        F.collect_list(
+            F.struct("l_linenumber", "l_quantity", "cents")
+        ).alias("lines")
+    )
+    return (
+        nested.select(
+            F.col("l_orderkey").alias("order_key"),
+            F.size("lines").cast("long").alias("n_lines"),
+            F.size(
+                F.filter("lines", lambda l: l["l_quantity"] > 25)
+            )
+            .cast("long")
+            .alias("n_bulk_lines"),
+            F.aggregate(
+                "lines",
+                F.lit(0).cast("long"),
+                lambda acc, l: acc + l["cents"],
+            ).alias("total_cents"),
+            F.array_max(
+                F.transform("lines", lambda l: l["cents"])
+            ).alias("max_line_cents"),
+        )
+        .where(F.col("n_lines") >= 4)
+        .orderBy("order_key")
+    )
+
+
+register(
+    QuerySpec(
+        "nested_hof_order_amounts",
+        _nested_hof_orders,
+        """
+SELECT l_orderkey AS order_key,
+       CAST(count(*) AS BIGINT) AS n_lines,
+       CAST(sum(CASE WHEN l_quantity > 25 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_bulk_lines,
+       CAST(sum(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS total_cents,
+       CAST(max(CAST(round(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+         AS max_line_cents
+FROM lineitem
+GROUP BY l_orderkey
+HAVING count(*) >= 4
+ORDER BY order_key
+""",
+        doc="nested arrays-of-structs: per-order reassembly + "
+        "size/filter/transform/aggregate HOFs with an exact "
+        "integer-cents fold, proven equal to the relational "
+        "computation over the flat table",
+        tags=("extension", "relational", "nested", "hof"),
+    )
+)
