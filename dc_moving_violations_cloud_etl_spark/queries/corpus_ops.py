@@ -884,3 +884,112 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id
         tags=("extension", "corpus", "text", "tokenizer"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# END-TO-END corpus pipeline: filter -> dedup -> split -> pack -> manifest
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_TOKENS = 10
+
+
+def _pipeline_end2end(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The whole training-corpus pipeline as ONE composed dataflow —
+    quality filter → exact-dup keeper election → train-split assignment
+    → greedy sequence packing → shard manifest — each stage the
+    operator its standalone query verifies, now chained so the ORACLE
+    CHECKS THE COMPOSITION (stage interfaces, not just stage outputs:
+    a keeper elected from pre-filter docs, or packing run before the
+    split, would change the manifest hash).
+
+    Scale posture is inherited stage-by-stage: the filter fuses into
+    the scan; keeper election is one hash-groupBy; split assignment is
+    per-row md5 arithmetic; packing is the bounded per-(lang, shard)
+    fold via applyInPandas. One corpus scan feeds everything — no stage
+    re-reads the source."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        normalized(F.col("text")).alias("norm"),
+    )
+    d = d.withColumn("n_tokens", F.size(F.split("norm", " ")))
+    q = d.where(F.col("n_tokens") >= _PIPE_MIN_TOKENS)
+    keepers = q.groupBy(F.md5("norm").alias("h")).agg(
+        F.min("doc_id").alias("doc_id")
+    )
+    surv = q.join(keepers.select("doc_id"), "doc_id", "left_semi")
+    train = surv.where(
+        _md5_mod(F.col("doc_id"), "split:", 100) < _TRAIN_PCT
+    )
+    sharded = train.withColumn(
+        "shard", _md5_mod(F.col("doc_id"), "pack:", _PACK_SHARDS).cast("int")
+    )
+    packed = (
+        sharded.select("doc_id", "lang", "n_tokens", "shard")
+        .groupBy("lang", "shard")
+        .applyInPandas(_make_pack_fn(_PACK_BUDGET), schema=_PACK_SCHEMA)
+    )
+    return packed.orderBy("lang", "shard", "bin_id")
+
+
+register(
+    QuerySpec(
+        "corpus_pipeline_end2end",
+        _pipeline_end2end,
+        rf"""
+WITH RECURSIVE d0 AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, lang, norm,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+  FROM d0
+),
+q AS (SELECT * FROM dt WHERE n_tokens >= {_PIPE_MIN_TOKENS}),
+keep AS (SELECT min(doc_id) AS doc_id FROM q GROUP BY md5(norm)),
+surv AS (SELECT q.* FROM q JOIN keep USING (doc_id)),
+tr AS (
+  SELECT * FROM surv
+  WHERE CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+        AS BIGINT) % 100 < {_TRAIN_PCT}
+),
+st AS (
+  SELECT lang,
+         CAST(CAST('0x' || substr(md5('pack:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_PACK_SHARDS} AS INTEGER) AS shard,
+         doc_id, n_tokens
+  FROM tr
+),
+seq AS (
+  SELECT lang, shard, doc_id, n_tokens,
+         row_number() OVER (PARTITION BY lang, shard ORDER BY doc_id) AS rn
+  FROM st
+),
+pack AS (
+  SELECT lang, shard, rn, n_tokens,
+         CAST(1 AS BIGINT) AS bin_id, n_tokens AS fill
+  FROM seq WHERE rn = 1
+  UNION ALL
+  SELECT s.lang, s.shard, s.rn, s.n_tokens,
+         CASE WHEN p.fill + s.n_tokens > {_PACK_BUDGET}
+              THEN p.bin_id + 1 ELSE p.bin_id END,
+         CASE WHEN p.fill + s.n_tokens > {_PACK_BUDGET}
+              THEN s.n_tokens ELSE p.fill + s.n_tokens END
+  FROM seq s
+  JOIN pack p ON s.lang = p.lang AND s.shard = p.shard AND s.rn = p.rn + 1
+)
+SELECT lang, shard, bin_id,
+       count(*) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
+FROM pack GROUP BY lang, shard, bin_id
+ORDER BY lang, shard, bin_id
+""",
+        doc="end-to-end corpus pipeline in one dataflow: quality filter "
+        "-> exact-dup keepers -> train split -> greedy packing -> shard "
+        "manifest; the oracle checks the COMPOSITION (stage interfaces, "
+        "not just stage outputs)",
+        tags=("extension", "curation", "pipeline", "pandas-udf"),
+    )
+)

@@ -112,7 +112,8 @@ def _load_all() -> None:
 # geo_radius_join_hotspots, events_mad_outliers,
 # similarity_ivf_nprobe2_recall, semdedup_cluster_pairs,
 # events_decayed_leaderboard, dedup_minhash_recall,
-# rollup_serving_qa, nested_hof_order_amounts — plus
+# rollup_serving_qa, nested_hof_order_amounts,
+# corpus_pipeline_end2end — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
