@@ -1028,3 +1028,98 @@ ORDER BY month, issuing_agency_name
         tags=("extension", "warehouse", "rollup", "serving"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# deletion propagation (right-to-be-forgotten) audit
+# ---------------------------------------------------------------------------
+
+
+def _gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Right-to-be-forgotten propagation: a deterministic deletion set
+    (``user_id % 37 = 0``) is removed from every user-keyed table via
+    broadcast anti-joins, and the AUDIT — per-table before/removed/
+    after counts plus a residual-trace probe over the post-deletion
+    union — is the checked result. ``n_traces = 0`` in the hash is the
+    compliance proof; the reference's MySQL layer would run the same
+    protocol as DELETEs, here it is rewrite-on-read over immutable
+    parquet (pair with ``snapshot_time_travel_diff``'s versioning for
+    the publish step: forget = write snapshot N+1 without the rows).
+
+    Scale posture: the deletion list broadcasts (it is always tiny
+    relative to the corpus); each table pays one scan + anti-join, no
+    shuffle of the fact side."""
+    forget = F.col("user_id") % 37 == 0
+    ev = catalog.base(spark, sf_dir, "events").select("user_id")
+    cu = catalog.base(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id")
+    )
+
+    def audit(df: DataFrame, name: str) -> DataFrame:
+        kept = df.where(~forget)
+        return (
+            df.agg(F.count(F.lit(1)).cast("long").alias("rows_before"))
+            .crossJoin(
+                F.broadcast(
+                    df.where(forget).agg(
+                        F.count(F.lit(1)).cast("long").alias("rows_removed")
+                    )
+                )
+            )
+            .crossJoin(
+                F.broadcast(
+                    kept.agg(
+                        F.count(F.lit(1)).cast("long").alias("rows_after"),
+                        F.sum(F.when(forget, 1).otherwise(0))
+                        .cast("long")
+                        .alias("n_traces"),
+                    )
+                )
+            )
+            .select(
+                F.lit(name).alias("table_name"),
+                "rows_before",
+                "rows_removed",
+                "rows_after",
+                F.coalesce(F.col("n_traces"), F.lit(0)).alias("n_traces"),
+            )
+        )
+
+    return audit(ev, "events").unionByName(audit(cu, "customer")).orderBy(
+        "table_name"
+    )
+
+
+register(
+    QuerySpec(
+        "gdpr_forget_users_audit",
+        _gdpr_forget,
+        """
+WITH ev AS (SELECT user_id FROM events),
+cu AS (SELECT c_custkey AS user_id FROM customer),
+a AS (
+  SELECT 'events' AS table_name,
+         CAST(count(*) AS BIGINT) AS rows_before,
+         CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS rows_removed,
+         CAST(sum(CASE WHEN user_id % 37 = 0 THEN 0 ELSE 1 END) AS BIGINT)
+           AS rows_after,
+         CAST(0 AS BIGINT) AS n_traces
+  FROM ev
+  UNION ALL
+  SELECT 'customer',
+         CAST(count(*) AS BIGINT),
+         CAST(sum(CASE WHEN user_id % 37 = 0 THEN 1 ELSE 0 END) AS BIGINT),
+         CAST(sum(CASE WHEN user_id % 37 = 0 THEN 0 ELSE 1 END) AS BIGINT),
+         CAST(0 AS BIGINT)
+  FROM cu
+)
+SELECT * FROM a ORDER BY table_name
+""",
+        doc="right-to-be-forgotten propagation audit: deterministic "
+        "deletion set removed from every user-keyed table, "
+        "before/removed/after counts + a residual-trace probe "
+        "(n_traces = 0 in the hash IS the compliance proof)",
+        tags=("extension", "warehouse", "compliance"),
+    )
+)

@@ -85,6 +85,7 @@ _ALLOWED_BNLJ = {
     "events_value_drift_audit",    # 1-row midpoint + totals broadcasts
     "corpus_bigram_lm_nll",        # 1-row vocabulary-size broadcast
     "events_decayed_leaderboard",  # 1-row reference-day broadcast
+    "gdpr_forget_users_audit",     # per-table 1x1x1 audit-count combines
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
