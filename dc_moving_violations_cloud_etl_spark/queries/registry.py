@@ -113,7 +113,8 @@ def _load_all() -> None:
 # similarity_ivf_nprobe2_recall, semdedup_cluster_pairs,
 # events_decayed_leaderboard, dedup_minhash_recall,
 # rollup_serving_qa, nested_hof_order_amounts,
-# corpus_pipeline_end2end, gdpr_forget_users_audit — plus
+# corpus_pipeline_end2end, gdpr_forget_users_audit,
+# fk_cardinality_profile — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

@@ -1123,3 +1123,80 @@ SELECT * FROM a ORDER BY table_name
         tags=("extension", "warehouse", "compliance"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# relationship cardinality profile (schema-discovery audit)
+# ---------------------------------------------------------------------------
+
+
+def _fk_cardinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Relationship cardinality profiling — the schema-discovery audit
+    a warehouse runs before trusting joins: for each declared FK edge,
+    the child-per-parent fan-out distribution (min/max/exact
+    average cross-multiplied to a rounded ratio) and whether the
+    relationship is effectively 1:1 or 1:N. All counts are exact
+    integers; the average is emitted as (n_children, n_parents) so the
+    hash never touches float division.
+
+    One groupBy per edge on the FK key (partial-agg combine), then a
+    1-row summary per edge — at 100 TB each edge costs one fact scan,
+    and the profile is what decides broadcast-vs-bucket join strategy
+    for every downstream query."""
+    def profile(child: DataFrame, key: str, name: str) -> DataFrame:
+        fan = child.groupBy(key).agg(F.count(F.lit(1)).alias("c"))
+        return fan.agg(
+            F.lit(name).alias("relationship"),
+            F.count(F.lit(1)).cast("long").alias("n_parents"),
+            F.sum("c").cast("long").alias("n_children"),
+            F.min("c").cast("long").alias("min_fanout"),
+            F.max("c").cast("long").alias("max_fanout"),
+            (F.max("c") == 1).alias("is_one_to_one"),
+        )
+
+    li = catalog.base(spark, sf_dir, "lineitem")
+    orders = catalog.base(spark, sf_dir, "orders")
+    ev = catalog.base(spark, sf_dir, "events")
+    return (
+        profile(li, "l_orderkey", "lineitem->orders")
+        .unionByName(profile(orders, "o_custkey", "orders->customer"))
+        .unionByName(profile(ev, "user_id", "events->user"))
+        .orderBy("relationship")
+    )
+
+
+register(
+    QuerySpec(
+        "fk_cardinality_profile",
+        _fk_cardinality,
+        """
+WITH li AS (
+  SELECT 'lineitem->orders' AS relationship, count(*) AS c
+  FROM lineitem GROUP BY l_orderkey
+),
+o AS (
+  SELECT 'orders->customer' AS relationship, count(*) AS c
+  FROM orders GROUP BY o_custkey
+),
+e AS (
+  SELECT 'events->user' AS relationship, count(*) AS c
+  FROM events GROUP BY user_id
+),
+u AS (
+  SELECT * FROM li UNION ALL SELECT * FROM o UNION ALL SELECT * FROM e
+)
+SELECT relationship,
+       CAST(count(*) AS BIGINT) AS n_parents,
+       CAST(sum(c) AS BIGINT) AS n_children,
+       CAST(min(c) AS BIGINT) AS min_fanout,
+       CAST(max(c) AS BIGINT) AS max_fanout,
+       max(c) = 1 AS is_one_to_one
+FROM u GROUP BY relationship
+ORDER BY relationship
+""",
+        doc="FK fan-out cardinality profile per declared edge (exact "
+        "min/max/count, no float division) — the schema-discovery "
+        "audit that decides broadcast-vs-bucket strategy downstream",
+        tags=("extension", "warehouse", "profiling"),
+    )
+)
