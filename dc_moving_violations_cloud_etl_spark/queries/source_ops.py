@@ -563,3 +563,87 @@ register(
         tags=("extension", "source", "sink", "python-datasource"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# parquet aggregate pushdown: metadata-only COUNT/MIN/MAX
+# ---------------------------------------------------------------------------
+
+
+def _metadata_agg_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """COUNT/MIN/MAX answered from parquet FOOTERS, not data pages:
+    under ``spark.sql.parquet.aggregatePushdown`` (v2 scan), the
+    BatchScan itself outputs ``count(*)/min/max`` from row-group
+    statistics — the plan shows ``PushedAggregation`` and the query
+    reads zero data pages (tests/test_plans.py asserts the pushed
+    plan). At 100 TB this is the difference between a full scan and a
+    footer sweep for the watermark/inventory probes the reference runs
+    daily (MAX(date), violation_etl_daily.py:120-146).
+
+    Executes inside its conf guard (v2 reads + pushdown enabled, then
+    RESTORED — the shared session default stays v1) and returns the
+    collected 3-row profile, the ``bloom_pruned_fact_join``
+    precedent for conf-scoped execution."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    saved = {}
+    for k, v in confs.items():
+        try:
+            saved[k] = spark.conf.get(k)
+        except Exception:
+            saved[k] = None
+        spark.conf.set(k, v)
+    try:
+        rows = []
+        for table, key in (
+            ("lineitem", "l_orderkey"),
+            ("orders", "o_orderkey"),
+            ("events", "event_id"),
+        ):
+            r = (
+                spark.read.parquet(f"{sf_dir}/{table}.parquet")
+                .agg(
+                    F.count("*").alias("n"),
+                    F.min(key).alias("mn"),
+                    F.max(key).alias("mx"),
+                )
+                .collect()[0]
+            )
+            rows.append((table, int(r["n"]), int(r["mn"]), int(r["mx"])))
+    finally:
+        for k, v in saved.items():
+            if v is not None:
+                spark.conf.set(k, v)
+    return spark.createDataFrame(
+        rows, "table_name string, n_rows long, min_key long, max_key long"
+    ).orderBy("table_name")
+
+
+register(
+    QuerySpec(
+        "metadata_agg_pushdown",
+        _metadata_agg_pushdown,
+        """
+SELECT 'events' AS table_name, CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(min(event_id) AS BIGINT) AS min_key,
+       CAST(max(event_id) AS BIGINT) AS max_key
+FROM events
+UNION ALL
+SELECT 'lineitem', CAST(count(*) AS BIGINT),
+       CAST(min(l_orderkey) AS BIGINT), CAST(max(l_orderkey) AS BIGINT)
+FROM lineitem
+UNION ALL
+SELECT 'orders', CAST(count(*) AS BIGINT),
+       CAST(min(o_orderkey) AS BIGINT), CAST(max(o_orderkey) AS BIGINT)
+FROM orders
+ORDER BY table_name
+""",
+        doc="COUNT/MIN/MAX from parquet footers via aggregate pushdown "
+        "(v2 BatchScan outputs the aggregates; PushedAggregation "
+        "plan-asserted) — footer sweep instead of full scan for the "
+        "reference's daily watermark/inventory probes",
+        tags=("extension", "source", "pushdown", "metadata"),
+    )
+)

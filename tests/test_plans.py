@@ -210,3 +210,25 @@ def test_scd2_single_user_shuffle(spark, sf_dir):
     of the fact table."""
     plan = _plan(QUERIES["scd2_user_attribute_history"].build(spark, sf_dir))
     assert plan.count("Exchange hashpartitioning(user_id") <= 1, plan
+
+
+def test_parquet_aggregate_pushdown_fires(spark, sf_dir):
+    """metadata_agg_pushdown's claim: under the v2 scan with
+    aggregatePushdown, COUNT/MIN/MAX resolve from parquet footers — the
+    BatchScan itself must carry a non-empty PushedAggregation."""
+    confs = {
+        "spark.sql.parquet.aggregatePushdown": "true",
+        "spark.sql.sources.useV1SourceList": "avro,csv,json,kafka,orc,text",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    for k, v in confs.items():
+        spark.conf.set(k, v)
+    try:
+        df = spark.read.parquet(f"{sf_dir}/lineitem.parquet").agg(
+            F.count("*"), F.min("l_orderkey"), F.max("l_orderkey")
+        )
+        plan = _plan(df)
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
+    assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan[:2000]
