@@ -147,6 +147,23 @@ AUDITED = [
         "codegen span; single partial+final aggregate on the month "
         "key — full scan bandwidth, minimal shuffle",
     ),
+    (
+        "nested_hof_order_amounts",
+        "ONE collect_list shuffle builds the nested column; every "
+        "size/filter/transform/aggregate HOF evaluates in the codegen "
+        "Project over the array — no explode, no second shuffle",
+    ),
+    (
+        "corpus_pipeline_end2end",
+        "one corpus scan feeds filter -> keeper semi-join -> split "
+        "filter -> pack shuffle; the only wide exchanges are the "
+        "keeper groupBy and the (lang, shard) pack key",
+    ),
+    (
+        "rollup_serving_qa",
+        "the serving read scans the ROLLUP parquet (day-grain rows), "
+        "never lineitem/orders — no fact-table FileScan in the plan",
+    ),
 ]
 
 
