@@ -993,3 +993,107 @@ ORDER BY lang, shard, bin_id
         tags=("extension", "curation", "pipeline", "pandas-udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# dataset datasheet: the publishable corpus summary card
+# ---------------------------------------------------------------------------
+
+
+def _dataset_datasheet(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dataset card ("datasheets for datasets") a corpus release
+    ships: per language — document and token counts, length extrema,
+    exact-duplicate rate, and train/valid/test split sizes, every
+    number integer-exact and derived in ONE pass over the corpus plus
+    one vocabulary-bounded dup aggregate. The per-language rows are
+    the publishable summary; regenerating the card after any pipeline
+    change and hash-comparing IS the release check."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id",
+        "lang",
+        normalized(F.col("text")).alias("norm"),
+    )
+    d = d.withColumn("n_tokens", F.size(F.split("norm", " "))).withColumn(
+        "h", F.md5("norm")
+    )
+    dup = d.groupBy("h").agg(F.count(F.lit(1)).alias("c"))
+    d = d.join(F.broadcast(dup), "h")
+    split = (
+        F.when(_md5_mod(F.col("doc_id"), "split:", 100) < _TRAIN_PCT, "train")
+        .when(_md5_mod(F.col("doc_id"), "split:", 100) < _VALID_PCT, "valid")
+        .otherwise("test")
+    )
+    return (
+        d.withColumn("split", split)
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("n_tokens").cast("long").alias("min_tokens"),
+            F.max("n_tokens").cast("long").alias("max_tokens"),
+            F.sum(F.when(F.col("c") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_exact_dup_docs"),
+            F.sum(F.when(F.col("split") == "train", 1).otherwise(0))
+            .cast("long")
+            .alias("n_train"),
+            F.sum(F.when(F.col("split") == "valid", 1).otherwise(0))
+            .cast("long")
+            .alias("n_valid"),
+            F.sum(F.when(F.col("split") == "test", 1).otherwise(0))
+            .cast("long")
+            .alias("n_test"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_dataset_datasheet",
+        _dataset_datasheet,
+        rf"""
+WITH d AS (
+  SELECT doc_id, lang,
+         lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents
+),
+dt AS (
+  SELECT doc_id, lang, norm, md5(norm) AS h,
+         CAST(len(string_split(norm, ' ')) AS BIGINT) AS n_tokens
+  FROM d
+),
+dup AS (SELECT h, count(*) AS c FROM dt GROUP BY h),
+j AS (
+  SELECT dt.*, dup.c,
+         CASE WHEN CAST('0x' || substr(md5('split:'
+                || CAST(dt.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                < {_TRAIN_PCT} THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:'
+                || CAST(dt.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 100
+                < {_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS split
+  FROM dt JOIN dup USING (h)
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(min(n_tokens) AS BIGINT) AS min_tokens,
+       CAST(max(n_tokens) AS BIGINT) AS max_tokens,
+       CAST(sum(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_exact_dup_docs,
+       CAST(sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_train,
+       CAST(sum(CASE WHEN split = 'valid' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_valid,
+       CAST(sum(CASE WHEN split = 'test' THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_test
+FROM j GROUP BY lang ORDER BY lang
+""",
+        doc="dataset datasheet: per-language docs/tokens/extrema, exact-"
+        "dup rate, and split sizes in one corpus pass + one vocabulary-"
+        "bounded dup aggregate — the publishable release card, "
+        "hash-comparable across pipeline changes",
+        tags=("extension", "corpus", "curation", "datasheet"),
+    )
+)

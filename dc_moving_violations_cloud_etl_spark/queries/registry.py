@@ -114,7 +114,8 @@ def _load_all() -> None:
 # events_decayed_leaderboard, dedup_minhash_recall,
 # rollup_serving_qa, nested_hof_order_amounts,
 # corpus_pipeline_end2end, gdpr_forget_users_audit,
-# fk_cardinality_profile, metadata_agg_pushdown — plus
+# fk_cardinality_profile, metadata_agg_pushdown,
+# corpus_dataset_datasheet — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
