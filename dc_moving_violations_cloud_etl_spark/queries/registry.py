@@ -115,7 +115,19 @@ def _load_all() -> None:
 # rollup_serving_qa, nested_hof_order_amounts,
 # corpus_pipeline_end2end, gdpr_forget_users_audit,
 # fk_cardinality_profile, metadata_agg_pushdown,
-# corpus_dataset_datasheet — plus
+# corpus_dataset_datasheet,
+# tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
+# tpch_q11_important_stock, tpch_q12_priority_by_bucket,
+# tpch_q16_supplier_part_count, tpch_q20_halfconsumed_stock,
+# tpch_q21_sole_returned_supplier (the pack's final seven),
+# sql_recursive_month_spine, sql_lateral_topk_days,
+# sql_ntile_price_deciles, sql_pipe_syntax_daily,
+# udtf_partitioned_gap_stats, user_activity_streaks,
+# timeseries_gapfill_interpolate, text_bm25_scores,
+# approx_distinct_error_audit, compaction_bin_packing,
+# incremental_agg_maintenance, corpus_weighted_sample,
+# bloom_pruned_fact_join, multimodal_bmp_decode_real,
+# multimodal_wav_decode_real, multimodal_y4m_decode_real — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
