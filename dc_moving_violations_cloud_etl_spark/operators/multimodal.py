@@ -266,6 +266,91 @@ def decode_bmp_real(documents: DataFrame) -> DataFrame:
     )
 
 
+AHASH_BANDS = 4  # 64-bit aHash split into 4×16-bit Hamming-LSH bands
+AHASH_SCHEMA = "doc_id long, b0 int, b1 int, b2 int, b3 int"
+
+
+def encode_bmp_textured(digest: bytes) -> bytes:
+    """Like :func:`encode_bmp` but position-mixed — pixel-buffer byte
+    ``i`` is ``(digest[i % 16] + i // 16) % 256`` (the same mixing
+    precedent as :func:`encode_y4m`'s frame term). The plain tiling
+    repeats the 16 digest bytes verbatim, so its 64 pixels carry only
+    16 distinct values and any pixel-wise hash degenerates to 16
+    informative bits; the tile-index term makes the pixel stream
+    aperiodic while staying analytically recomputable by the oracle."""
+    import struct
+
+    row_bytes = BMP_W * 3
+    img_size = row_bytes * BMP_H
+    pixels = bytes(
+        (digest[i % len(digest)] + i // len(digest)) % 256
+        for i in range(img_size)
+    )
+    header = struct.pack("<2sIHHI", b"BM", 54 + img_size, 0, 0, 54)
+    info = struct.pack(
+        "<IiiHHIIiiII", 40, BMP_W, BMP_H, 1, 24, 0, img_size, 2835, 2835, 0, 0
+    )
+    return header + info + pixels
+
+
+def ahash_bands(documents: DataFrame) -> DataFrame:
+    """Average-hash (aHash) of the REAL-decoded textured BMP, as 4×16-bit
+    Hamming-LSH band integers.
+
+    The classic perceptual-dedup fingerprint: decode the image, reduce
+    each pixel to a gray level, set bit ``p`` iff pixel ``p`` is at or
+    above the image mean. Everything is integer-exact — gray is kept as
+    the ×3 channel sum and the mean test is cross-multiplied
+    (``64*g3_p >= Σg3``), so no float rounding can flip a bit in either
+    engine. The 64 bits are packed big-endian-within-band into 4
+    sixteen-bit ints: the banded equi-join over them is the Hamming-
+    space twin of MinHash banding (dedup.minhash_lsh_pairs) — candidate
+    pairs come from bucket collisions, never an all-pairs scan.
+
+    Scale: one Arrow-batched decode pass per partition, no shuffle here;
+    the downstream pair join shuffles on uniform 16-bit band keys.
+    """
+
+    enc = encode_bmp_textured
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+
+        weights = (1 << np.arange(15, -1, -1)).astype(np.int64)
+
+        def bands(payload: bytes):
+            magic, _, _, _, offset = struct.unpack("<2sIHHI", payload[:14])
+            assert magic == b"BM", "not a BMP payload"
+            (_, _w, _h, _, _bpp, _, img_size, *_rest) = struct.unpack(
+                "<IiiHHIIiiII", payload[14:54]
+            )
+            px = np.frombuffer(payload[offset : offset + img_size], np.uint8)
+            # file-order pixels; a fixed pixel permutation (bottom-up BMP
+            # rows vs visual order) changes neither the mean nor any
+            # pairwise Hamming distance
+            g3 = px.reshape(-1, 3).sum(axis=1).astype(np.int64)
+            bits = (64 * g3 >= g3.sum()).astype(np.int64)
+            return [int(bits[16 * k : 16 * (k + 1)] @ weights) for k in range(4)]
+
+        for pdf in it:
+            rows = [bands(enc(d)) for d in pdf["digest"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "b0": [r[0] for r in rows],
+                    "b1": [r[1] for r in rows],
+                    "b2": [r[2] for r in rows],
+                    "b3": [r[3] for r in rows],
+                }
+            )
+
+    return _digest_bytes_col(documents).mapInPandas(
+        batches, schema=AHASH_SCHEMA
+    )
+
+
 Y4M_W, Y4M_H, Y4M_FRAMES = 8, 8, 4
 Y4M_STRIDE = 2  # sample every 2nd frame, the keyframe-ish pattern
 

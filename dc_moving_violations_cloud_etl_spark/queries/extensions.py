@@ -1411,6 +1411,137 @@ FROM frames ORDER BY doc_id, frame_idx
 )
 
 
+def _ahash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash image dedup over the REAL BMP decode: aHash each
+    decoded image (integer-exact mean test), block candidate pairs by
+    4×16-bit Hamming-LSH band collisions — the Hamming-space twin of
+    MinHash banding, never an all-pairs scan — and verify each candidate
+    with the exact Hamming distance (bit_count of per-band XOR), flagged
+    near-dup at the classic ≤8/64-bit threshold.
+
+    Plan: one Arrow-batched decode pass (persisted — the self-join and
+    the two verify join-backs must not re-run the Python decode),
+    posexplode to (band_idx, band_val) → equi-join on uniform 16-bit
+    band keys → distinct pair → join bands back → exact Hamming. At
+    100 TB the band join shuffles only the 10-byte fingerprints, and
+    candidate volume is Σ bucket², not corpus².
+    """
+    per_doc = caching.persist_tracked(
+        multimodal.ahash_bands(_docs(spark, sf_dir))
+    )
+    bands = per_doc.select(
+        "doc_id",
+        F.posexplode(F.array("b0", "b1", "b2", "b3")).alias(
+            "band_idx", "band_val"
+        ),
+    )
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val")),
+        )
+        .where(F.col("a.doc_id") < F.col("b.doc_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+        )
+        .distinct()
+    )
+    wa = per_doc.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a_b{k}") for k in range(4)],
+    )
+    wb = per_doc.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"b_b{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(
+            F.col(f"a_b{k}").bitwiseXOR(F.col(f"b_b{k}")).cast("long")
+        )
+        for k in range(4)
+    ).cast("int")
+    return (
+        cand.join(wa, "doc_a")
+        .join(wb, "doc_b")
+        .select(
+            "doc_a",
+            "doc_b",
+            hamming.alias("hamming"),
+            F.when(hamming <= 8, F.lit(1)).otherwise(F.lit(0)).alias(
+                "is_near_dup"
+            ),
+        )
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+register(
+    QuerySpec(
+        "multimodal_ahash_near_dup",
+        _ahash_near_dup,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+),
+-- textured pixel-buffer byte i = (digest[i%16] + i//16) % 256; gray is
+-- the x3 channel sum of file-order pixel p (bytes 3p, 3p+1, 3p+2)
+g AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 63),
+           p -> (bytes[(3*p) % 16 + 1] + (3*p) // 16) % 256
+              + (bytes[(3*p+1) % 16 + 1] + (3*p+1) // 16) % 256
+              + (bytes[(3*p+2) % 16 + 1] + (3*p+2) // 16) % 256) AS g3
+  FROM b
+),
+t AS (
+  SELECT doc_id, g3, list_sum(g3) AS total FROM g
+),
+bands AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 3), k ->
+           list_sum(list_transform(generate_series(0, 15), j ->
+             CASE WHEN 64 * g3[16*k + j + 1] >= total
+                  THEN 1 << (15 - j) ELSE 0 END))) AS bv
+  FROM t
+),
+w AS (
+  SELECT doc_id, bv[1] AS b0, bv[2] AS b1, bv[3] AS b2, bv[4] AS b3
+  FROM bands
+)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CAST(bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+          + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+         AS INTEGER) AS hamming,
+       CASE WHEN bit_count(xor(a.b0, b.b0)) + bit_count(xor(a.b1, b.b1))
+               + bit_count(xor(a.b2, b.b2)) + bit_count(xor(a.b3, b.b3))
+              <= 8
+            THEN 1 ELSE 0 END AS is_near_dup
+FROM w a JOIN w b
+  ON a.doc_id < b.doc_id
+ AND (a.b0 = b.b0 OR a.b1 = b.b1 OR a.b2 = b.b2 OR a.b3 = b.b3)
+ORDER BY doc_a, doc_b
+""",
+        doc="perceptual-hash (aHash) image dedup over the real BMP "
+        "decode: integer-exact 64-bit average hash, 4x16-bit "
+        "Hamming-LSH band blocking (the image twin of MinHash "
+        "banding), exact bit_count(xor) Hamming verify with the "
+        "classic <=8-bit near-dup flag",
+        tags=("extension", "multimodal", "dedup", "real-codec"),
+    )
+)
+
+
 # ---------------------------------------------------------------------------
 # incremental signature maintenance: sketch the delta, not the corpus
 # ---------------------------------------------------------------------------

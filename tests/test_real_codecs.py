@@ -48,6 +48,51 @@ def test_wav_layout_is_a_valid_pcm16_file():
     assert samples == samples[:16] * 4  # exact tiling
 
 
+def test_textured_bmp_is_valid_and_aperiodic():
+    from dc_moving_violations_cloud_etl_spark.operators.multimodal import (
+        encode_bmp_textured,
+    )
+
+    payload = encode_bmp_textured(DIGEST)
+    magic, file_size, _, _, offset = struct.unpack("<2sIHHI", payload[:14])
+    assert magic == b"BM" and offset == 54
+    assert file_size == len(payload) == 54 + BMP_W * BMP_H * 3
+    pixels = payload[offset:]
+    # byte i = (digest[i%16] + i//16) % 256 — tile k is the digest
+    # shifted by k, so the stream is aperiodic across tiles
+    assert pixels == bytes(
+        (DIGEST[i % 16] + i // 16) % 256 for i in range(192)
+    )
+    assert pixels[:16] != pixels[16:32]
+
+
+def test_ahash_band_packing_matches_reference():
+    # pure-python aHash reference over the textured pixel stream: the
+    # numpy band packing in ahash_bands must reproduce it bit-for-bit
+    import numpy as np
+
+    from dc_moving_violations_cloud_etl_spark.operators.multimodal import (
+        encode_bmp_textured,
+    )
+
+    payload = encode_bmp_textured(DIGEST)
+    px = payload[54:]
+    g3 = [px[3 * p] + px[3 * p + 1] + px[3 * p + 2] for p in range(64)]
+    total = sum(g3)
+    bits = [1 if 64 * g >= total else 0 for g in g3]
+    expect = [
+        sum(bits[16 * k + j] << (15 - j) for j in range(16)) for k in range(4)
+    ]
+    # replicate the operator's numpy path exactly
+    arr = np.frombuffer(px, np.uint8)
+    g3n = arr.reshape(-1, 3).sum(axis=1).astype(np.int64)
+    bitsn = (64 * g3n >= g3n.sum()).astype(np.int64)
+    weights = (1 << np.arange(15, -1, -1)).astype(np.int64)
+    got = [int(bitsn[16 * k : 16 * (k + 1)] @ weights) for k in range(4)]
+    assert got == expect
+    assert all(0 <= v <= 0xFFFF for v in got)
+
+
 def test_y4m_layout_is_a_valid_c420_stream():
     from dc_moving_violations_cloud_etl_spark.operators.multimodal import (
         Y4M_FRAMES,
