@@ -1107,3 +1107,80 @@ ORDER BY decayed_score DESC, k ASC LIMIT 10
         tags=("extension", "analytics", "trending"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# grouped-aggregate pandas UDAF: the custom-aggregate extension point
+# ---------------------------------------------------------------------------
+
+
+def _udaf_grouped_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-group median via a GROUPED_AGG pandas UDF — the
+    vectorized custom-aggregate surface (median is the textbook
+    non-decomposable aggregate: no map-side combine exists, so it's the
+    honest showcase for a UDAF rather than a Column expression).
+
+    The UDAF is defined NESTED so cloudpickle ships it by value (workers
+    have no package on PYTHONPATH), and it arrives as one Arrow batch
+    per group — which is also the scale caveat: a grouped-agg pandas UDF
+    materializes each whole group in executor memory. Groups here are
+    the 5 event types; at 100 TB grain this coarse, switch to the exact
+    two-pass rank selection (``events_value_percentiles``) or
+    ``approx_percentile``. A second UDAF (count) rides in the same
+    agg() — Catalyst refuses to mix pandas and JVM aggregates in one
+    Aggregate node, so a UDAF query is all-pandas by construction.
+
+    Both engines interpolate even-count medians as the midpoint of the
+    two middle values; rounding to 4 dp absorbs the one-ulp difference
+    between ``(a+b)/2`` (numpy) and ``a+(b-a)/2`` (DuckDB
+    quantile_cont) on 2-dp inputs.
+    """
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    # the UDAF-vs-scalar dispatch reads the type hints; this module's
+    # ``from __future__ import annotations`` would stringify inline
+    # hints into unresolvable 'pd.Series', so attach real objects
+    def _median(v):
+        return float(v.median())
+
+    _median.__annotations__ = {"v": pd.Series, "return": float}
+    median_value = pandas_udf(_median, "double")
+
+    def _n(v):
+        return len(v)
+
+    _n.__annotations__ = {"v": pd.Series, "return": int}
+    n_events = pandas_udf(_n, "long")
+
+    return (
+        _events(spark, sf_dir)
+        .groupBy("event_type")
+        .agg(
+            F.round(median_value(F.col("value")), 4).alias("median_value"),
+            n_events(F.col("value")).alias("n_events"),
+        )
+        .orderBy("event_type")
+    )
+
+
+register(
+    QuerySpec(
+        "udaf_grouped_median",
+        _udaf_grouped_median,
+        """
+SELECT event_type,
+       round(median(value), 4) AS median_value,
+       count(*) AS n_events
+FROM events
+GROUP BY event_type
+ORDER BY event_type
+""",
+        doc="GROUPED_AGG pandas UDAF (Arrow-batched custom aggregate) "
+        "computing the exact median — the non-decomposable aggregate "
+        "built-ins can't express — beside a second UDAF count in the "
+        "same Aggregate; completes the UDF surface next to the scalar "
+        "pandas UDF, UDTF, SQL UDF and mapInPandas/mapInArrow paths",
+        tags=("extension", "udf", "analytics"),
+    )
+)

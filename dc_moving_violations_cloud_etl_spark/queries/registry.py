@@ -127,7 +127,8 @@ def _load_all() -> None:
 # approx_distinct_error_audit, compaction_bin_packing,
 # incremental_agg_maintenance, corpus_weighted_sample,
 # bloom_pruned_fact_join, multimodal_bmp_decode_real,
-# multimodal_wav_decode_real, multimodal_y4m_decode_real — plus
+# multimodal_wav_decode_real, multimodal_y4m_decode_real,
+# multimodal_ahash_near_dup, udaf_grouped_median — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
