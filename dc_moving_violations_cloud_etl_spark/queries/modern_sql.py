@@ -582,3 +582,74 @@ ORDER BY ym
         tags=("extension", "modern-sql", "udf"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# collation-aware grouping: UTF8_LCASE as an engine-level semantic
+# ---------------------------------------------------------------------------
+
+
+def _collated_group_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 collations: group by a string column under the
+    ``UTF8_LCASE`` collation, so differently-cased spellings collapse
+    into one group *inside the engine* — unlike ``lower()``
+    normalization, the data itself is untouched and every comparison
+    operator (GROUP BY, joins, DISTINCT, ORDER BY) picks up the
+    case-insensitive semantic from the type.
+
+    The fixture's ``lang`` values are uniformly cased, so the query
+    first synthesizes the mess a real multi-source corpus has —
+    ``doc_id % 3`` routes each row through upper / initcap / raw — and
+    the collated GROUP BY must fold the 15 spellings back to 5 groups
+    (a failed collation would triple the row count and fail the row
+    check, so the collapse itself is what the oracle verifies). The
+    displayed key is lowercased because the engine is free to surface
+    any representative of a collation-equal group.
+    """
+    docs = catalog.base(spark, sf_dir, "documents")
+    mixed = (
+        F.when(F.col("doc_id") % 3 == 0, F.upper("lang"))
+        .when(
+            F.col("doc_id") % 3 == 1,
+            F.concat(
+                F.upper(F.substring("lang", 1, 1)), F.substring("lang", 2, 100)
+            ),
+        )
+        .otherwise(F.col("lang"))
+    )
+    d = docs.select(F.collate(mixed, "UTF8_LCASE").alias("k"))
+    return (
+        d.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            F.lower(F.col("k")).cast("string").alias("lang"),
+            "n_docs",
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "sql_collated_group_by",
+        _collated_group_by,
+        """
+WITH m AS (
+  SELECT CASE CAST(doc_id % 3 AS INTEGER)
+           WHEN 0 THEN upper(lang)
+           WHEN 1 THEN upper(substr(lang, 1, 1)) || substr(lang, 2)
+           ELSE lang END AS k
+  FROM documents
+)
+SELECT lower(k) AS lang, count(*) AS n_docs
+FROM m
+GROUP BY lower(k)
+ORDER BY lang
+""",
+        doc="collation-aware GROUP BY (Spark 4 UTF8_LCASE): case-variant "
+        "spellings collapse inside the engine with the data untouched; "
+        "the oracle's lower()-normalized twin pins both the grouping "
+        "and the counts",
+        tags=("extension", "modern-sql", "collation"),
+    )
+)
