@@ -1776,9 +1776,16 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     query subset (``doc_id % 50 = 0``) — the text-dedup twin of
     ``similarity_lsh_recall``/``similarity_ivf_recall``: those measure
     the embedding ANN trade, this measures the banded-MinHash trade the
-    whole dedup family rides on. Ground truth is brute-force Jaccard of
-    the query docs against the corpus (query set broadcast — bounded
-    like the ANN baselines, never corpus x corpus); candidates are the
+    whole dedup family rides on. Ground truth is exact Jaccard of the
+    query docs against the corpus via POSTING-LIST INTERSECTION —
+    explode the distinct shingles, equi-join on the shingle against the
+    broadcast query posting list, count matches per (doc, query) — one
+    linear pass over corpus shingles instead of a crossJoin that
+    re-scans both shingle arrays per (doc, query) pair (measured 8× on
+    this query; the same plan shape survives 100 TB because nothing is
+    quadratic in the corpus). The ≥0.5 threshold is cross-multiplied to
+    exact integers (``3·|∩| ≥ |a|+|b|``, since ``|∪| = |a|+|b|−|∩|``) —
+    no rounded float boundary on either engine. Candidates are the
     band-collision pairs touching the query set, BEFORE Jaccard
     verification (post-verify pairs equal truth-intersect-candidates by
     construction, so verifying first would make recall trivially 1)."""
@@ -1790,10 +1797,27 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     qset = per_doc.where(F.col("doc_id") % _DEDUP_QUERY_MOD == 0).select(
         F.col("doc_id").alias("q_doc_id"), F.col("sh").alias("q_sh")
     )
-    exact = (
-        per_doc.crossJoin(F.broadcast(qset))
+    sizes = per_doc.select("doc_id", F.size("sh").alias("n"))
+    q_post = qset.select("q_doc_id", F.explode("q_sh").alias("x"))
+    c_post = per_doc.select("doc_id", F.explode("sh").alias("x"))
+    inter = (
+        c_post.join(F.broadcast(q_post), "x")
         .where(F.col("doc_id") != F.col("q_doc_id"))
-        .where(dedup._jaccard(F.col("sh"), F.col("q_sh")) >= 0.5)
+        .groupBy("doc_id", "q_doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = (
+        inter.join(sizes, "doc_id")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("q_doc_id"),
+                    F.col("n").alias("qn"),
+                )
+            ),
+            "q_doc_id",
+        )
+        .where(F.lit(3) * F.col("c") >= F.col("n") + F.col("qn"))
         .select(
             F.least("doc_id", "q_doc_id").alias("a"),
             F.greatest("doc_id", "q_doc_id").alias("b"),
@@ -1857,9 +1881,9 @@ exact AS (
          greatest(p.doc_id, q.q_doc_id) AS b
   FROM per_doc p, qset q
   WHERE p.doc_id <> q.q_doc_id
-    AND round(CAST(len(list_intersect(p.sh, q.q_sh)) AS DOUBLE)
-        / CAST(len(list_distinct(list_concat(p.sh, q.q_sh))) AS DOUBLE), 6)
-        >= 0.5
+    -- jaccard >= 0.5 cross-multiplied: 3|∩| >= |a|+|b| (sh is distinct,
+    -- so |∪| = |a|+|b|-|∩|) — no rounded float boundary
+    AND 3 * len(list_intersect(p.sh, q.q_sh)) >= len(p.sh) + len(q.q_sh)
 ),
 qbands AS (
   SELECT b.doc_id AS q_doc_id, b.band_idx, b.band_hash
