@@ -1319,3 +1319,110 @@ FROM p ORDER BY cos_sim DESC, a_vec_id ASC, b_vec_id ASC LIMIT 20
         tags=("extension", "dedup", "embedding", "semantic"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# multi-source BFS: hop distance to the nearest seed user
+# ---------------------------------------------------------------------------
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_seed_distance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS over the co-click user graph: hop distance from
+    every user to the NEAREST seed (``node % 10 = 0``) within
+    ``_BFS_ROUNDS`` hops — the shortest-path labeling family
+    (trust/spam-seed propagation, influence radius) that completes the
+    graph pack next to components, PageRank and the triangle census.
+
+    Iterative posture (same as ``pagerank_undirected``): the directed
+    edge list is persisted once; each round is ONE join of the frontier
+    against it plus ONE min-aggregate, with ``localCheckpoint``
+    truncating lineage so the plan stays one-round deep. Distances are
+    exact integers; the bounded round count keeps the query
+    deterministic and lets the oracle unroll the same rounds as CTEs.
+    Nodes unreached within the bound are reported as ``hop_dist = -1``
+    via a left-anti join — no driver-side node count is baked into the
+    result.
+    """
+    edges = _coclick_edges(spark, sf_dir)
+    directed = caching.persist_tracked(
+        edges.select(F.col("u").alias("src"), F.col("v").alias("dst")).unionAll(
+            edges.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+    )
+    nodes = directed.select(F.col("src").alias("node")).distinct()
+    dist = (
+        nodes.where(F.col("node") % 10 == 0)
+        .withColumn("d", F.lit(0))
+        .localCheckpoint()
+    )
+    for _ in range(_BFS_ROUNDS):
+        frontier = directed.join(dist, directed.src == dist.node).select(
+            F.col("dst").alias("node"), (F.col("d") + F.lit(1)).alias("d")
+        )
+        dist = (
+            dist.unionByName(frontier)
+            .groupBy("node")
+            .agg(F.min("d").alias("d"))
+            .localCheckpoint()
+        )
+    reached = dist.groupBy("d").agg(
+        F.count(F.lit(1)).cast("long").alias("n_users")
+    )
+    unreached = (
+        nodes.join(dist, "node", "left_anti")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_users"))
+        .select(F.lit(-1).cast("int").alias("hop_dist"), "n_users")
+    )
+    return (
+        reached.select(F.col("d").cast("int").alias("hop_dist"), "n_users")
+        .unionByName(unreached)
+        .orderBy("hop_dist")
+    )
+
+
+register(
+    QuerySpec(
+        "graph_bfs_seed_distance",
+        _bfs_seed_distance,
+        """
+WITH uk AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM uk a JOIN uk b ON a.k = b.k AND a.d = b.d
+  WHERE a.user_id < b.user_id
+),
+dir AS (SELECT u AS src, v AS dst FROM e UNION ALL SELECT v, u FROM e),
+nodes AS (SELECT DISTINCT src AS node FROM dir),
+d0 AS (SELECT node, 0 AS d FROM nodes WHERE node % 10 = 0),
+d1 AS (SELECT node, min(d) AS d FROM (
+         SELECT * FROM d0
+         UNION ALL SELECT dir.dst, d0.d + 1 FROM dir JOIN d0 ON dir.src = d0.node
+       ) GROUP BY node),
+d2 AS (SELECT node, min(d) AS d FROM (
+         SELECT * FROM d1
+         UNION ALL SELECT dir.dst, d1.d + 1 FROM dir JOIN d1 ON dir.src = d1.node
+       ) GROUP BY node),
+d3 AS (SELECT node, min(d) AS d FROM (
+         SELECT * FROM d2
+         UNION ALL SELECT dir.dst, d2.d + 1 FROM dir JOIN d2 ON dir.src = d2.node
+       ) GROUP BY node)
+SELECT CAST(d AS INTEGER) AS hop_dist, CAST(count(*) AS BIGINT) AS n_users
+FROM d3 GROUP BY d
+UNION ALL
+SELECT -1, CAST((SELECT count(*) FROM nodes) - (SELECT count(*) FROM d3)
+                AS BIGINT)
+ORDER BY hop_dist
+""",
+        doc="multi-source BFS (3 bounded rounds): hop distance to the "
+        "nearest seed over the co-click graph, one frontier join + one "
+        "min-aggregate per round with localCheckpoint lineage "
+        "truncation; unreached nodes counted via left-anti join",
+        tags=("extension", "graph", "mining", "iterative"),
+    )
+)

@@ -128,7 +128,9 @@ def _load_all() -> None:
 # incremental_agg_maintenance, corpus_weighted_sample,
 # bloom_pruned_fact_join, multimodal_bmp_decode_real,
 # multimodal_wav_decode_real, multimodal_y4m_decode_real,
-# multimodal_ahash_near_dup, udaf_grouped_median — plus
+# multimodal_ahash_near_dup, udaf_grouped_median,
+# sql_collated_group_by, graph_bfs_seed_distance,
+# privacy_k_anonymity_audit — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

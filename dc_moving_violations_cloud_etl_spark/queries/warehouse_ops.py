@@ -1200,3 +1200,69 @@ ORDER BY relationship
         tags=("extension", "warehouse", "profiling"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# k-anonymity audit: quasi-identifier group-size risk
+# ---------------------------------------------------------------------------
+
+_K_ANON = 5
+
+
+def _k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-anonymity audit over the violations fact: group by the
+    quasi-identifier tuple ``(issuing_agency_name, violation_code,
+    month)`` and report how many equivalence classes fall below
+    ``k = 5`` members and how many rows those classes expose — the
+    re-identification risk check that runs before any record-level
+    publish, next to ``gdpr_forget_users_audit`` in the compliance
+    family.
+
+    One shuffle on the QI key (partial+final count), then a scalar
+    aggregate over the (much smaller) group table; all counts exact
+    integers. At 100 TB the QI group table is bounded by QI
+    cardinality, not fact rows."""
+    qi = (
+        catalog.violations(spark, sf_dir)
+        .groupBy("issuing_agency_name", "violation_code", "month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    return qi.agg(
+        F.count(F.lit(1)).cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("n") < _K_ANON, 1).otherwise(0))
+        .cast("long")
+        .alias("n_risky_groups"),
+        F.sum(F.when(F.col("n") < _K_ANON, F.col("n")).otherwise(0))
+        .cast("long")
+        .alias("n_exposed_rows"),
+        F.min("n").cast("long").alias("min_group_size"),
+    )
+
+
+register(
+    QuerySpec(
+        "privacy_k_anonymity_audit",
+        _k_anonymity_audit,
+        with_ref_views(
+            """
+, qi AS (
+  SELECT issuing_agency_name, violation_code, month, count(*) AS n
+  FROM violations
+  GROUP BY issuing_agency_name, violation_code, month
+)
+SELECT CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_risky_groups,
+       CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT)
+         AS n_exposed_rows,
+       CAST(min(n) AS BIGINT) AS min_group_size
+FROM qi
+"""
+        ),
+        doc="k-anonymity (k=5) audit over the quasi-identifier tuple "
+        "(agency, code, month): equivalence classes below k and the "
+        "rows they expose — the pre-publish re-identification risk "
+        "check in the compliance family",
+        tags=("extension", "compliance", "privacy"),
+    )
+)

@@ -164,6 +164,23 @@ AUDITED = [
         "the serving read scans the ROLLUP parquet (day-grain rows), "
         "never lineitem/orders — no fact-table FileScan in the plan",
     ),
+    (
+        "multimodal_ahash_near_dup",
+        "one persisted decode (InMemoryTableScan feeds explode and both "
+        "verify join-backs); band equi-join is a BroadcastHashJoin — "
+        "no cross join anywhere in the pair generation",
+    ),
+    (
+        "udaf_grouped_median",
+        "AggregateInPandas (Arrow-batched GROUPED_AGG) over one shuffle "
+        "on event_type; no JVM-aggregate mixing, no collect",
+    ),
+    (
+        "dedup_minhash_recall",
+        "ground truth is a posting-list equi-join (shingle key) with "
+        "the query side broadcast — no crossJoin, no per-pair array "
+        "re-scan; band candidates reuse the persisted signatures",
+    ),
 ]
 
 
