@@ -1266,3 +1266,116 @@ FROM qi
         tags=("extension", "compliance", "privacy"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# bucketed co-located join: zero-exchange fact⋈fact merge
+# ---------------------------------------------------------------------------
+
+_N_BUCKETS = 8
+
+
+def _bucketed_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact⋈fact join over two tables PRE-BUCKETED on the join key —
+    the zero-shuffle layout a large deployment uses for repeated
+    PK merges (the upsert sinks' existing⋈incoming join): both sides
+    are written ``bucketBy(8, violation_id)``, so the sort-merge join
+    reads co-located buckets with NO Exchange node on either side
+    (tests/test_bucketing.py pins that plan; dump_plans audits this
+    query's). Bucketing is layout-only, so the oracle is the plain
+    self-join over the unbucketed view — identical values prove the
+    physical layout changed nothing.
+
+    Staging: the bucketed files are written once per fixture generation
+    (atomic-rename staging, shared with the source round-trips); each
+    session re-registers them as EXTERNAL bucketed tables via CREATE
+    TABLE ... CLUSTERED BY ... LOCATION — the metadata round-trip a
+    warehouse catalog performs. Table names carry the fixture-identity
+    tag, so a regenerated fixture can never serve stale buckets.
+    """
+    import os
+
+    from .source_ops import _staged
+
+    def build(spark_: SparkSession, sf_dir_: str) -> DataFrame:
+        return catalog.violations(spark_, sf_dir_).select(
+            "violation_id", "month", "fine_amount"
+        )
+
+    def write(df: DataFrame, d: str) -> None:
+        for side in ("a", "b"):
+            tmp_name = f"_stage_bucket_{side}_{os.getpid()}"
+            (
+                df.write.bucketBy(_N_BUCKETS, "violation_id")
+                .sortBy("violation_id")
+                .option("path", os.path.join(d, side))
+                .mode("overwrite")
+                .saveAsTable(tmp_name)
+            )
+            # external table: DROP removes only the metadata; the
+            # bucket-tagged files stay for the post-rename CREATE TABLE
+            spark.sql(f"DROP TABLE IF EXISTS {tmp_name}")
+
+    d = _staged(
+        spark,
+        sf_dir,
+        "bucketv",
+        write,
+        build=build,
+        ident_files=("lineitem.parquet", "orders.parquet"),
+    )
+    tag = os.path.basename(d).split("_")[-1]
+    names = {}
+    for side in ("a", "b"):
+        t = f"v_bucketed_{side}_{tag}"
+        spark.sql(
+            f"CREATE TABLE IF NOT EXISTS {t} "
+            "(violation_id STRING, month STRING, fine_amount DOUBLE) "
+            "USING PARQUET CLUSTERED BY (violation_id) "
+            f"SORTED BY (violation_id) INTO {_N_BUCKETS} BUCKETS "
+            f"LOCATION '{os.path.join(d, side)}'"
+        )
+        names[side] = t
+    a = spark.table(names["a"])
+    b = spark.table(names["b"]).select(
+        "violation_id", F.col("fine_amount").alias("fine_b")
+    )
+    from ..expressions import exact_decimal_sum
+
+    j = a.hint("merge").join(b, "violation_id")
+    return (
+        j.groupBy("month")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_rows"),
+            exact_decimal_sum(F.col("fine_amount")).alias("fine_total"),
+            exact_decimal_sum(F.col("fine_b")).alias("fine_total_b"),
+        )
+        .orderBy("month")
+    )
+
+
+register(
+    QuerySpec(
+        "bucketed_join_zero_shuffle",
+        _bucketed_join_agg,
+        with_ref_views(
+            """
+, v AS (SELECT violation_id, month, fine_amount FROM violations)
+SELECT a.month,
+       CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CAST(a.fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS fine_total,
+       CAST(sum(CAST(b.fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS fine_total_b
+FROM v a JOIN v b USING (violation_id)
+GROUP BY a.month
+ORDER BY a.month
+"""
+        ),
+        doc="co-located bucketed join (bucketBy 8 on the PK, both "
+        "sides): sort-merge join with zero Exchange nodes — the "
+        "repeated-merge layout at 100 TB; oracle is the plain "
+        "self-join, proving bucketing is layout-only",
+        tags=("extension", "warehouse", "bucketing", "layout"),
+    )
+)

@@ -181,6 +181,18 @@ AUDITED = [
         "the query side broadcast — no crossJoin, no per-pair array "
         "re-scan; band candidates reuse the persisted signatures",
     ),
+    (
+        "bucketed_join_zero_shuffle",
+        "SortMergeJoin over two pre-bucketed external tables: NO "
+        "Exchange on the join key (the only exchanges are the "
+        "downstream month-groupBy shuffle)",
+    ),
+    (
+        "graph_bfs_seed_distance",
+        "per-round frontier join + min-aggregate over the persisted "
+        "directed edge list; localCheckpoint keeps the final plan "
+        "one-round deep",
+    ),
 ]
 
 
