@@ -130,7 +130,8 @@ def _load_all() -> None:
 # multimodal_wav_decode_real, multimodal_y4m_decode_real,
 # multimodal_ahash_near_dup, udaf_grouped_median,
 # sql_collated_group_by, graph_bfs_seed_distance,
-# privacy_k_anonymity_audit, bucketed_join_zero_shuffle — plus
+# privacy_k_anonymity_audit, bucketed_join_zero_shuffle,
+# stream_full_outer_sealed — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

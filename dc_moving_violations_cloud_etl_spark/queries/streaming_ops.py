@@ -440,3 +440,53 @@ FROM lj GROUP BY user_id ORDER BY user_id
         tags=("streaming", "join", "outer"),
     )
 )
+
+
+from ..streaming.joins import full_outer_join_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_full_outer_sealed",
+        full_outer_join_streaming,
+        """
+WITH mx AS (
+  SELECT least(max(ts) FILTER (event_type = 'error'),
+               max(ts) FILTER (event_type = 'click')) AS m
+  FROM events
+),
+errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events
+  WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+),
+fj AS (
+  SELECT e.user_id AS e_user, e.error_id, e.ts AS e_ts,
+         c.user_id AS c_user, c.click_id, c.ts AS c_ts
+  FROM errors e FULL JOIN clicks c
+    ON e.user_id = c.user_id
+   AND c.ts >= e.ts - INTERVAL 300 SECOND
+   AND c.ts <= e.ts - INTERVAL 1 SECOND
+)
+SELECT coalesce(e_user, c_user) AS user_id,
+       CAST(sum(CASE WHEN error_id IS NOT NULL AND click_id IS NOT NULL
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_matched_pairs,
+       CAST(count(DISTINCT CASE WHEN click_id IS NULL THEN error_id END)
+            AS BIGINT) AS n_unmatched_errors,
+       CAST(count(DISTINCT CASE WHEN error_id IS NULL THEN click_id END)
+            AS BIGINT) AS n_unmatched_clicks
+FROM fj
+WHERE coalesce(e_ts, c_ts) <= (SELECT m FROM mx) - INTERVAL 5400 SECOND
+GROUP BY coalesce(e_user, c_user)
+ORDER BY user_id
+""",
+        doc="stream-stream FULL OUTER join, the last cell of the "
+        "streaming join matrix: two-sided watermark-driven null "
+        "emission (unmatched errors AND unmatched clicks), compared on "
+        "the two-sided sealed region against the batch full join over "
+        "the complete streams with the identical post-join cutoff",
+        tags=("streaming", "join", "outer"),
+    )
+)

@@ -252,3 +252,117 @@ def left_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id"),
     )
+
+
+def full_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream FULL OUTER join — the last cell of the streaming
+    join matrix: matched (error, click) pairs within the 1..300 s
+    range, PLUS errors with no preceding click, PLUS clicks that
+    preceded no error — both null sides watermark-driven.
+
+    Sealing is two-sided (the extension over
+    ``left_outer_join_streaming``): an error's null result is final
+    once the click watermark passes ``e_ts - 1 s``; a click's null
+    result is final once the ERROR watermark passes ``c_ts + 300 s``
+    (the newest error it could still match). One post-sink cutoff
+    ``coalesce(e_ts, c_ts) <= wm_base - SEAL_S`` covers both: SEAL_S's
+    1800 s slack dominates the 300 s asymmetry of the click window, so
+    every surviving row — matched, error-null, click-null — is sealed.
+    The same two traps as the left-outer apply (global watermark trails
+    the LAGGING side; the filter must run after the sink, or it lowers
+    a node watermark and withholds sealed rows). The DuckDB twin is the
+    batch FULL JOIN over the complete streams with the identical
+    post-join cutoff — pre-filtering either side would fabricate
+    unmatched rows whose true match lies past the cutoff.
+
+    At 100 TB: same state expiry as the inner/left cells, plus the
+    two-sided reconciliation guarantee ("which errors had no click
+    precursor AND which clicks led to no error") that a lossless
+    stream-stream audit needs.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    batch = normalize_event_ts(read_parquet(spark, path))
+    wm_base = batch.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        )
+    ).collect()[0][0]
+    cutoff = F.lit(wm_base) - F.expr(f"INTERVAL {SEAL_S} SECONDS")
+
+    tag = hashlib.md5(f"ssfoj:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"full_outer_join_{tag}"
+    stage = _stage_dir(path, tag)
+
+    def _stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+
+    errors = (
+        _stream()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+
+    pairs = errors.join(
+        clicks,
+        F.expr(
+            f"""
+            e_user = c_user AND
+            c_ts >= e_ts - INTERVAL {UPPER_S} SECONDS AND
+            c_ts <= e_ts - INTERVAL {LOWER_S} SECONDS
+            """
+        ),
+        "full_outer",
+    )
+
+    _run_to_completion(
+        spark,
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True),
+    )
+
+    return _drain_memory_sink(
+        spark,
+        name,
+        spark.table(name)
+        .where(F.coalesce(F.col("e_ts"), F.col("c_ts")) <= cutoff)
+        .groupBy(
+            F.coalesce(F.col("e_user"), F.col("c_user")).alias("user_id")
+        )
+        .agg(
+            F.sum(
+                F.when(
+                    F.col("error_id").isNotNull()
+                    & F.col("click_id").isNotNull(),
+                    1,
+                ).otherwise(0)
+            ).cast("long").alias("n_matched_pairs"),
+            F.countDistinct(
+                F.when(F.col("click_id").isNull(), F.col("error_id"))
+            ).cast("long").alias("n_unmatched_errors"),
+            F.countDistinct(
+                F.when(F.col("error_id").isNull(), F.col("click_id"))
+            ).cast("long").alias("n_unmatched_clicks"),
+        )
+        .orderBy("user_id"),
+    )
