@@ -275,3 +275,158 @@ def cosine_topk_ivf_multiprobe(
         .where(F.col("rank") <= k)
         .orderBy("query_vec_id", "rank")
     )
+
+
+# ---------------------------------------------------------------------------
+# product quantization (PQ) — the compressed-domain ANN path (round 4)
+# ---------------------------------------------------------------------------
+
+PQ_M = 8  # subspaces
+PQ_DSUB = 8  # dims per subspace (64 / PQ_M)
+
+
+def pq_codebooks(embeddings: DataFrame) -> DataFrame:
+    """Deterministic PQ codebooks: one codeword per (subspace, label) —
+    the element-wise mean SUBVECTOR over the label's vectors, through
+    decimal sums for aggregation-order-independent bits (same trained-
+    offline stand-in as ``centroids()``, sliced into PQ_M subspaces).
+    Output: (sub, code, cw array<double>[PQ_DSUB], cwn2 = ||cw||^2).
+    """
+    ex = _fan_out(embeddings).select(
+        "label",
+        F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v"),
+    )
+    per_dim = (
+        ex.withColumn("sub", (F.col("pos") / PQ_DSUB).cast("int"))
+        .groupBy("label", "sub", "pos")
+        .agg(
+            (
+                F.sum(F.col("v").cast("decimal(28,12)")).cast("double")
+                / F.count(F.lit(1))
+            ).alias("m")
+        )
+    )
+    cb = (
+        per_dim.groupBy("sub", "label")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm"))
+        .select(
+            "sub",
+            F.col("label").alias("code"),
+            F.transform("pm", lambda s: s["m"]).alias("cw"),
+        )
+    )
+    return cb.withColumn("cwn2", _dot(F.col("cw"), F.col("cw")))
+
+
+def pq_encode(embeddings: DataFrame) -> DataFrame:
+    """Encode every vector to PQ_M code ids: per subspace, the codeword
+    minimizing the squared L2 distance to the subvector (rounded to 6 dp
+    with a code-asc tie-break for a total order). The corpus side of the
+    downstream search touches ONLY these codes — at 100 TB the stored
+    index is PQ_M small ints per vector (~32x smaller than the float
+    row), which is the whole point of PQ: the scan becomes memory-
+    resident. One broadcast join (tiny codebook) + one per-(vec,sub)
+    argmin window; the corpus is never shuffled.
+    """
+    cb = pq_codebooks(embeddings)
+    subs = _fan_out(embeddings).select(
+        "vec_id",
+        _as_double(F.col("embedding")).alias("e"),
+    ).select(
+        "vec_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, {PQ_M - 1}),"
+                f" s -> struct(s AS sub, slice(e, s * {PQ_DSUB} + 1,"
+                f" {PQ_DSUB}) AS sv))"
+            )
+        ).alias("x"),
+    ).select("vec_id", F.col("x.sub").alias("sub"), F.col("x.sv").alias("sv"))
+    scored = subs.join(F.broadcast(cb), "sub").select(
+        "vec_id",
+        "sub",
+        "code",
+        F.round(
+            F.aggregate(
+                F.zip_with(
+                    F.col("sv"), F.col("cw"), lambda x, y: (x - y) * (x - y)
+                ),
+                F.lit(0.0),
+                lambda acc, x: acc + x,
+            ),
+            6,
+        ).alias("d2"),
+    )
+    w = Window.partitionBy("vec_id", "sub").orderBy(
+        F.col("d2").asc(), F.col("code").asc()
+    )
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", "sub", "code")
+    )
+
+
+def cosine_topk_pq_adc(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k via PQ asymmetric distance computation (ADC):
+    the query keeps its exact float vector; every corpus vector is
+    represented by its PQ codes, and ``dot(q, x)`` is approximated by
+    ``sum_s dot(q_s, codeword[s, code_s(x)])`` — a per-(query, sub,
+    code) lookup TABLE (broadcast: |queries| x PQ_M x |codebook| rows)
+    joined against the code stream and summed. The reconstruction norm
+    ``||recon(x)||^2 = sum_s ||codeword||^2`` comes from the same code
+    stream, so the corpus-side scan reads codes only. Jegou et al. 2011
+    ("Product quantization for nearest neighbor search"), re-expressed
+    as two broadcast equi-joins + one hash aggregate.
+    """
+    codes = persist_tracked(pq_encode(embeddings))
+    cb = pq_codebooks(embeddings)
+    queries = with_norm(embeddings).where(
+        F.col("vec_id") % QUERY_MOD == 0
+    ).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    # LUT: partial dot of each query subvector with each codeword
+    lut = queries.crossJoin(F.broadcast(cb)).select(
+        "query_vec_id",
+        "qnorm",
+        "sub",
+        "code",
+        _dot(
+            F.slice(F.col("qe"), F.col("sub") * PQ_DSUB + 1, PQ_DSUB),
+            F.col("cw"),
+        ).alias("pdot"),
+        "cwn2",
+    )
+    # decimal-routed sums: the PQ_M partial dots land in one group in
+    # arbitrary partial-aggregation order, and double addition is not
+    # associative — decimal sums make the result order-independent and
+    # bit-equal to the oracle's
+    per_pair = codes.join(
+        F.broadcast(lut), ["sub", "code"]
+    ).groupBy("query_vec_id", "vec_id").agg(
+        F.sum(F.col("pdot").cast("decimal(28,12)")).cast("double").alias(
+            "adot"
+        ),
+        F.sum(F.col("cwn2").cast("decimal(28,12)")).cast("double").alias(
+            "rn2"
+        ),
+        F.max("qnorm").alias("qnorm"),
+    )
+    scored = per_pair.select(
+        "query_vec_id",
+        F.col("vec_id").alias("neighbor_vec_id"),
+        F.round(
+            F.col("adot") / (F.col("qnorm") * F.sqrt(F.col("rn2"))), 6
+        ).alias("cos_pq"),
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_pq").desc(), F.col("neighbor_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_vec_id", "rank")
+    )

@@ -897,3 +897,146 @@ ORDER BY bm25 DESC, tf.doc_id
         tags=("extension", "text", "bm25"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# exact substring-span dedup: duplicated-span coverage (round 4)
+# ---------------------------------------------------------------------------
+
+SPAN = 16  # token span length, the "50-token window" of the paper scaled
+# to the fixture's short docs
+
+
+def _substring_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-level dedup, the Lee et al. 2022 ("Deduplicating
+    Training Data Makes Language Models Better") metric: for every doc,
+    the fraction of token positions covered by at least one SPAN-token
+    window that occurs MORE THAN ONCE anywhere in the corpus (including
+    within-doc repetition). Doc-level hash dedup misses these partial
+    overlaps; this is the measurement that finds boilerplate shared
+    across otherwise-distinct documents.
+
+    Shape: one explode to (doc, start, 16-gram) — n_tokens rows per doc
+    — a hash-aggregate gram frequency table (the same shuffle class as
+    the MinHash shingle pass), an equi-join back on the gram, and a
+    per-doc lag window to take the union length of fixed-width
+    overlapping intervals: with starts sorted, each start adds
+    ``min(SPAN, start - prev_start)`` newly covered positions, so the
+    interval union needs no interval-merge loop. At 100 TB every stage
+    is a uniform-key shuffle; the window is per-doc (bounded by doc
+    length), never corpus-wide.
+    """
+    docs = _docs(spark, sf_dir)
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    base = docs.select(
+        "doc_id",
+        F.split(norm, " ").alias("w"),
+    ).select("doc_id", F.size("w").alias("n_tokens"), "w")
+    # sequence(1, 0) is DESCENDING in Spark, so guard short docs with an
+    # explicit empty array instead of greatest()
+    grams = base.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"if(n_tokens >= {SPAN},"
+                f" sequence(1, n_tokens - {SPAN} + 1), array())"
+            )
+        ).alias("i"),
+        "w",
+    ).select(
+        "doc_id",
+        "i",
+        F.concat_ws(" ", F.slice("w", F.col("i"), SPAN)).alias("g"),
+    )
+    freq = grams.groupBy("g").agg(F.count(F.lit(1)).alias("cnt"))
+    dups = (
+        grams.join(freq, "g")
+        .where(F.col("cnt") > 1)
+        .select("doc_id", "i")
+    )
+    win = Window.partitionBy("doc_id").orderBy("i")
+    cov = (
+        dups.withColumn(
+            "newcov",
+            F.coalesce(
+                F.least(F.lit(SPAN), F.col("i") - F.lag("i").over(win)),
+                F.lit(SPAN),
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_dup_spans"),
+            F.sum("newcov").cast("long").alias("covered_tokens"),
+        )
+    )
+    return (
+        base.join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.coalesce("n_dup_spans", F.lit(0)).cast("long").alias(
+                "n_dup_spans"
+            ),
+            F.coalesce("covered_tokens", F.lit(0)).cast("long").alias(
+                "covered_tokens"
+            ),
+            F.round(
+                F.coalesce("covered_tokens", F.lit(0))
+                / F.col("n_tokens"),
+                6,
+            ).alias("coverage_r6"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "dedup_substring_span_coverage",
+        _substring_span_coverage,
+        rf"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS w
+  FROM documents
+),
+base AS (SELECT doc_id, len(w) AS n_tokens, w FROM toks),
+grams AS (
+  SELECT doc_id, i, array_to_string(w[i:i+{SPAN} - 1], ' ') AS g
+  FROM base, unnest(generate_series(1, n_tokens - {SPAN} + 1)) t(i)
+  WHERE n_tokens >= {SPAN}
+),
+freq AS (SELECT g, count(*) AS cnt FROM grams GROUP BY g),
+dups AS (
+  SELECT gr.doc_id, gr.i
+  FROM grams gr JOIN freq f USING (g) WHERE f.cnt > 1
+),
+cov0 AS (
+  SELECT doc_id, i,
+         least({SPAN}, i - lag(i) OVER (PARTITION BY doc_id ORDER BY i))
+           AS newcov
+  FROM dups
+),
+cov AS (
+  SELECT doc_id,
+         CAST(count(*) AS BIGINT) AS n_dup_spans,
+         CAST(sum(coalesce(newcov, {SPAN})) AS BIGINT) AS covered_tokens
+  FROM cov0 GROUP BY doc_id
+)
+SELECT b.doc_id,
+       CAST(b.n_tokens AS BIGINT) AS n_tokens,
+       coalesce(c.n_dup_spans, 0) AS n_dup_spans,
+       coalesce(c.covered_tokens, 0) AS covered_tokens,
+       round(CAST(coalesce(c.covered_tokens, 0) AS DOUBLE) / b.n_tokens,
+             6) AS coverage_r6
+FROM base b LEFT JOIN cov c USING (doc_id)
+ORDER BY b.doc_id
+""",
+        doc="Exact substring-span dedup (Lee et al. 2022): per-doc "
+        "fraction of token positions covered by a 16-token window that "
+        "occurs >1 time in the corpus; interval union via per-doc lag "
+        "window over sorted fixed-width starts",
+        tags=("extension", "dedup", "curation"),
+    )
+)

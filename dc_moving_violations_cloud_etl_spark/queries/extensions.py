@@ -1909,3 +1909,197 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
         tags=("extension", "dedup", "recall"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# product quantization ADC search + recall (round 4)
+# ---------------------------------------------------------------------------
+
+_PQ_M = similarity.PQ_M
+_PQ_DSUB = similarity.PQ_DSUB
+
+_PQ_CHAIN_SQL = f"""
+, corpus_pq AS (
+  SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+pq_per_dim AS (
+  SELECT label, (t.pos - 1) // {_PQ_DSUB} AS sub, t.pos AS pos,
+         CAST(sum(CAST(e[t.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+           AS m
+  FROM corpus_pq, unnest(generate_series(1, 64)) t(pos)
+  GROUP BY 1, 2, 3
+),
+pq_cb AS (
+  SELECT sub, label AS code, list(m ORDER BY pos) AS cw
+  FROM pq_per_dim GROUP BY sub, label
+),
+pq_cbn AS (
+  SELECT sub, code, cw,
+         list_sum(list_transform(generate_series(1, len(cw)),
+               i -> cw[i] * cw[i])) AS cwn2
+  FROM pq_cb
+),
+pq_subs AS (
+  SELECT vec_id, s.sub AS sub,
+         e[s.sub * {_PQ_DSUB} + 1 : s.sub * {_PQ_DSUB} + {_PQ_DSUB}] AS sv
+  FROM corpus_pq, unnest(generate_series(0, {_PQ_M} - 1)) s(sub)
+),
+pq_enc0 AS (
+  SELECT p.vec_id, p.sub, c.code,
+         round(list_sum(list_transform(generate_series(1, len(p.sv)),
+               i -> (p.sv[i] - c.cw[i]) * (p.sv[i] - c.cw[i]))), 6) AS d2
+  FROM pq_subs p JOIN pq_cbn c USING (sub)
+),
+pq_codes AS (
+  SELECT vec_id, sub, code FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY vec_id, sub ORDER BY d2 ASC, code ASC) AS rn
+    FROM pq_enc0
+  ) WHERE rn = 1
+),
+pq_queries AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+pq_lut AS (
+  SELECT q.query_vec_id, q.qnorm, c.sub, c.code,
+         list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> q.qe[c.sub * {_PQ_DSUB} + i] * c.cw[i])) AS pdot,
+         c.cwn2
+  FROM pq_queries q, pq_cbn c
+),
+pq_pair AS (
+  SELECT l.query_vec_id, k.vec_id,
+         CAST(sum(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE) AS adot,
+         CAST(sum(CAST(l.cwn2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2,
+         max(l.qnorm) AS qnorm
+  FROM pq_codes k JOIN pq_lut l USING (sub, code)
+  GROUP BY 1, 2
+),
+pq_scored AS (
+  SELECT query_vec_id, vec_id AS neighbor_vec_id,
+         round(adot / (qnorm * sqrt(rn2)), 6) AS cos_pq
+  FROM pq_pair
+)
+"""
+
+
+register(
+    QuerySpec(
+        "similarity_pq_adc_topk",
+        lambda spark, sf_dir: similarity.cosine_topk_pq_adc(
+            _emb(spark, sf_dir)
+        ),
+        _EMB_CTE
+        + _PQ_CHAIN_SQL
+        + """
+SELECT query_vec_id, neighbor_vec_id, cos_pq, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_vec_id
+      ORDER BY cos_pq DESC, neighbor_vec_id ASC) AS BIGINT) AS rank
+  FROM pq_scored
+) WHERE rank <= 5
+ORDER BY query_vec_id, rank
+""",
+        doc="Product-quantization ADC top-k (Jegou et al. 2011): per-"
+        "(subspace, label) mean-subvector codebooks, L2-argmin encode to "
+        "PQ_M small ints per vector (~32x smaller stored index), query-"
+        "side lookup tables broadcast against the code stream — the "
+        "compressed-domain ANN path next to LSH and IVF",
+        tags=("extension", "similarity", "pq"),
+    )
+)
+
+
+def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of PQ-ADC against the brute-force exact baseline, plus
+    the measured index compression (float bytes vs code bytes per
+    vector) — the two numbers that decide whether the 32x-smaller
+    compressed scan is worth its recall loss, completing the measured
+    ANN trade-off matrix (LSH, IVF nprobe=1/2, PQ)."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    pq = similarity.cosine_topk_pq_adc(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    matched = exact.join(pq, ["query_vec_id", "neighbor_vec_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_pq = pq.agg(F.count(F.lit(1)).alias("n_pq_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    nvec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_pq))
+        .crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(nvec))
+        .select(
+            "n_exact_pairs",
+            "n_pq_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+            (F.col("n_vectors") * 64 * 4).cast("long").alias(
+                "bytes_float_index"
+            ),
+            (F.col("n_vectors") * similarity.PQ_M).cast("long").alias(
+                "bytes_pq_index"
+            ),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_pq_recall",
+        _pq_recall,
+        _EMB_CTE
+        + _PQ_CHAIN_SQL
+        + """
+, pq5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_vec_id
+        ORDER BY cos_pq DESC, neighbor_vec_id ASC) AS rank
+    FROM pq_scored
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact JOIN pq5 USING (query_vec_id, neighbor_vec_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM pq5) AS n_pq_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6,
+       (SELECT CAST(count(*) * 64 * 4 AS BIGINT) FROM corpus_pq)
+         AS bytes_float_index,
+       (SELECT CAST(count(*) * """
+        + str(similarity.PQ_M)
+        + """ AS BIGINT) FROM corpus_pq) AS bytes_pq_index
+""",
+        doc="recall@5 of PQ-ADC vs the brute-force exact baseline, with "
+        "the measured 32x index compression — completes the ANN "
+        "trade-off matrix (LSH / IVF nprobe=1 / IVF nprobe=2 / PQ)",
+        tags=("extension", "similarity", "pq", "recall"),
+    )
+)

@@ -96,6 +96,8 @@ _ALLOWED_BNLJ = {
     "similarity_ivf_recall",
     "similarity_ivf_nprobe2_recall",
     "dedup_minhash_recall",        # bounded doc query set, brute-force truth
+    "similarity_pq_adc_topk",      # tiny query set x tiny codebook LUT
+    "similarity_pq_recall",        # 1-row count combines + the above
 }
 
 

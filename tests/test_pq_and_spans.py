@@ -1,0 +1,82 @@
+"""Structural invariants for the round-4 additions: product-quantization
+ANN (codebooks / encode / ADC) and the exact substring-span coverage
+dedup. Value-level correctness is oracle-checked by the registry
+(`similarity_pq_adc_topk`, `similarity_pq_recall`,
+`dedup_substring_span_coverage`); these tests pin the invariants the
+oracle can't see — code-range/completeness of the stored index and the
+interval-union bounds of the coverage metric.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dc_moving_violations_cloud_etl_spark import catalog
+from dc_moving_violations_cloud_etl_spark.operators import similarity
+from dc_moving_violations_cloud_etl_spark.queries import QUERIES, get_queries
+
+get_queries()  # populate the lazy registry
+
+
+def _emb(spark, sf_dir):
+    return catalog.base(spark, sf_dir, "embeddings")
+
+
+def test_pq_codebook_shape(spark, sf_dir):
+    cb = similarity.pq_codebooks(_emb(spark, sf_dir)).collect()
+    subs = {r["sub"] for r in cb}
+    assert subs == set(range(similarity.PQ_M))
+    codes_per_sub = {s: 0 for s in subs}
+    for r in cb:
+        codes_per_sub[r["sub"]] += 1
+        assert len(r["cw"]) == similarity.PQ_DSUB
+        assert r["cwn2"] >= 0.0
+    # every subspace has the same (full) codebook
+    assert len(set(codes_per_sub.values())) == 1
+
+
+def test_pq_encode_is_total_and_in_range(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    n_vec = emb.count()
+    codes = similarity.pq_encode(emb)
+    stats = codes.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("vec_id").alias("nv"),
+        F.min("code").alias("cmin"),
+        F.max("code").alias("cmax"),
+    ).collect()[0]
+    # exactly PQ_M codes per vector — a partial encode would silently
+    # drop subspaces from every downstream ADC sum
+    assert stats["n"] == n_vec * similarity.PQ_M
+    assert stats["nv"] == n_vec
+    labels = [r[0] for r in emb.select("label").distinct().collect()]
+    assert stats["cmin"] >= min(labels) and stats["cmax"] <= max(labels)
+
+
+def test_pq_adc_self_match_rank1_mostly(spark, sf_dir):
+    """ADC is approximate, but the query's own code reconstruction must
+    still place the query itself in its top-5 for most queries (it
+    shares every codeword with itself — only collisions with other
+    vectors in the same PQ cell can outrank it)."""
+    top = similarity.cosine_topk_pq_adc(_emb(spark, sf_dir))
+    self_hits = top.where(
+        F.col("query_vec_id") == F.col("neighbor_vec_id")
+    ).count()
+    n_queries = top.select("query_vec_id").distinct().count()
+    assert n_queries > 0
+    assert self_hits >= n_queries * 0.8
+
+
+def test_substring_span_coverage_bounds(spark, sf_dir):
+    df = QUERIES["dedup_substring_span_coverage"].build(spark, sf_dir)
+    rows = df.collect()
+    assert rows, "empty coverage report"
+    for r in rows:
+        assert 0 <= r["covered_tokens"] <= r["n_tokens"]
+        assert 0.0 <= r["coverage_r6"] <= 1.0
+        # a doc shorter than the span can never be covered
+        if r["n_tokens"] < 16:
+            assert r["covered_tokens"] == 0 and r["n_dup_spans"] == 0
+        # spans are 16 tokens: any dup start implies >= 16 covered
+        if r["n_dup_spans"] > 0:
+            assert r["covered_tokens"] >= 16
