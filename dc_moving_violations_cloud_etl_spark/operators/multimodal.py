@@ -514,3 +514,143 @@ def decode_metadata_arrow(documents: DataFrame) -> DataFrame:
         .mapInArrow(decode_batches, schema=DECODED_SCHEMA)
         .orderBy("doc_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# REAL compressed-codec decode (round 4): PNG via stdlib zlib — unlike
+# BMP/WAV/Y4M (pure struct layouts), PNG exercises a genuine DEFLATE
+# inflate, per-row filter reconstruction, and CRC-32 chunk verification.
+# ---------------------------------------------------------------------------
+
+PNG_W, PNG_H = 8, 8  # 24 bytes/row, RGB8 (color type 2)
+
+PNG_SCHEMA = (
+    "doc_id long, width int, height int, bit_depth int, color_type int, "
+    "n_chunks int, crc_ok boolean, mean_pixel double"
+)
+
+
+def encode_png(digest: bytes) -> bytes:
+    """A genuine PNG: signature + IHDR + one zlib-compressed IDAT + IEND,
+    every chunk carrying its real CRC-32. Rows use filter type 1 (Sub),
+    so the decoder must actually reconstruct ``raw[i] = filt[i] +
+    recon[i - 3]`` — a byte-identity pass-through cannot fake it. The
+    RECONSTRUCTED pixel stream tiles the 16-byte digest (192 bytes = 12
+    exact tiles), so mean_pixel == mean(digest): the analytic handle the
+    oracle recomputes without inflating anything."""
+    import struct
+    import zlib
+
+    row_bytes = PNG_W * 3
+    img = (digest * ((row_bytes * PNG_H) // len(digest) + 1))[
+        : row_bytes * PNG_H
+    ]
+    raw = bytearray()
+    for r in range(PNG_H):
+        row = img[r * row_bytes : (r + 1) * row_bytes]
+        raw.append(1)  # Sub filter
+        for i, b in enumerate(row):
+            left = row[i - 3] if i >= 3 else 0
+            raw.append((b - left) % 256)
+    idat = zlib.compress(bytes(raw), 6)
+
+    def chunk(tag: bytes, data: bytes) -> bytes:
+        return (
+            struct.pack(">I", len(data))
+            + tag
+            + data
+            + struct.pack(">I", zlib.crc32(tag + data) & 0xFFFFFFFF)
+        )
+
+    ihdr = struct.pack(">IIBBBBB", PNG_W, PNG_H, 8, 2, 0, 0, 0)
+    return (
+        b"\x89PNG\r\n\x1a\n"
+        + chunk(b"IHDR", ihdr)
+        + chunk(b"IDAT", idat)
+        + chunk(b"IEND", b"")
+    )
+
+
+def decode_png_real(documents: DataFrame) -> DataFrame:
+    """REAL PNG decode over mapInPandas: walk the chunk stream verifying
+    every CRC-32, parse IHDR, inflate the concatenated IDATs with
+    stdlib zlib, reconstruct each row's Sub/None filter, and numpy-mean
+    the reconstructed pixels. The only difference from a PIL decode is
+    the filter matrix supported (None + Sub — the two the fixture
+    emits); the inflate, CRC, and defilter arithmetic are the real
+    thing. Arrow-batched, constant memory per partition, no shuffle."""
+
+    png_w, png_h = PNG_W, PNG_H
+    enc = encode_png
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+        import zlib
+
+        import numpy as np
+
+        def decode(payload: bytes):
+            assert payload[:8] == b"\x89PNG\r\n\x1a\n", "bad signature"
+            pos, n_chunks, crc_ok = 8, 0, True
+            width = height = bit_depth = color_type = -1
+            idat = b""
+            while pos < len(payload):
+                (length,) = struct.unpack(">I", payload[pos : pos + 4])
+                tag = payload[pos + 4 : pos + 8]
+                data = payload[pos + 8 : pos + 8 + length]
+                (crc,) = struct.unpack(
+                    ">I", payload[pos + 8 + length : pos + 12 + length]
+                )
+                crc_ok &= (zlib.crc32(tag + data) & 0xFFFFFFFF) == crc
+                n_chunks += 1
+                if tag == b"IHDR":
+                    width, height, bit_depth, color_type, *_ = struct.unpack(
+                        ">IIBBBBB", data
+                    )
+                elif tag == b"IDAT":
+                    idat += data
+                elif tag == b"IEND":
+                    break
+                pos += 12 + length
+            raw = zlib.decompress(idat)
+            row_bytes = width * 3
+            assert len(raw) == height * (row_bytes + 1), "bad scanline size"
+            out = np.empty(height * row_bytes, np.uint8)
+            for r in range(height):
+                line = raw[r * (row_bytes + 1) : (r + 1) * (row_bytes + 1)]
+                ftype, filt = line[0], np.frombuffer(line[1:], np.uint8)
+                if ftype == 0:
+                    recon = filt.copy()
+                elif ftype == 1:
+                    recon = filt.copy()
+                    for i in range(3, row_bytes):  # bpp = 3 (RGB8)
+                        recon[i] = (int(recon[i]) + int(recon[i - 3])) % 256
+                else:  # pragma: no cover - fixture emits None/Sub only
+                    raise NotImplementedError(f"PNG filter {ftype}")
+                out[r * row_bytes : (r + 1) * row_bytes] = recon
+            return (
+                width, height, bit_depth, color_type, n_chunks,
+                bool(crc_ok), float(out.mean()),
+            )
+
+        for pdf in it:
+            rows = [decode(enc(d)) for d in pdf["digest"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": [r[0] for r in rows],
+                    "height": [r[1] for r in rows],
+                    "bit_depth": [r[2] for r in rows],
+                    "color_type": [r[3] for r in rows],
+                    "n_chunks": [r[4] for r in rows],
+                    "crc_ok": [r[5] for r in rows],
+                    "mean_pixel": [r[6] for r in rows],
+                }
+            )
+
+    assert png_w * 3 * png_h % 16 == 0, "pixels must tile the digest"
+    return (
+        _digest_bytes_col(documents)
+        .mapInPandas(batches, schema=PNG_SCHEMA)
+        .orderBy("doc_id")
+    )

@@ -2103,3 +2103,54 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
         tags=("extension", "similarity", "pq", "recall"),
     )
 )
+
+
+def _png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = multimodal.decode_png_real(_docs(spark, sf_dir))
+    return d.select(
+        "doc_id",
+        "width",
+        "height",
+        "bit_depth",
+        "color_type",
+        "n_chunks",
+        "crc_ok",
+        F.round("mean_pixel", 6).alias("mean_pixel"),
+    )
+
+
+register(
+    QuerySpec(
+        "multimodal_png_decode_real",
+        _png_decode_real,
+        r"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
+  FROM documents
+),
+b AS (
+  SELECT doc_id,
+         list_transform(generate_series(0, 15),
+           i -> CAST('0x' || substr(h, 2*i + 1, 2) AS INTEGER)) AS bytes
+  FROM d
+)
+SELECT doc_id,
+       8 AS width,
+       8 AS height,
+       8 AS bit_depth,
+       2 AS color_type,
+       3 AS n_chunks,
+       TRUE AS crc_ok,
+       round(CAST(list_sum(bytes) AS DOUBLE) / 16.0, 6) AS mean_pixel
+FROM b ORDER BY doc_id
+""",
+        doc="REAL compressed-format PNG decode (stdlib zlib, no codec "
+        "libs): chunk walk with CRC-32 verification, genuine DEFLATE "
+        "inflate of the IDAT stream, Sub-filter row reconstruction, "
+        "numpy pixel mean — the reconstructed pixels tile the text "
+        "digest so the oracle recomputes mean_pixel analytically while "
+        "the Spark side exercises the full inflate+defilter path",
+        tags=("extension", "multimodal", "real-codec"),
+    )
+)

@@ -1426,3 +1426,185 @@ ORDER BY hop_dist
         tags=("extension", "graph", "mining", "iterative"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# distributed model training: logistic regression by batch GD (round 4)
+# ---------------------------------------------------------------------------
+
+_LR_ITERS = 3
+_LR_RATE = 1.0
+
+
+def _lr_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic per-doc features for the is-English probe: bias,
+    clamped length, mean word length, type-token ratio — every one a
+    per-row expression both engines evaluate bit-identically."""
+    d = catalog.base(spark, sf_dir, "documents")
+    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    base = d.select("doc_id", "lang", norm.alias("norm")).select(
+        "doc_id", "lang", "norm", F.split("norm", " ").alias("w")
+    )
+    return base.select(
+        "doc_id",
+        F.when(F.col("lang") == "en", 1.0).otherwise(0.0).alias("y"),
+        F.lit(1.0).alias("x0"),
+        (F.least(F.size("w"), F.lit(400)) / F.lit(400.0)).alias("x1"),
+        (
+            (F.length("norm") - (F.size("w") - 1))
+            / (10.0 * F.size("w"))
+        ).alias("x2"),
+        (
+            F.size(F.array_distinct("w")) / F.size("w").cast("double")
+        ).alias("x3"),
+    )
+
+
+def _logreg_gd_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed LOGISTIC-REGRESSION TRAINING as pure DataFrame
+    aggregation: ``_LR_ITERS`` rounds of full-batch gradient descent,
+    each one a single map-side-combinable aggregate over the corpus —
+    ``g_k = Σ (σ(w·x) − y)·x_k`` with every per-row contribution routed
+    through DECIMAL(28,12) so the gradient is aggregation-order-
+    independent and bit-equal to the oracle's unrolled-CTE replay.
+
+    This is the shape distributed training actually takes on a data
+    engine (each epoch = one scan + one tiny all-reduce): per round the
+    driver receives exactly 4 gradient scalars + a count (the same
+    constant-size driver sync as the connected-components convergence
+    check, dedup.py:595) and ships 4 literal weights back into the next
+    plan. At 100 TB each round is one pass over the features; the
+    feature table is computed once and persisted.
+
+    The oracle unrolls all three iterations as chained 1-row CTEs —
+    genuinely non-trivial decorrelation the registry's TPC-H pack
+    doesn't probe (iterative state threading through CTEs).
+    """
+    f = caching.persist_tracked(_lr_feats(spark, sf_dir))
+    xs = ["x0", "x1", "x2", "x3"]
+    w = [0.0, 0.0, 0.0, 0.0]
+    n = 1
+    for _ in range(_LR_ITERS):
+        z = sum((F.lit(w[k]) * F.col(xs[k]) for k in range(4)), F.lit(0.0))
+        p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+        row = f.agg(
+            *[
+                F.sum(
+                    ((p - F.col("y")) * F.col(xs[k])).cast("decimal(28,12)")
+                )
+                .cast("double")
+                .alias(f"g{k}")
+                for k in range(4)
+            ],
+            F.count(F.lit(1)).alias("n"),
+        ).collect()[0]
+        n = row["n"]
+        w = [w[k] - _LR_RATE * row[f"g{k}"] / n for k in range(4)]
+    z = sum((F.lit(w[k]) * F.col(xs[k]) for k in range(4)), F.lit(0.0))
+    p = F.lit(1.0) / (F.lit(1.0) + F.exp(-z))
+    correct = (p >= 0.5) == (F.col("y") == 1.0)
+    return f.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(correct, 1).otherwise(0)).cast("long").alias(
+            "n_correct"
+        ),
+        F.round(
+            F.sum(F.when(correct, 1).otherwise(0))
+            / F.count(F.lit(1)).cast("double"),
+            6,
+        ).alias("accuracy_r6"),
+        F.round(
+            F.sum(
+                (
+                    -(
+                        F.col("y") * F.log(p)
+                        + (F.lit(1.0) - F.col("y")) * F.log(1.0 - p)
+                    )
+                ).cast("decimal(28,12)")
+            ).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("log_loss_r6"),
+        *[
+            F.round(F.lit(w[k]), 6).alias(f"w{k}_r6")
+            for k in range(4)
+        ],
+    )
+
+
+def _lr_sql() -> str:
+    feats = r"""
+WITH feats AS (
+  SELECT doc_id,
+         CASE WHEN lang = 'en' THEN 1.0 ELSE 0.0 END AS y,
+         1.0 AS x0,
+         least(len(w), 400) / 400.0 AS x1,
+         (length(norm) - (len(w) - 1)) / (10.0 * len(w)) AS x2,
+         len(list_distinct(w)) / CAST(len(w) AS DOUBLE) AS x3
+  FROM (
+    SELECT doc_id, norm, lang, string_split(norm, ' ') AS w
+    FROM (
+      SELECT doc_id, lang,
+             lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+      FROM documents
+    )
+  )
+)
+"""
+
+    def grad(zexpr: str, k: int) -> str:
+        return (
+            f"CAST(sum(CAST((1.0/(1.0+exp(-({zexpr}))) - f.y) * f.x{k} "
+            f"AS DECIMAL(28,12))) AS DOUBLE) / count(*)"
+        )
+
+    z0 = "0.0"
+    it1 = ", it1 AS (\n  SELECT " + ", ".join(
+        f"0.0 - {_LR_RATE} * {grad(z0, k)} AS w{k}" for k in range(4)
+    ) + "\n  FROM feats f\n)"
+    zi = (
+        "i.w0*f.x0 + i.w1*f.x1 + i.w2*f.x2 + i.w3*f.x3"
+    )
+    steps = [it1]
+    for t in range(2, _LR_ITERS + 1):
+        steps.append(
+            f", it{t} AS (\n  SELECT "
+            + ", ".join(
+                f"i.w{k} - {_LR_RATE} * {grad(zi, k)} AS w{k}"
+                for k in range(4)
+            )
+            + f"\n  FROM feats f CROSS JOIN it{t - 1} i"
+            + "\n  GROUP BY i.w0, i.w1, i.w2, i.w3\n)"
+        )
+    final = f"""
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN (1.0/(1.0+exp(-({zi}))) >= 0.5) = (f.y = 1.0)
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_correct,
+       round(sum(CASE WHEN (1.0/(1.0+exp(-({zi}))) >= 0.5) = (f.y = 1.0)
+                      THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 6)
+         AS accuracy_r6,
+       round(CAST(sum(CAST(-(f.y * ln(1.0/(1.0+exp(-({zi}))))
+                 + (1.0 - f.y) * ln(1.0 - 1.0/(1.0+exp(-({zi})))))
+             AS DECIMAL(28,12))) AS DOUBLE) / count(*), 6) AS log_loss_r6,
+       round(max(i.w0), 6) AS w0_r6,
+       round(max(i.w1), 6) AS w1_r6,
+       round(max(i.w2), 6) AS w2_r6,
+       round(max(i.w3), 6) AS w3_r6
+FROM feats f CROSS JOIN it{_LR_ITERS} i
+"""
+    return feats + "".join(steps) + final
+
+
+register(
+    QuerySpec(
+        "logreg_gd_train",
+        _logreg_gd_train,
+        _lr_sql(),
+        doc="Distributed logistic-regression training: 3 rounds of full-"
+        "batch gradient descent, each one map-side-combinable aggregate "
+        "(decimal-routed gradient sums, constant-size driver sync), "
+        "then a train-accuracy/log-loss eval — oracle replays the "
+        "identical schedule as 3 chained 1-row CTEs",
+        tags=("extension", "mining", "training"),
+    )
+)

@@ -132,7 +132,8 @@ def _load_all() -> None:
 # sql_collated_group_by, graph_bfs_seed_distance,
 # privacy_k_anonymity_audit, bucketed_join_zero_shuffle,
 # stream_full_outer_sealed, similarity_pq_adc_topk,
-# similarity_pq_recall, dedup_substring_span_coverage — plus
+# similarity_pq_recall, dedup_substring_span_coverage,
+# dp_noisy_histogram_release, multimodal_png_decode_real — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

@@ -80,3 +80,71 @@ def test_substring_span_coverage_bounds(spark, sf_dir):
         # spans are 16 tokens: any dup start implies >= 16 covered
         if r["n_dup_spans"] > 0:
             assert r["covered_tokens"] >= 16
+
+
+def test_png_roundtrip_reconstructs_tiled_digest():
+    """The Sub-filtered PNG must decode back to the exact tiled digest —
+    proving the inflate + defilter path does real reconstruction, not a
+    pass-through."""
+    import hashlib
+    import struct
+    import zlib
+
+    from dc_moving_violations_cloud_etl_spark.operators import multimodal
+
+    digest = hashlib.md5(b"round-4 png fixture").digest()
+    payload = multimodal.encode_png(digest)
+    assert payload[:8] == b"\x89PNG\r\n\x1a\n"
+    # corrupt one IDAT byte: CRC must catch it
+    idat_off = payload.index(b"IDAT") + 4
+    corrupted = (
+        payload[:idat_off]
+        + bytes([payload[idat_off] ^ 0xFF])
+        + payload[idat_off + 1 :]
+    )
+    pos = 8
+    ok_orig, ok_corrupt = True, True
+    for buf, flag in ((payload, "orig"), (corrupted, "corrupt")):
+        pos, ok = 8, True
+        while pos < len(buf):
+            (length,) = struct.unpack(">I", buf[pos : pos + 4])
+            tag = buf[pos + 4 : pos + 8]
+            data = buf[pos + 8 : pos + 8 + length]
+            (crc,) = struct.unpack(
+                ">I", buf[pos + 8 + length : pos + 12 + length]
+            )
+            ok &= (zlib.crc32(tag + data) & 0xFFFFFFFF) == crc
+            if tag == b"IEND":
+                break
+            pos += 12 + length
+        if flag == "orig":
+            ok_orig = ok
+        else:
+            ok_corrupt = ok
+    assert ok_orig and not ok_corrupt
+
+
+def test_png_decode_real_matches_digest_mean(spark, sf_dir):
+    from dc_moving_violations_cloud_etl_spark import catalog
+    from dc_moving_violations_cloud_etl_spark.operators import multimodal
+
+    docs = catalog.base(spark, sf_dir, "documents").limit(20)
+    out = multimodal.decode_png_real(docs).collect()
+    assert len(out) == 20
+    for r in out:
+        assert (r["width"], r["height"]) == (8, 8)
+        assert r["bit_depth"] == 8 and r["color_type"] == 2
+        assert r["crc_ok"] and r["n_chunks"] == 3
+        assert 0.0 <= r["mean_pixel"] <= 255.0
+
+
+def test_dp_release_nonnegative_and_noise_bounded(spark, sf_dir):
+    """Laplace(1/eps) with eps=1 almost never exceeds |noise| ~ 22
+    (that's the u ~ 1e-10 tail); the release must be zero-clamped and
+    integer."""
+    rows = QUERIES["dp_noisy_histogram_release"].build(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["released_count"] >= 0
+        assert r["epsilon"] == 1.0
+        assert r["abs_noise"] <= 25
