@@ -133,7 +133,9 @@ def _load_all() -> None:
 # privacy_k_anonymity_audit, bucketed_join_zero_shuffle,
 # stream_full_outer_sealed, similarity_pq_adc_topk,
 # similarity_pq_recall, dedup_substring_span_coverage,
-# dp_noisy_histogram_release, multimodal_png_decode_real — plus
+# dp_noisy_histogram_release, multimodal_png_decode_real,
+# logreg_gd_train, stream_semi_join_matched,
+# timeseries_seasonal_decompose — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

@@ -490,3 +490,42 @@ ORDER BY user_id
         tags=("streaming", "join", "outer"),
     )
 )
+
+
+from ..streaming.joins import left_semi_join_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_semi_join_matched",
+        left_semi_join_streaming,
+        """
+WITH errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events
+  WHERE event_type = 'error'
+),
+clicks AS (
+  SELECT user_id, ts FROM events WHERE event_type = 'click'
+),
+matched AS (
+  SELECT e.user_id, e.error_id
+  FROM errors e
+  WHERE EXISTS (
+    SELECT 1 FROM clicks c
+    WHERE c.user_id = e.user_id
+      AND c.ts >= e.ts - INTERVAL 300 SECOND
+      AND c.ts <= e.ts - INTERVAL 1 SECOND
+  )
+)
+SELECT user_id,
+       CAST(count(*) AS BIGINT) AS n_emitted,
+       CAST(count(DISTINCT error_id) AS BIGINT) AS n_matched_errors
+FROM matched GROUP BY user_id ORDER BY user_id
+""",
+        doc="stream-stream LEFT SEMI join (the streaming EXISTS): "
+        "errors with at least one click 1..300 s before them, emitted "
+        "once on first match — no sealing cutoff needed for emitted "
+        "rows under availableNow; completes the streaming join matrix "
+        "(inner / left outer / full outer / semi / stream-static)",
+        tags=("streaming", "join", "semi"),
+    )
+)

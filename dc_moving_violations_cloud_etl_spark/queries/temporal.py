@@ -421,3 +421,105 @@ FROM g ORDER BY day
         tags=("extension", "temporal", "gapfill"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# classical seasonal decomposition (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Classical additive seasonal decomposition of the daily event
+    count: trend = 7-day centered moving average, seasonal = per-ISO-
+    weekday mean of the detrended series, residual = the rest — the
+    moving-average decomposition at the core of STL, on exact
+    arithmetic (integer daily counts, /7.0 trend, decimal-routed
+    weekday means so group sums are aggregation-order-independent).
+
+    Shape: one fact-table shuffle to daily counts, then every later
+    step runs on the tiny per-day table — the single-partition ORDER BY
+    window is over |days| rows (bounded by calendar span, not fact
+    rows), and the weekday-effect join is a 7-row broadcast. Edge days
+    without a full 7-day window are excluded (count(n) OVER w = 7), so
+    the trend is never a partial average.
+    """
+    ev = _events(spark, sf_dir)
+    from pyspark.sql.window import Window
+
+    daily = ev.groupBy(F.to_date("ts").alias("d")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w7 = Window.orderBy("d").rowsBetween(-3, 3)
+    t = (
+        daily.select(
+            "d",
+            "n",
+            F.when(
+                F.count("n").over(w7) == 7, F.sum("n").over(w7) / 7.0
+            ).alias("trend"),
+        )
+        .where(F.col("trend").isNotNull())
+        .withColumn("wd", F.expr("weekday(d)") + F.lit(1))
+        .withColumn("det", F.col("n") - F.col("trend"))
+    )
+    eff = t.groupBy("wd").agg(
+        (
+            F.sum(F.col("det").cast("decimal(28,12)")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("seasonal")
+    )
+    return (
+        t.join(F.broadcast(eff), "wd")
+        .select(
+            F.date_format("d", "yyyy-MM-dd").alias("day_s"),
+            F.col("n").cast("long").alias("n_events"),
+            F.round("trend", 6).alias("trend_r6"),
+            F.round("seasonal", 6).alias("seasonal_r6"),
+            F.round(F.col("det") - F.col("seasonal"), 6).alias(
+                "residual_r6"
+            ),
+        )
+        .orderBy("day_s")
+    )
+
+
+register(
+    QuerySpec(
+        "timeseries_seasonal_decompose",
+        _seasonal_decompose,
+        """
+WITH daily AS (
+  SELECT CAST(ts AS DATE) AS d, count(*) AS n FROM events GROUP BY 1
+),
+ma AS (
+  SELECT d, n,
+         CASE WHEN count(n) OVER w = 7
+              THEN sum(n) OVER w / 7.0 END AS trend
+  FROM daily
+  WINDOW w AS (ORDER BY d ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
+),
+t AS (
+  SELECT d, n, trend, isodow(d) AS wd, n - trend AS det
+  FROM ma WHERE trend IS NOT NULL
+),
+eff AS (
+  SELECT wd,
+         CAST(sum(CAST(det AS DECIMAL(28,12))) AS DOUBLE) / count(*)
+           AS seasonal
+  FROM t GROUP BY wd
+)
+SELECT strftime(t.d, '%Y-%m-%d') AS day_s,
+       CAST(t.n AS BIGINT) AS n_events,
+       round(t.trend, 6) AS trend_r6,
+       round(eff.seasonal, 6) AS seasonal_r6,
+       round(t.det - eff.seasonal, 6) AS residual_r6
+FROM t JOIN eff USING (wd) ORDER BY day_s
+""",
+        doc="classical additive seasonal decomposition of daily event "
+        "counts: 7-day centered-MA trend (full windows only), per-ISO-"
+        "weekday seasonal effect over the detrended series (decimal-"
+        "routed means), residual — fact shuffle once, then tiny per-day "
+        "windows and a 7-row broadcast join",
+        tags=("extension", "temporal", "timeseries"),
+    )
+)

@@ -366,3 +366,88 @@ def full_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id"),
     )
+
+
+def left_semi_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream LEFT SEMI join — the existence cell of the
+    streaming join matrix: errors that had at least one click in the
+    1..300 s window before them, each emitted ONCE (no click columns, no
+    pair multiplication — the streaming EXISTS).
+
+    Unlike the outer cells, the semi join needs NO sealing cutoff for
+    its emitted rows: a row emits exactly when its first match arrives,
+    and under ``availableNow`` every match is seen, so the emitted set
+    equals the batch semi join over the full streams. (Only the
+    NON-emission of unmatched rows is watermark-governed, and those rows
+    produce no output either way.) State expiry follows the same
+    watermark + range bound as the inner cell.
+
+    At 100 TB the semi cell is the cheap one: state stores only the
+    not-yet-matched left rows and drops each on first match instead of
+    buffering every pair.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = hashlib.md5(f"sssemi:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"semi_join_{tag}"
+    stage = _stage_dir(path, tag)
+
+    def _stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+
+    errors = (
+        _stream()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+
+    matched = errors.join(
+        clicks,
+        F.expr(
+            f"""
+            e_user = c_user AND
+            c_ts >= e_ts - INTERVAL {UPPER_S} SECONDS AND
+            c_ts <= e_ts - INTERVAL {LOWER_S} SECONDS
+            """
+        ),
+        "left_semi",
+    )
+
+    _run_to_completion(
+        spark,
+        matched.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True),
+    )
+
+    return _drain_memory_sink(
+        spark,
+        name,
+        spark.table(name)
+        .groupBy(F.col("e_user").alias("user_id"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_emitted"),
+            F.countDistinct("error_id").cast("long").alias(
+                "n_matched_errors"
+            ),
+        )
+        .orderBy("user_id"),
+    )
