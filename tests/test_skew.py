@@ -98,3 +98,56 @@ def test_aqe_runtime_skew_split_fires(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_aqe_splits_skewed_join_partition(spark, sf_dir):
+    """AQE's runtime skew mitigation — the OTHER half of the skew story
+    next to explicit salting: with skew thresholds scaled to the
+    fixture, a deliberately hot-keyed sort-merge join must come back
+    with its skewed partition SPLIT (``SortMergeJoin(skew=true)`` in
+    the final adaptive plan). This is the mechanism a 1000-executor job
+    leans on when a hot key appears at runtime with no pre-planned
+    salt. Two structural preconditions this test pins (found
+    empirically): BOTH join children must be plain shuffles — an
+    aggregate between the sort and the shuffle stage defeats the rule's
+    pattern match — and the map side needs >1 task, or the hot reduce
+    partition has no mapper ranges to split by (the fixture's single
+    parquet file arrives as one map task; repartition(16) restores the
+    multi-mapper shape a real cluster always has)."""
+    confs = {
+        "spark.sql.adaptive.enabled": "true",
+        "spark.sql.adaptive.skewJoin.enabled": "true",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor": "2",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes": "1024",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes": "1024",
+        "spark.sql.adaptive.coalescePartitions.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+        # the downstream global aggregate would otherwise veto a split
+        # that adds a shuffle — force it, exactly the trade a real hot
+        # key warrants
+        "spark.sql.adaptive.forceOptimizeSkewedJoin": "true",
+    }
+    saved = {k: spark.conf.get(k, None) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = catalog.base(spark, sf_dir, "lineitem").repartition(16)
+        orders = catalog.base(spark, sf_dir, "orders").repartition(16)
+
+        def hot(c):
+            return F.when(c % 50 != 0, F.lit(1)).otherwise(c)
+
+        left = li.select(hot(F.col("l_orderkey")).alias("k"), "l_quantity")
+        right = orders.select(
+            hot(F.col("o_orderkey")).alias("k"), "o_totalprice"
+        )
+        joined = left.join(right, "k").agg(F.count(F.lit(1)).alias("n"))
+        assert joined.collect()[0]["n"] > 0
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "skew=true" in plan, plan[:2000]
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
