@@ -193,6 +193,30 @@ AUDITED = [
         "directed edge list; localCheckpoint keeps the final plan "
         "one-round deep",
     ),
+    (
+        "similarity_pq_adc_topk",
+        "corpus side scans CODES only (InMemoryTableScan of the "
+        "persisted encode); LUT and codebook are broadcast hash joins; "
+        "no cross join outside the tiny query-set LUT build",
+    ),
+    (
+        "dedup_substring_span_coverage",
+        "one explode to (doc, start, gram), hash-aggregate gram "
+        "frequency, equi-join back on the gram, per-doc lag window — "
+        "no corpus-wide window, no cross join",
+    ),
+    (
+        "logreg_gd_train",
+        "final eval is ONE partial+final HashAggregate over the "
+        "persisted feature scan (InMemoryTableScan); weights are "
+        "literals — no join, no window, no collect in the plan",
+    ),
+    (
+        "timeseries_seasonal_decompose",
+        "fact shuffle once to daily counts; the ORDER BY window and "
+        "weekday join run on the tiny per-day table with the 7-row "
+        "effect side broadcast",
+    ),
 ]
 
 
