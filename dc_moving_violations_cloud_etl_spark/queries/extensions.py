@@ -2154,3 +2154,145 @@ FROM b ORDER BY doc_id
         tags=("extension", "multimodal", "real-codec"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# IVF-PQ composite index (round 4): cell pruning + compressed-domain ADC
+# ---------------------------------------------------------------------------
+
+_IVFPQ_TAIL_SQL = f"""
+, ivfpq_lut AS (
+  SELECT q.query_vec_id, q.qnorm, q.qcell, c.sub, c.code,
+         list_sum(list_transform(generate_series(1, {_PQ_DSUB}),
+               i -> q.qe[c.sub * {_PQ_DSUB} + i] * c.cw[i])) AS pdot,
+         c.cwn2
+  FROM queries q, pq_cbn c
+),
+ivfpq_pair AS (
+  SELECT l.query_vec_id, k.vec_id,
+         CAST(sum(CAST(l.pdot AS DECIMAL(28,12))) AS DOUBLE) AS adot,
+         CAST(sum(CAST(l.cwn2 AS DECIMAL(28,12))) AS DOUBLE) AS rn2,
+         max(l.qnorm) AS qnorm
+  FROM pq_codes k
+  JOIN assigned a ON a.vec_id = k.vec_id
+  JOIN ivfpq_lut l
+    ON l.qcell = a.cell_id AND l.sub = k.sub AND l.code = k.code
+  GROUP BY 1, 2
+),
+ivfpq_scored AS (
+  SELECT query_vec_id, vec_id AS neighbor_vec_id,
+         round(adot / (qnorm * sqrt(rn2)), 6) AS cos_pq
+  FROM ivfpq_pair
+)
+"""
+
+
+register(
+    QuerySpec(
+        "similarity_ivfpq_topk",
+        lambda spark, sf_dir: similarity.cosine_topk_ivfpq(
+            _emb(spark, sf_dir)
+        ),
+        _EMB_CTE
+        + _IVF_CHAIN_SQL
+        + _PQ_CHAIN_SQL
+        + _IVFPQ_TAIL_SQL
+        + """
+SELECT query_vec_id, neighbor_vec_id, cos_pq, rank FROM (
+  SELECT *, CAST(row_number() OVER (
+      PARTITION BY query_vec_id
+      ORDER BY cos_pq DESC, neighbor_vec_id ASC) AS BIGINT) AS rank
+  FROM ivfpq_scored
+) WHERE rank <= 5
+ORDER BY query_vec_id, rank
+""",
+        doc="IVF-PQ composite ANN (the FAISS IndexIVFPQ shape): coarse "
+        "cell pruning via the IVF quantizer, compressed-domain ADC "
+        "scoring within the cell via PQ codes — one 3-key broadcast "
+        "equi-join (cell, sub, code) does both pruning and table "
+        "lookup; corpus side touches only (cell_id, codes)",
+        tags=("extension", "similarity", "ivf", "pq"),
+    )
+)
+
+
+def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of IVF-PQ vs the brute-force exact baseline — the final
+    cell of the measured ANN matrix (LSH, IVF x nprobe, PQ, IVF-PQ):
+    how much recall the doubly-approximate index (cell pruning AND code
+    compression) keeps, which is the number that decides the production
+    configuration."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    ivfpq = similarity.cosine_topk_ivfpq(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    matched = exact.join(ivfpq, ["query_vec_id", "neighbor_vec_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_i = ivfpq.agg(F.count(F.lit(1)).alias("n_ivfpq_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_i))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_exact_pairs",
+            "n_ivfpq_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_ivfpq_recall",
+        _ivfpq_recall,
+        _EMB_CTE
+        + _IVF_CHAIN_SQL
+        + _PQ_CHAIN_SQL
+        + _IVFPQ_TAIL_SQL
+        + """
+, ivfpq5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (
+        PARTITION BY query_vec_id
+        ORDER BY cos_pq DESC, neighbor_vec_id ASC) AS rank
+    FROM ivfpq_scored
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact JOIN ivfpq5 USING (query_vec_id, neighbor_vec_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM ivfpq5) AS n_ivfpq_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6
+""",
+        doc="recall@5 of the IVF-PQ composite vs the brute-force exact "
+        "baseline — the final cell of the measured ANN trade-off matrix",
+        tags=("extension", "similarity", "ivf", "pq", "recall"),
+    )
+)

@@ -135,7 +135,8 @@ def _load_all() -> None:
 # similarity_pq_recall, dedup_substring_span_coverage,
 # dp_noisy_histogram_release, multimodal_png_decode_real,
 # logreg_gd_train, stream_semi_join_matched,
-# timeseries_seasonal_decompose — plus
+# timeseries_seasonal_decompose, similarity_ivfpq_topk,
+# similarity_ivfpq_recall — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

@@ -98,6 +98,8 @@ _ALLOWED_BNLJ = {
     "dedup_minhash_recall",        # bounded doc query set, brute-force truth
     "similarity_pq_adc_topk",      # tiny query set x tiny codebook LUT
     "similarity_pq_recall",        # 1-row count combines + the above
+    "similarity_ivfpq_topk",       # same tiny LUT build as the PQ path
+    "similarity_ivfpq_recall",     # 1-row count combines + the above
 }
 
 
