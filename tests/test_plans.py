@@ -236,3 +236,55 @@ def test_parquet_aggregate_pushdown_fires(spark, sf_dir):
         for k, v in saved.items():
             spark.conf.set(k, v)
     assert "PushedAggregation: [COUNT(*), MIN(l_orderkey), MAX(l_orderkey)]" in plan, plan[:2000]
+
+
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """DPP: joining the month-partitioned violations layout against a
+    FILTERED dimension must inject a dynamicpruning expression into the
+    fact scan's PartitionFilters — the runtime analog of static
+    partition pruning, and the mechanism that keeps a 100 TB
+    partitioned fact from being listed in full when the selective
+    predicate lives on the dimension side."""
+    from dc_moving_violations_cloud_etl_spark.queries.source_ops import _staged
+
+    d = _staged(
+        spark,
+        sf_dir,
+        "monthpart",
+        lambda df, out: df.write.partitionBy("month")
+        .mode("overwrite")
+        .parquet(out),
+        build=lambda sp, sf: catalog.violations(sp, sf),
+        ident_files=("lineitem.parquet", "orders.parquet"),
+    )
+    fact = spark.read.parquet(d)
+    months = [(f"1998-0{m}", 1 if m == 3 else 0) for m in range(1, 8)]
+    dim = spark.createDataFrame(months, "month string, flag int")
+    j = (
+        fact.join(dim.where(F.col("flag") == 1), "month")
+        .groupBy("month")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    rows = j.collect()
+    plan = _plan(j)
+    assert "dynamicpruning" in plan.lower(), plan[:1500]
+    assert rows and all(r["month"] == "1998-03" for r in rows)
+
+
+def test_join_strategy_hints_are_respected(spark, sf_dir):
+    """The three join-strategy hints must each produce their physical
+    operator — the manual override lane next to AQE's automatic
+    choices (a 100 TB job pins a strategy when the optimizer's
+    stats-based pick is wrong)."""
+    li = catalog.base(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+    orders = catalog.base(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority"
+    )
+    cases = {
+        "broadcast": "BroadcastHashJoin",
+        "merge": "SortMergeJoin",
+        "shuffle_hash": "ShuffledHashJoin",
+    }
+    for hint, node in cases.items():
+        plan = _plan(li.join(orders.hint(hint), "l_orderkey"))
+        assert node in plan, f"{hint} -> expected {node}\n{plan[:800]}"
