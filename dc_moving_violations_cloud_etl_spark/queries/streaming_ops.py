@@ -529,3 +529,26 @@ FROM matched GROUP BY user_id ORDER BY user_id
         tags=("streaming", "join", "semi"),
     )
 )
+
+
+from ..streaming.backfill import rate_limited_backfill  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_rate_limited_backfill",
+        rate_limited_backfill,
+        """
+SELECT CAST(4 AS BIGINT) AS n_batches,
+       CAST(count(*) AS BIGINT) AS n_events,
+       TRUE AS batches_bounded
+FROM events
+""",
+        doc="rate-limited streaming backfill: a 4-file backlog drained "
+        "at maxFilesPerTrigger=1 under availableNow — exactly one "
+        "non-empty micro-batch per file, batch-count sum equals the "
+        "table count (nothing dropped or duplicated), every batch "
+        "strictly smaller than the backlog; the pacing lever that "
+        "bounds state/shuffle/sink size during historical catch-up",
+        tags=("streaming", "backfill", "rate-limit"),
+    )
+)

@@ -1,0 +1,103 @@
+"""Rate-limited streaming backfill: ``maxFilesPerTrigger`` bounds each
+micro-batch so a historical catch-up run proceeds in fixed-size steps
+instead of one giant batch — the operational lever that keeps a
+1000-executor backfill from sizing its first micro-batch to the whole
+backlog (state stores, shuffle buffers, and sink transactions are all
+per-batch; an unbounded batch is the classic backfill OOM).
+
+Under ``availableNow`` the source still drains the full backlog, but as
+``ceil(n_files / maxFilesPerTrigger)`` ordered micro-batches — the
+per-batch telemetry here is the auditable evidence of that pacing.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..catalog import normalize_event_ts, read_parquet
+from .daily import _SCRATCH_ROOT, _run_to_completion
+
+N_BACKFILL_FILES = 4
+
+
+def _stage_multifile(spark: SparkSession, path: str, tag: str) -> str:
+    """Stage the single-file fixture as N_BACKFILL_FILES parquet parts
+    (identity-keyed on the fixture, like source_ops._staged) so the
+    file-stream source has a multi-file backlog to pace through."""
+    st = os.stat(path)
+    ident = f"{tag}-{st.st_size}-{st.st_mtime_ns}"
+    d = os.path.join(_SCRATCH_ROOT, ident)
+    marker = os.path.join(d, "_STAGED_OK")
+    if not os.path.exists(marker):
+        (
+            read_parquet(spark, path)
+            .repartition(N_BACKFILL_FILES)
+            .write.mode("overwrite")
+            .parquet(d)
+        )
+        with open(marker, "w") as f:
+            f.write("ok")
+    return d
+
+
+def rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drain a 4-file backlog at maxFilesPerTrigger=1 and report the
+    pacing: exactly one non-empty micro-batch per file, total rows
+    equal to the batch-count sum (nothing dropped or duplicated), and
+    every batch strictly smaller than the backlog (the bound held)."""
+    path = f"{sf_dir}/events.parquet"
+    stage = _stage_multifile(spark, path, "backfill")
+    tag = hashlib.md5(f"backfill:{sf_dir}".encode()).hexdigest()[:8]
+
+    schema = read_parquet(spark, path).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    batches: list[tuple[int, int]] = []
+
+    def _count_batch(batch_df: DataFrame, batch_id: int) -> None:
+        n = batch_df.count()
+        if n > 0:
+            batches.append((batch_id, n))
+
+    # fresh checkpoint per run: this query MEASURES the drain pacing, so
+    # a warm checkpoint (which would legitimately process zero batches)
+    # is the wrong fixture — unlike filesink.py, whose warm-replay
+    # no-op IS the property under test
+    ckpt = os.path.join(_SCRATCH_ROOT, f"backfill_ckpt_{tag}")
+    import shutil
+
+    shutil.rmtree(ckpt, ignore_errors=True)
+    try:
+        _run_to_completion(
+            spark,
+            stream.writeStream.foreachBatch(_count_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True),
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    total = sum(n for _, n in batches)
+    out = spark.createDataFrame(
+        [
+            (
+                len(batches),
+                total,
+                bool(batches) and all(n < total for _, n in batches),
+            )
+        ],
+        "n_batches int, n_events long, batches_bounded boolean",
+    )
+    return out.select(
+        F.col("n_batches").cast("long").alias("n_batches"),
+        "n_events",
+        "batches_bounded",
+    )
