@@ -274,7 +274,11 @@ def _paged_api_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     reference's sequential pagination loop, parallelized by the
     scheduler. The aggregate proves both content fidelity (vs the
     parquet oracle) and the page plan itself (n_pages per type)."""
-    from ..sources.paged_api import SOURCE_NAME, make_paged_events_source
+    from ..sources.paged_api import (
+        SOURCE_NAME,
+        make_paged_events_source,
+        paged_fixture_path,
+    )
 
     # runtime-settable; required once a reader implements pushFilters
     # (engine must work in ANY caller-supplied session, so set it here,
@@ -283,7 +287,7 @@ def _paged_api_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     spark.dataSource.register(make_paged_events_source())
     src = (
         spark.read.format(SOURCE_NAME)
-        .option("path", f"{sf_dir}/events.parquet")
+        .option("path", paged_fixture_path(sf_dir))
         .option("pageSize", "2000")
         .load()
         .withColumn("ts", F.timestamp_micros(F.col("ts_us")))
@@ -333,13 +337,17 @@ def _paged_api_pushdown(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``pushFilters`` — the filter runs inside the per-page fetch (the
     reference's server-side ``where=`` parameter, A2/O1), so non-error
     rows never cross the Python→JVM boundary."""
-    from ..sources.paged_api import SOURCE_NAME, make_paged_events_source
+    from ..sources.paged_api import (
+        SOURCE_NAME,
+        make_paged_events_source,
+        paged_fixture_path,
+    )
 
     spark.conf.set("spark.sql.python.filterPushdown.enabled", "true")
     spark.dataSource.register(make_paged_events_source())
     src = (
         spark.read.format(SOURCE_NAME)
-        .option("path", f"{sf_dir}/events.parquet")
+        .option("path", paged_fixture_path(sf_dir))
         .option("pageSize", "2000")
         .load()
         .where(F.col("event_type") == "error")
