@@ -1184,3 +1184,178 @@ ORDER BY event_type
         tags=("extension", "udf", "analytics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# point-in-polygon ward assignment (round 4): ray casting, exact ints
+# ---------------------------------------------------------------------------
+
+# Ward polygons in integer MICRO-DEGREES (x = longitude, y = latitude),
+# deliberately non-rectangular (a pentagon and an L-shape) so the test
+# exercises real ray casting, not bbox checks. Vertices sit on 5000-µ°
+# half-steps while the fixture grid lives on 10000-µ° steps — no point
+# can ever land exactly on an edge or share a vertex y, so the
+# half-open crossing rule never faces a tie.
+_WARD_POLYGONS = {
+    "pentagon_nw": [
+        (-77075000, 38905000),
+        (-77035000, 38905000),
+        (-77030000, 38950000),
+        (-77055000, 38995000),
+        (-77078000, 38955000),
+    ],
+    "lshape_e": [
+        (-77025000, 38905000),
+        (-77005000, 38905000),
+        (-77005000, 38995000),
+        (-77015000, 38995000),
+        (-77015000, 38935000),
+        (-77025000, 38935000),
+    ],
+}
+
+
+def _poly_edges(poly: list[tuple[int, int]]) -> list[tuple[int, int, int, int]]:
+    return [
+        (x1, y1, x2, y2)
+        for (x1, y1), (x2, y2) in zip(poly, poly[1:] + poly[:1])
+    ]
+
+
+def _crossings(px: F.Column, py: F.Column, poly) -> F.Column:
+    """Ray-casting crossing count as a pure integer Column expression:
+    a horizontal ray from (px, py) crosses edge (x1,y1)-(x2,y2) iff the
+    edge straddles py (half-open, so a shared vertex counts once) and
+    the intersection lies right of px — the float intersection test
+    ``px < x1 + (py-y1)(x2-x1)/(y2-y1)`` cross-multiplied to exact
+    64-bit integers with the sign of (y2-y1) flipping the inequality."""
+    edges = F.array(
+        *[
+            F.struct(
+                F.lit(x1).alias("x1"),
+                F.lit(y1).alias("y1"),
+                F.lit(x2).alias("x2"),
+                F.lit(y2).alias("y2"),
+            )
+            for x1, y1, x2, y2 in _poly_edges(poly)
+        ]
+    )
+
+    def crossing(e):
+        d = e["y2"] - e["y1"]
+        straddle = (e["y1"] > py) != (e["y2"] > py)
+        lhs = (px - e["x1"]) * d
+        rhs = (py - e["y1"]) * (e["x2"] - e["x1"])
+        return F.when(
+            straddle
+            & (((d > 0) & (lhs < rhs)) | ((d < 0) & (lhs > rhs))),
+            1,
+        ).otherwise(0)
+
+    return F.aggregate(edges, F.lit(0), lambda acc, e: acc + crossing(e))
+
+
+def _ward_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-polygon spatial join, the ward-assignment query a DC
+    violations warehouse actually needs: every violation's (lat, lon)
+    is ray-cast against each ward polygon and aggregated per ward
+    (plus 'none' for the gap between wards).
+
+    Scale shape: the polygons are LITERAL arrays folded by a HOF inside
+    the projection — whole-stage codegen over the fact scan, no join,
+    no shuffle until the final small groupBy. At 100 TB this is the
+    textbook map-side spatial tag; a thousand-ward real deployment
+    would bbox-grid the polygons first (the geo_radius_join discipline)
+    and keep this exact integer crossing test inside each grid cell.
+    """
+    v = catalog.violations(spark, sf_dir).where(
+        F.col("latitude").isNotNull() & F.col("longitude").isNotNull()
+    )
+    px = F.round(F.col("longitude") * 1e6, 0).cast("long")
+    py = F.round(F.col("latitude") * 1e6, 0).cast("long")
+    tagged = v.select(
+        "fine_amount",
+        *[
+            (_crossings(px, py, poly) % 2 == 1).alias(f"in_{name}")
+            for name, poly in _WARD_POLYGONS.items()
+        ],
+    )
+    ward = F.coalesce(
+        *[
+            F.when(F.col(f"in_{name}"), F.lit(name))
+            for name in _WARD_POLYGONS
+        ],
+        F.lit("none"),
+    )
+    return (
+        tagged.select(ward.alias("ward"), "fine_amount")
+        .groupBy("ward")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_violations"),
+            F.sum(F.col("fine_amount").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("fines_total"),
+        )
+        .orderBy("ward")
+    )
+
+
+def _ward_sql() -> str:
+    rows = []
+    for name, poly in _WARD_POLYGONS.items():
+        for x1, y1, x2, y2 in _poly_edges(poly):
+            rows.append(f"('{name}', {x1}, {y1}, {x2}, {y2})")
+    edges = ",\n         ".join(rows)
+    return with_ref_views(
+        f"""
+, v AS (
+  SELECT violation_id,
+         CAST(round(longitude * 1e6) AS BIGINT) AS px,
+         CAST(round(latitude * 1e6) AS BIGINT) AS py,
+         fine_amount
+  FROM violations
+  WHERE latitude IS NOT NULL AND longitude IS NOT NULL
+),
+edges(ward, x1, y1, x2, y2) AS (
+  VALUES {edges}
+),
+cross_cnt AS (
+  SELECT v.violation_id, e.ward,
+         sum(CASE WHEN (e.y1 > v.py) != (e.y2 > v.py)
+                   AND ((e.y2 - e.y1 > 0 AND
+                         (v.px - e.x1) * (e.y2 - e.y1)
+                           < (v.py - e.y1) * (e.x2 - e.x1))
+                     OR (e.y2 - e.y1 < 0 AND
+                         (v.px - e.x1) * (e.y2 - e.y1)
+                           > (v.py - e.y1) * (e.x2 - e.x1)))
+                  THEN 1 ELSE 0 END) AS c
+  FROM v, edges e GROUP BY 1, 2
+),
+assign AS (
+  SELECT violation_id,
+         coalesce(max(CASE WHEN c % 2 = 1 THEN ward END), 'none') AS ward
+  FROM cross_cnt GROUP BY violation_id
+)
+SELECT a.ward,
+       CAST(count(*) AS BIGINT) AS n_violations,
+       CAST(sum(CAST(v.fine_amount AS DECIMAL(18,2))) AS DOUBLE)
+         AS fines_total
+FROM v JOIN assign a USING (violation_id)
+GROUP BY a.ward ORDER BY a.ward
+"""
+    )
+
+
+register(
+    QuerySpec(
+        "geo_ward_point_in_polygon",
+        _ward_assignment,
+        _ward_sql(),
+        doc="point-in-polygon ward assignment by ray casting: literal "
+        "polygon edges folded by a HOF inside the projection (exact "
+        "cross-multiplied 64-bit integer crossing test, half-open rule) "
+        "— whole-stage codegen over the fact scan, no join; the spatial "
+        "tag every violations warehouse applies before per-ward rollups",
+        tags=("extension", "geo", "spatial"),
+    )
+)

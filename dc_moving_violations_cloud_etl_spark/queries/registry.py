@@ -136,7 +136,8 @@ def _load_all() -> None:
 # dp_noisy_histogram_release, multimodal_png_decode_real,
 # logreg_gd_train, stream_semi_join_matched,
 # timeseries_seasonal_decompose, similarity_ivfpq_topk,
-# similarity_ivfpq_recall, stream_rate_limited_backfill — plus
+# similarity_ivfpq_recall, stream_rate_limited_backfill,
+# geo_ward_point_in_polygon — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
