@@ -74,3 +74,31 @@ def read_snapshot(
     if v not in versions:
         raise ValueError(f"version {v} not in {versions}")
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
+
+
+def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+    """Garbage-collect history: retain the newest ``keep_last``
+    versions, atomically publish the shrunk manifest FIRST, then delete
+    the expired directories. Ordering matters — a reader that resolved
+    the old manifest an instant before the swap may still be scanning
+    an expired directory, so deletion after publish is the same
+    grace-period discipline as Delta's VACUUM (a production deployment
+    inserts a retention delay between the two steps; the commit point
+    is identical). Returns the expired version numbers."""
+    import shutil
+    import tempfile as _tempfile
+
+    versions = list_versions(table_dir)
+    if keep_last < 1:
+        raise ValueError("keep_last must be >= 1")
+    keep = versions[-keep_last:]
+    expired = [v for v in versions if v not in keep]
+    if not expired:
+        return []
+    fd, tmp = _tempfile.mkstemp(dir=table_dir, prefix="_versions.")
+    with os.fdopen(fd, "w") as f:
+        json.dump({"versions": keep}, f)
+    os.replace(tmp, _manifest_path(table_dir))
+    for v in expired:
+        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+    return expired

@@ -53,3 +53,48 @@ def test_published_version_immutable_under_later_writes(spark, tmp_path):
 def test_missing_table_raises(spark, tmp_path):
     with pytest.raises(FileNotFoundError):
         read_snapshot(spark, str(tmp_path / "absent"))
+
+
+def test_expire_snapshots_keeps_newest_and_deletes_rest(spark, tmp_path):
+    import os
+
+    from dc_moving_violations_cloud_etl_spark.operators.snapshots import (
+        expire_snapshots,
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl")
+    for i in range(3):
+        write_snapshot(
+            spark.range(i * 10, i * 10 + 5).toDF("x"), d
+        )
+    assert list_versions(d) == [1, 2, 3]
+    expired = expire_snapshots(d, keep_last=2)
+    assert expired == [1]
+    assert list_versions(d) == [2, 3]
+    # retained versions stay readable and unchanged
+    assert read_snapshot(spark, d, 2).count() == 5
+    assert sorted(
+        r["x"] for r in read_snapshot(spark, d, 3).collect()
+    ) == [20, 21, 22, 23, 24]
+    # the expired directory is gone and its version unresolvable
+    assert not os.path.exists(os.path.join(d, "v=1"))
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, d, 1)
+
+
+def test_expire_snapshots_noop_when_nothing_to_expire(spark, tmp_path):
+    from dc_moving_violations_cloud_etl_spark.operators.snapshots import (
+        expire_snapshots,
+        list_versions,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl2")
+    write_snapshot(spark.range(3).toDF("x"), d)
+    assert expire_snapshots(d, keep_last=5) == []
+    assert list_versions(d) == [1]
