@@ -766,3 +766,69 @@ GROUP BY event_type ORDER BY event_type
         tags=("extension", "sketch", "audit"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# temperature-scaled language mixing (round 4)
+# ---------------------------------------------------------------------------
+
+_MIX_TEMP_ALPHA = 0.7  # the mBERT/XLM-R/mT5 exponent
+
+
+def _mix_weights_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled mixing (q_i = p_i^alpha / sum p_j^alpha,
+    alpha = 0.7) — the multilingual sampling rule the uniform-target
+    ``corpus_mix_weights`` brackets from the other end: alpha = 1 keeps
+    natural shares, alpha -> 0 approaches uniform; 0.7 is the published
+    compromise that upsamples tail languages without flattening the
+    head. Emits each language's natural share, scaled share, and the
+    expected document budget at corpus size. Window runs over the
+    |languages|-row aggregate, never the corpus."""
+    d = _docs(spark, sf_dir)
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    w = Window.partitionBy()
+    total = F.sum("n_docs").over(w)
+    p = F.col("n_docs").cast("double") / total
+    pa = F.pow(p, F.lit(_MIX_TEMP_ALPHA))
+    q = pa / F.sum(pa).over(w)
+    return (
+        counts.select(
+            "lang",
+            "n_docs",
+            F.round(p, 6).alias("share_r6"),
+            F.round(q, 6).alias("temp_share_r6"),
+            F.round(q * total, 2).alias("expected_docs_r2"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_mix_temperature",
+        _mix_weights_temperature,
+        f"""
+WITH counts AS (
+  SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+),
+scaled AS (
+  SELECT lang, n_docs,
+         CAST(n_docs AS DOUBLE) / sum(n_docs) OVER () AS p,
+         pow(CAST(n_docs AS DOUBLE) / sum(n_docs) OVER (),
+             {_MIX_TEMP_ALPHA}) AS pa,
+         sum(n_docs) OVER () AS total
+  FROM counts
+)
+SELECT lang, n_docs,
+       round(p, 6) AS share_r6,
+       round(pa / sum(pa) OVER (), 6) AS temp_share_r6,
+       round(pa / sum(pa) OVER () * total, 2) AS expected_docs_r2
+FROM scaled ORDER BY lang
+""",
+        doc="temperature-scaled multilingual mixing (p^0.7 renormalized, "
+        "the mBERT/XLM-R sampling rule): natural vs scaled shares and "
+        "the expected per-language document budget — the tail-upsampling "
+        "counterpart to corpus_mix_weights' uniform target",
+        tags=("extension", "curation", "mixing"),
+    )
+)
