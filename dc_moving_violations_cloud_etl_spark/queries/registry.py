@@ -137,7 +137,8 @@ def _load_all() -> None:
 # logreg_gd_train, stream_semi_join_matched,
 # timeseries_seasonal_decompose, similarity_ivfpq_topk,
 # similarity_ivfpq_recall, stream_rate_limited_backfill,
-# geo_ward_point_in_polygon, corpus_mix_temperature — plus
+# geo_ward_point_in_polygon, corpus_mix_temperature,
+# stream_py_sink_roundtrip — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

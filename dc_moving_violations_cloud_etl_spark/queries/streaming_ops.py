@@ -552,3 +552,89 @@ FROM events
         tags=("streaming", "backfill", "rate-limit"),
     )
 )
+
+
+def _py_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events STREAM written through the custom Python STREAMING
+    sink (per-task staged files, per-batch atomic manifest publish),
+    then re-read manifest-first and aggregated — proving the Python
+    streaming writer is lossless AND transactional: only
+    manifest-listed files count, so a dropped staging file or an
+    uncommitted batch would change the hash. Completes the Python
+    DataSource matrix: batch reader (paged_api), streaming reader
+    (stream_custom_source_ingest), batch writer (py_sink), and now the
+    streaming writer."""
+    import glob
+    import json as _json
+    import os
+    import shutil
+
+    from ..catalog import normalize_event_ts, read_parquet
+    from ..sources.py_sink import STREAM_SINK_NAME, make_jsonl_stream_sink
+    from ..streaming.daily import _SCRATCH_ROOT, _run_to_completion, _stage_dir
+
+    spark.dataSource.register(make_jsonl_stream_sink())
+
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    import hashlib as _hashlib
+
+    tag = _hashlib.md5(f"pystreamsink:{sf_dir}".encode()).hexdigest()[:8]
+    out = os.path.join(_SCRATCH_ROOT, f"pystreamsink_out_{tag}")
+    ckpt = os.path.join(_SCRATCH_ROOT, f"pystreamsink_ckpt_{tag}")
+    # fresh drain per run: the round-trip compares against the full
+    # fixture, so a warm checkpoint (no new input -> no batches) would
+    # leave a stale output dir from an earlier code version
+    shutil.rmtree(out, ignore_errors=True)
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
+    try:
+        _run_to_completion(
+            spark,
+            stream.writeStream.format(STREAM_SINK_NAME)
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True),
+        )
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+    committed: list[str] = []
+    for mf in sorted(glob.glob(os.path.join(out, "_BATCH*_MANIFEST"))):
+        with open(mf) as f:
+            committed += [
+                os.path.join(out, name) for name in _json.load(f)["files"]
+            ]
+    read_schema = (
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string"
+    )
+    src = (
+        spark.read.schema(read_schema)
+        .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+        .option("mode", "FAILFAST")
+        .json(committed)
+    )
+    from .source_ops import _roundtrip_agg
+
+    return _roundtrip_agg(src)
+
+
+from .source_ops import _AGG_ORACLE  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_py_sink_roundtrip",
+        _py_stream_sink_roundtrip,
+        _AGG_ORACLE,
+        doc="custom Python STREAMING sink (Spark 4 DataSourceStreamWriter): "
+        "per-task staged files, per-batch atomic manifest commit, "
+        "manifest-first re-read hash-equal to the parquet oracle — "
+        "completes the Python DataSource matrix (batch/stream x "
+        "reader/writer)",
+        tags=("streaming", "sink", "python-datasource"),
+    )
+)

@@ -131,3 +131,103 @@ def make_jsonl_sink():
             return _JsonlWriter(self.options)
 
     return _JsonlSinkSource
+
+
+STREAM_SINK_NAME = "jsonl_stream_sink"
+
+
+def make_jsonl_stream_sink():
+    """Build (by value) the STREAMING writer DataSource — the
+    exactly-once micro-batch counterpart of :func:`make_jsonl_sink`:
+    ``write`` stages per-task files exactly like the batch writer, but
+    the driver-side ``commit(messages, batchId)`` publishes each
+    micro-batch under its own ``_BATCH<id>_MANIFEST`` — the per-batch
+    transaction log that, combined with the engine's checkpointed
+    offsets, gives end-to-end exactly-once (a replayed batch id simply
+    re-publishes the same manifest; readers key on manifests, so
+    uncommitted staging is never visible)."""
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamWriter,
+        WriterCommitMessage,
+    )
+
+    sink_name = STREAM_SINK_NAME
+
+    class _StagedFile(WriterCommitMessage):
+        def __init__(self, staged: str, final: str, n_rows: int):
+            self.staged, self.final, self.n_rows = staged, final, n_rows
+
+    class _JsonlStreamWriter(DataSourceStreamWriter):
+        def __init__(self, options):
+            self.path = options["path"]
+            self.ts_fmt = options.get("tsFormat", "%Y-%m-%dT%H:%M:%S.%f")
+
+        def write(self, iterator):
+            import json
+            import os
+            import uuid
+
+            from pyspark import TaskContext
+
+            tc = TaskContext.get()
+            pid = tc.partitionId() if tc is not None else 0
+            os.makedirs(os.path.join(self.path, "_staging"), exist_ok=True)
+            token = uuid.uuid4().hex[:12]
+            staged = os.path.join(
+                self.path, "_staging", f"part-{pid:05d}-{token}.jsonl"
+            )
+            final = os.path.join(self.path, f"part-{pid:05d}-{token}.jsonl")
+            n = 0
+            with open(staged, "w") as f:
+                for row in iterator:
+                    d = row.asDict()
+                    for k, v in d.items():
+                        if hasattr(v, "strftime"):
+                            d[k] = v.strftime(self.ts_fmt)
+                    f.write(json.dumps(d) + "\n")
+                    n += 1
+                f.flush()
+                os.fsync(f.fileno())
+            return _StagedFile(staged, final, n)
+
+        def commit(self, messages, batchId):
+            import json
+            import os
+
+            total = 0
+            for m in messages:
+                os.replace(m.staged, m.final)
+                total += m.n_rows
+            with open(
+                os.path.join(self.path, f"_BATCH{batchId}_MANIFEST"), "w"
+            ) as f:
+                json.dump(
+                    {
+                        "batch_id": batchId,
+                        "n_rows": total,
+                        "files": sorted(
+                            os.path.basename(m.final) for m in messages
+                        ),
+                    },
+                    f,
+                )
+
+        def abort(self, messages, batchId):
+            import os
+
+            for m in messages:
+                try:
+                    os.remove(m.staged)
+                except FileNotFoundError:
+                    pass
+
+    class _JsonlStreamSinkSource(DataSource):
+        @classmethod
+        def name(cls):
+            return sink_name
+
+        def streamWriter(self, schema, overwrite):
+            return _JsonlStreamWriter(self.options)
+
+    return _JsonlStreamSinkSource
