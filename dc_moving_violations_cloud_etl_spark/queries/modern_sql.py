@@ -653,3 +653,68 @@ ORDER BY lang
         tags=("extension", "modern-sql", "collation"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# ANSI-mode error-safe functions (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark 4 runs ANSI mode by default — divide-by-zero and bad casts
+    are ERRORS, not silent NULLs — and the ``try_*`` family is the
+    explicit per-expression opt-out a 100 TB pipeline uses so one dirty
+    row degrades to NULL instead of killing a 6-hour job. The probe
+    exercises the two classic traps over the violations fact:
+    ``try_divide`` (paid/fine ratio where fine_amount is 0 or NULL) and
+    ``try_cast`` (alphanumeric violation codes to int), and aggregates
+    how many rows each guard absorbed."""
+    v = catalog.violations(spark, sf_dir)
+    ratio = F.expr("try_divide(total_paid, fine_amount)")
+    code_num = F.expr("try_cast(violation_code AS int)")
+    return v.agg(
+        F.count(F.lit(1)).cast("long").alias("n_rows"),
+        F.sum(F.when(ratio.isNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_ratio_null"),
+        F.round(
+            F.sum(ratio.cast("decimal(28,12)")).cast("double")
+            / F.sum(F.when(ratio.isNotNull(), 1).otherwise(0)),
+            6,
+        ).alias("avg_paid_ratio_r6"),
+        F.sum(F.when(code_num.isNotNull(), 1).otherwise(0))
+        .cast("long")
+        .alias("n_numeric_codes"),
+    )
+
+
+register(
+    QuerySpec(
+        "sql_ansi_try_functions",
+        _ansi_try_functions,
+        with_ref_views(
+            """
+, probe AS (
+  SELECT CASE WHEN fine_amount IS NULL OR fine_amount = 0 THEN NULL
+              ELSE total_paid / fine_amount END AS ratio,
+         TRY_CAST(violation_code AS INTEGER) AS code_num
+  FROM violations
+)
+SELECT CAST(count(*) AS BIGINT) AS n_rows,
+       CAST(sum(CASE WHEN ratio IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_ratio_null,
+       round(CAST(sum(CAST(ratio AS DECIMAL(28,12))) AS DOUBLE)
+             / sum(CASE WHEN ratio IS NOT NULL THEN 1 ELSE 0 END), 6)
+         AS avg_paid_ratio_r6,
+       CAST(sum(CASE WHEN code_num IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_numeric_codes
+FROM probe
+"""
+        ),
+        doc="ANSI-mode error-safe surface: try_divide over zero/NULL "
+        "fines and try_cast over alphanumeric codes, with counts of "
+        "rows each guard absorbed — the per-expression opt-out that "
+        "keeps one dirty row from killing a 6-hour ANSI job",
+        tags=("extension", "modern-sql", "ansi"),
+    )
+)

@@ -1484,3 +1484,128 @@ FROM rel ORDER BY event_type
         tags=("extension", "privacy", "dp"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# write-audit-publish gate (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Write-Audit-Publish — the lakehouse landing discipline (Iceberg's
+    WAP, Delta's staging-branch pattern) composed from this engine's own
+    pieces: each candidate batch is AUDITED (primary-key integrity)
+    before ``snapshots.write_snapshot`` publishes it; a failing
+    candidate never reaches the manifest, so downstream readers — who
+    resolve versions only through the manifest — cannot observe it.
+
+    Two deterministic candidates probe both gate arms: the clean
+    violations build (audit passes → published as v1) and a copy with
+    every md5-hash%10==0 key NULLed (audit fails → rejected, no
+    version). The output pins row counts, bad-key counts, the publish
+    decision, and the resulting version — and the final table state is
+    re-read through the manifest to prove the gate held.
+
+    Scale: the audit is one aggregate over the candidate; publish is
+    one parquet write + an O(versions) manifest swap — no history
+    rewrite (operators/snapshots.py).
+    """
+    import os
+    import shutil
+
+    from ..operators import snapshots
+
+    v = catalog.violations(spark, sf_dir).select(
+        "violation_id", "issuing_agency_name", "fine_amount"
+    )
+    keymod = (
+        F.conv(F.substring(F.md5(F.col("violation_id")), 1, 8), 16, 10)
+        .cast("long")
+        % 10
+    )
+    bad = v.withColumn(
+        "violation_id",
+        F.when(keymod == 0, F.lit(None)).otherwise(F.col("violation_id")),
+    )
+
+    table_dir = os.path.join("/tmp/spark_graft_stream", "wap_demo_table")
+    shutil.rmtree(table_dir, ignore_errors=True)
+
+    rows = []
+    for batch_name, cand in (("candidate_bad", bad), ("candidate_good", v)):
+        stats = cand.agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("violation_id").isNull()
+                    | (F.col("violation_id") == ""),
+                    1,
+                ).otherwise(0)
+            ).alias("n_bad"),
+        ).collect()[0]
+        publish = stats["n_bad"] == 0
+        version = (
+            snapshots.write_snapshot(cand, table_dir) if publish else None
+        )
+        rows.append(
+            (batch_name, int(stats["n"]), int(stats["n_bad"]), publish,
+             version)
+        )
+
+    # the gate's proof: the manifest holds exactly the published
+    # version, and the table re-read through it has zero bad keys
+    published_rows = snapshots.read_snapshot(spark, table_dir)
+    n_published = published_rows.count()
+    n_versions = len(snapshots.list_versions(table_dir))
+    out = spark.createDataFrame(
+        rows,
+        "batch string, n_rows long, n_bad_keys long, published boolean, "
+        "version long",
+    )
+    return out.select(
+        "batch",
+        "n_rows",
+        "n_bad_keys",
+        "published",
+        "version",
+        F.lit(n_published).cast("long").alias("table_rows_after"),
+        F.lit(n_versions).cast("long").alias("n_versions_after"),
+    ).orderBy("batch")
+
+
+register(
+    QuerySpec(
+        "wap_publish_gate",
+        _wap_publish_gate,
+        with_ref_views(
+            """
+, keyed AS (
+  SELECT violation_id,
+         CAST('0x' || substr(md5(violation_id), 1, 8) AS BIGINT) % 10
+           AS keymod
+  FROM violations
+),
+stats AS (
+  SELECT CAST(count(*) AS BIGINT) AS n,
+         CAST(sum(CASE WHEN keymod = 0 THEN 1 ELSE 0 END) AS BIGINT)
+           AS n_bad
+  FROM keyed
+)
+SELECT 'candidate_bad' AS batch, n AS n_rows, n_bad AS n_bad_keys,
+       FALSE AS published, CAST(NULL AS BIGINT) AS version,
+       n AS table_rows_after, CAST(1 AS BIGINT) AS n_versions_after
+FROM stats
+UNION ALL
+SELECT 'candidate_good', n, 0, TRUE, 1, n, 1 FROM stats
+ORDER BY batch
+"""
+        ),
+        doc="write-audit-publish gate over snapshot-versioned tables: a "
+        "bad-key candidate is audited and REJECTED before any manifest "
+        "publish (readers can never observe it), the clean candidate "
+        "publishes as v1, and the table is re-read through the manifest "
+        "to prove the gate held — Iceberg's WAP discipline from this "
+        "engine's own snapshot + audit pieces",
+        tags=("extension", "warehouse", "wap"),
+    )
+)
