@@ -1097,3 +1097,149 @@ FROM j GROUP BY lang ORDER BY lang
         tags=("extension", "corpus", "curation", "datasheet"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# perplexity-filter curation (round 4): p90 NLL gate per language
+# ---------------------------------------------------------------------------
+
+
+def _perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style perplexity filtering: score every document with the
+    corpus-trained bigram LM (``corpus_bigram_lm_nll``'s model), set
+    the gate at the exact p90 of the per-doc scores, and report the
+    per-language keep/filter split — the step that drops the noisiest
+    decile before training. A real pipeline swaps in a frozen reference
+    LM; gate shape and data flow are identical.
+
+    Determinism: the gate compares 6-dp ROUNDED per-doc scores against
+    the 6-dp rounded exact-interpolated p90 of those same rounded
+    scores, so both engines gate on bit-identical values (the strict
+    ``>`` keeps p90-boundary docs). The threshold is a 1-row broadcast;
+    everything after the scoring join is language-bounded."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select("doc_id", tokens(normalized(F.col("text"))).alias("t"))
+    big = caching.persist_tracked(
+        toks.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) >= 2 THEN transform("
+                    "sequence(1, size(t) - 1), "
+                    "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg"),
+        ).select("doc_id", "bg.w1", "bg.w2")
+    )
+    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
+    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vocab = (
+        toks.select(F.explode("t").alias("w"))
+        .distinct()
+        .agg(F.count(F.lit(1)).cast("long").alias("vsz"))
+    )
+    scored = (
+        big.join(cb, ["w1", "w2"])
+        .join(cu, ["w1"])
+        .crossJoin(F.broadcast(vocab))
+        .groupBy("doc_id")
+        .agg(
+            F.round(
+                F.avg(
+                    -F.log(
+                        (F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz"))
+                    )
+                ),
+                6,
+            ).alias("nll_r6")
+        )
+    )
+    # consumed twice (threshold + gate): materialize the per-doc scores
+    scored = caching.persist_tracked(scored)
+    thresh = scored.agg(
+        F.round(F.expr("percentile(nll_r6, 0.9)"), 6).alias("p90")
+    )
+    gated = scored.crossJoin(F.broadcast(thresh)).select(
+        "doc_id", (F.col("nll_r6") > F.col("p90")).alias("filtered")
+    )
+    return (
+        docs.select("doc_id", "lang")
+        .join(gated, "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("filtered").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_unscored"),
+            F.sum(F.when(F.col("filtered"), 1).otherwise(0))
+            .cast("long")
+            .alias("n_filtered"),
+            F.round(
+                F.sum(
+                    F.when(
+                        F.col("filtered").isNull() | ~F.col("filtered"), 1
+                    ).otherwise(0)
+                )
+                / F.count(F.lit(1)).cast("double"),
+                6,
+            ).alias("keep_rate_r6"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "curation_perplexity_filter",
+        _perplexity_filter,
+        r"""
+WITH toks AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, unnest(t) AS w, generate_subscripts(t, 1) AS pos FROM toks
+),
+big AS (
+  SELECT doc_id, w1, w2 FROM (
+    SELECT doc_id, w AS w1,
+           lead(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok
+  ) WHERE w2 IS NOT NULL
+),
+cb AS (SELECT w1, w2, count(*) AS c2 FROM big GROUP BY w1, w2),
+cu AS (SELECT w1, count(*) AS c1 FROM big GROUP BY w1),
+v AS (SELECT count(DISTINCT w) AS vsz FROM tok),
+scored AS (
+  SELECT big.doc_id,
+         round(avg(-ln((cb.c2 + 1.0)
+               / (cu.c1 + (SELECT vsz FROM v)))), 6) AS nll_r6
+  FROM big JOIN cb USING (w1, w2) JOIN cu USING (w1)
+  GROUP BY big.doc_id
+),
+thresh AS (SELECT round(quantile_cont(nll_r6, 0.9), 6) AS p90 FROM scored),
+gated AS (
+  SELECT doc_id, nll_r6 > (SELECT p90 FROM thresh) AS filtered FROM scored
+)
+SELECT d.lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN g.filtered IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_unscored,
+       CAST(sum(CASE WHEN g.filtered THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_filtered,
+       round(sum(CASE WHEN g.filtered IS NULL OR NOT g.filtered
+                      THEN 1 ELSE 0 END)
+             / CAST(count(*) AS DOUBLE), 6) AS keep_rate_r6
+FROM documents d LEFT JOIN gated g USING (doc_id)
+GROUP BY d.lang ORDER BY d.lang
+""",
+        doc="CCNet-style perplexity filter: corpus-trained bigram-LM "
+        "scores gated at the exact p90 (rounded-score comparison for "
+        "cross-engine bit-equality), per-language keep/filter split — "
+        "the drop-the-noisiest-decile curation step",
+        tags=("extension", "curation", "quality"),
+    )
+)

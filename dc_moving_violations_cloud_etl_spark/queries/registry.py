@@ -139,7 +139,8 @@ def _load_all() -> None:
 # similarity_ivfpq_recall, stream_rate_limited_backfill,
 # geo_ward_point_in_polygon, corpus_mix_temperature,
 # stream_py_sink_roundtrip, dedup_prefix_filter_pairs,
-# sql_ansi_try_functions, wap_publish_gate — plus
+# sql_ansi_try_functions, wap_publish_gate,
+# curation_perplexity_filter — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
