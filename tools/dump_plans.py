@@ -217,6 +217,25 @@ AUDITED = [
         "weekday join run on the tiny per-day table with the 7-row "
         "effect side broadcast",
     ),
+    (
+        "geo_ward_point_in_polygon",
+        "polygon edges are LITERAL arrays folded by HOFs inside the "
+        "codegen Project over the fact scan — no join, no Python; the "
+        "only shuffle is the final per-ward groupBy",
+    ),
+    (
+        "dedup_prefix_filter_pairs",
+        "vocabulary-ranked ordering, prefix-only posting explode, "
+        "candidate equi-join on the token, relational intersection "
+        "joins — no cross join, no corpus-wide window",
+    ),
+    (
+        "curation_perplexity_filter",
+        "bigram stream persisted once (InMemoryTableScan feeds the "
+        "two count tables and the scoring join); per-doc score table "
+        "persisted for the threshold + gate consumers; 1-row "
+        "threshold broadcast",
+    ),
 ]
 
 
