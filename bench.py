@@ -86,7 +86,8 @@ def main() -> None:
     # Excluded from the timed pass:
     # - stream_daily_rollup: drives a real Structured Streaming query
     #   (checkpoint + memory-sink lifecycle, not a scan benchmark);
-    # - the two all-PAIRS near-dup reports: their OUTPUT is quadratic in
+    # - the all-PAIRS near-dup reports (MinHash bands, n-gram Jaccard,
+    #   prefix-filter exact join): their OUTPUT is quadratic in
     #   dup-cluster size (a 1.5k-doc identical cluster alone emits ~1.1M
     #   pairs at sf0.1), so wall-clock measures result materialization,
     #   not the operator. dedup_minhash_assign benchmarks the same
@@ -109,6 +110,7 @@ def main() -> None:
         - {
             "dedup_minhash_lsh_pairs",
             "dedup_ngram_jaccard_pairs",
+            "dedup_prefix_filter_pairs",
             "etl_violations_transform",
         }
     )
