@@ -503,3 +503,45 @@ def cosine_topk_ivfpq(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_vec_id", "rank")
     )
+
+
+MRL_DIMS = 16  # truncated prefix dimensionality for the Matryoshka audit
+
+
+def cosine_topk_truncated(
+    embeddings: DataFrame, dims: int = MRL_DIMS, k: int = TOP_K
+) -> DataFrame:
+    """Exact top-k over PREFIX-TRUNCATED embeddings — the
+    Matryoshka-representation trade (Kusupati et al. 2022): an
+    MRL-trained encoder packs coarse semantics into the leading
+    dimensions, so serving can score d/4 of the floats and keep most of
+    the recall. The fixture's embeddings are not MRL-trained, so the
+    measured recall here is the HONEST pessimistic floor for naive
+    truncation — exactly the number a serving team needs before
+    flipping this switch. Same broadcast-query brute-force shape as the
+    full-dimension baseline, 4x less arithmetic and scan width."""
+    corpus = _fan_out(embeddings).select(
+        "vec_id",
+        F.slice(_as_double(F.col("embedding")), 1, dims).alias("e"),
+    ).select("vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("norm"))
+    queries = corpus.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    scored = corpus.crossJoin(F.broadcast(queries)).select(
+        "query_vec_id",
+        F.col("vec_id").alias("neighbor_vec_id"),
+        F.round(
+            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")),
+            6,
+        ).alias("cos_sim"),
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_vec_id", "rank")
+    )

@@ -2296,3 +2296,105 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
         tags=("extension", "similarity", "ivf", "pq", "recall"),
     )
 )
+
+
+def _matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of exact search over the FIRST 16 of 64 dimensions vs
+    the full-dimension baseline — the Matryoshka/dimension-truncation
+    serving trade measured like every other approximation here. Also
+    reports the scan-width ratio (the cost side of the dial)."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    trunc = similarity.cosine_topk_truncated(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    matched = exact.join(trunc, ["query_vec_id", "neighbor_vec_id"])
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_t = trunc.agg(F.count(F.lit(1)).alias("n_trunc_pairs"))
+    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_t))
+        .crossJoin(F.broadcast(n_match))
+        .select(
+            "n_exact_pairs",
+            "n_trunc_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+            F.lit(similarity.MRL_DIMS).cast("long").alias("dims_scored"),
+            F.lit(64).cast("long").alias("dims_full"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_matryoshka_recall",
+        _matryoshka_recall,
+        _EMB_CTE
+        + f"""
+, tcorpus AS (
+  SELECT vec_id, e[1:{similarity.MRL_DIMS}] AS te FROM corpus
+),
+tnormed AS (
+  SELECT vec_id, te,
+         sqrt(list_sum(list_transform(generate_series(1, len(te)),
+              i -> te[i] * te[i]))) AS tnrm
+  FROM tcorpus
+),
+tq AS (
+  SELECT vec_id AS query_vec_id, te AS qe, tnrm AS qnorm
+  FROM tnormed WHERE vec_id % 100 = 0
+),
+tscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.te)),
+               i -> q.qe[i] * c.te[i])) / (q.qnorm * c.tnrm), 6) AS cos_sim
+  FROM tnormed c, tq q
+),
+trunc5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM tscored
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact JOIN trunc5 USING (query_vec_id, neighbor_vec_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM trunc5) AS n_trunc_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6,
+       CAST({similarity.MRL_DIMS} AS BIGINT) AS dims_scored,
+       CAST(64 AS BIGINT) AS dims_full
+""",
+        doc="Matryoshka/dimension-truncation recall: exact top-5 over "
+        "the first 16 of 64 dims vs the full-dimension baseline — the "
+        "4x-narrower-scan serving trade, measured (honest pessimistic "
+        "floor on a non-MRL-trained fixture)",
+        tags=("extension", "similarity", "recall"),
+    )
+)

@@ -100,6 +100,7 @@ _ALLOWED_BNLJ = {
     "similarity_pq_recall",        # 1-row count combines + the above
     "similarity_ivfpq_topk",       # same tiny LUT build as the PQ path
     "similarity_ivfpq_recall",     # 1-row count combines + the above
+    "similarity_matryoshka_recall",  # brute-force truncated baseline
 }
 
 
