@@ -1223,3 +1223,164 @@ ORDER BY i.doc1, i.doc2
         tags=("extension", "dedup", "similarity-join"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# hybrid retrieval: reciprocal rank fusion of BM25 + embedding cosine
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard fusion constant (Cormack et al. 2009)
+
+
+def _rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval by RECIPROCAL RANK FUSION — the fusion step
+    every RAG serving stack runs between its lexical and semantic arms:
+    rank documents by BM25 (the fixed 3-term query) and by embedding
+    cosine to the query vector (vec_id 0; doc_id and vec_id are 1:1 by
+    fixture design), then fuse ``sum(1 / (60 + rank))`` over the UNION
+    of both result lists (a doc missing from one arm simply contributes
+    nothing there). Ranks are taken over ROUNDED scores with doc-id
+    tiebreaks, so both engines rank identical bits; the fused score is
+    two per-row divisions and an add, rounded at 6 dp.
+
+    Scale: both rank windows run over result lists (bounded by corpus
+    doc count here, by k in a serving system), never inside the scoring
+    joins; the fusion is a full outer join of two rank tables.
+    """
+    from .. import catalog as _catalog
+    from ..operators import similarity as _sim
+
+    lex = _bm25_scores(spark, sf_dir).select("doc_id", "bm25")
+    wl = Window.orderBy(F.desc("bm25"), F.asc("doc_id"))
+    lexr = lex.select(
+        "doc_id", F.row_number().over(wl).cast("long").alias("lex_rank")
+    )
+    emb = _sim.with_norm(_catalog.base(spark, sf_dir, "embeddings"))
+    qv = emb.where(F.col("vec_id") == 0).select(
+        F.col("e").alias("qe"), F.col("norm").alias("qnorm")
+    )
+    sem = emb.crossJoin(F.broadcast(qv)).select(
+        F.col("vec_id").alias("doc_id"),
+        F.round(
+            _sim._dot(F.col("qe"), F.col("e"))
+            / (F.col("qnorm") * F.col("norm")),
+            6,
+        ).alias("cos"),
+    )
+    ws = Window.orderBy(F.desc("cos"), F.asc("doc_id"))
+    semr = sem.select(
+        "doc_id", F.row_number().over(ws).cast("long").alias("sem_rank")
+    )
+    fused = (
+        lexr.join(semr, "doc_id", "full")
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.round(
+                F.coalesce(1.0 / (F.lit(_RRF_K) + F.col("lex_rank")), F.lit(0.0))
+                + F.coalesce(
+                    1.0 / (F.lit(_RRF_K) + F.col("sem_rank")), F.lit(0.0)
+                ),
+                6,
+            ).alias("rrf_r6"),
+        )
+    )
+    wf = Window.orderBy(F.desc("rrf_r6"), F.asc("doc_id"))
+    return (
+        fused.withColumn("rk", F.row_number().over(wf))
+        .where(F.col("rk") <= 10)
+        .select("doc_id", "lex_rank", "sem_rank", "rrf_r6")
+        .orderBy(F.desc("rrf_r6"), "doc_id")
+    )
+
+
+register(
+    QuerySpec(
+        "retrieval_rrf_hybrid",
+        _rrf_hybrid,
+        _DOCS_CTE
+        + f"""
+, tok AS (
+  SELECT doc_id, t AS term
+  FROM (SELECT doc_id, unnest(string_split(norm, ' ')) AS t FROM docs_n)
+  WHERE length(t) > 0
+),
+dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
+stats AS (
+  SELECT CAST(count(*) AS DOUBLE) AS n_docs,
+         sum(dl) / count(*) AS avgdl
+  FROM dl
+),
+tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok
+  WHERE term IN ('hash', 'join', 'stream')
+  GROUP BY doc_id, term
+),
+df_t AS (
+  SELECT term, CAST(count(DISTINCT doc_id) AS DOUBLE) AS df FROM tok
+  WHERE term IN ('hash', 'join', 'stream')
+  GROUP BY term
+),
+bm AS (
+  SELECT tf.doc_id,
+         round(sum(
+           ln((n_docs - df + 0.5) / (df + 0.5) + 1.0)
+           * (tf * ({BM25_K1} + 1.0))
+           / (tf + {BM25_K1} * (1.0 - {BM25_B}
+                                + {BM25_B} * dl.dl / avgdl))
+         ), 4) AS bm25
+  FROM tf
+  JOIN df_t USING (term)
+  JOIN dl ON dl.doc_id = tf.doc_id
+  CROSS JOIN stats
+  GROUP BY tf.doc_id
+),
+lexr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) AS BIGINT)
+           AS lex_rank
+  FROM bm
+),
+ecorpus AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+),
+en AS (
+  SELECT vec_id, e,
+         sqrt(list_sum(list_transform(generate_series(1, len(e)),
+              i -> e[i] * e[i]))) AS nrm
+  FROM ecorpus
+),
+eq AS (SELECT e AS qe, nrm AS qn FROM en WHERE vec_id = 0),
+sem AS (
+  SELECT c.vec_id AS doc_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qn * c.nrm), 6) AS cos
+  FROM en c, eq q
+),
+semr AS (
+  SELECT doc_id,
+         CAST(row_number() OVER (ORDER BY cos DESC, doc_id) AS BIGINT)
+           AS sem_rank
+  FROM sem
+),
+fused AS (
+  SELECT coalesce(l.doc_id, s.doc_id) AS doc_id, l.lex_rank, s.sem_rank,
+         round(coalesce(1.0 / ({_RRF_K} + l.lex_rank), 0.0)
+               + coalesce(1.0 / ({_RRF_K} + s.sem_rank), 0.0), 6) AS rrf_r6
+  FROM lexr l FULL JOIN semr s ON l.doc_id = s.doc_id
+)
+SELECT doc_id, lex_rank, sem_rank, rrf_r6 FROM (
+  SELECT *, row_number() OVER (ORDER BY rrf_r6 DESC, doc_id) AS rk
+  FROM fused
+) WHERE rk <= 10
+ORDER BY rrf_r6 DESC, doc_id
+""",
+        doc="hybrid retrieval by reciprocal rank fusion (k=60): BM25 "
+        "lexical arm + embedding-cosine semantic arm fused over the "
+        "union of result lists — ranks over rounded scores with doc-id "
+        "tiebreaks so both engines rank identical bits; the RAG-stack "
+        "fusion step between the engine's text and vector retrieval",
+        tags=("extension", "retrieval", "hybrid"),
+    )
+)

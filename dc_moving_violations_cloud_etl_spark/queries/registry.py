@@ -140,7 +140,8 @@ def _load_all() -> None:
 # geo_ward_point_in_polygon, corpus_mix_temperature,
 # stream_py_sink_roundtrip, dedup_prefix_filter_pairs,
 # sql_ansi_try_functions, wap_publish_gate,
-# curation_perplexity_filter, similarity_matryoshka_recall — plus
+# curation_perplexity_filter, similarity_matryoshka_recall,
+# retrieval_rrf_hybrid — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

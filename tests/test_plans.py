@@ -101,6 +101,7 @@ _ALLOWED_BNLJ = {
     "similarity_ivfpq_topk",       # same tiny LUT build as the PQ path
     "similarity_ivfpq_recall",     # 1-row count combines + the above
     "similarity_matryoshka_recall",  # brute-force truncated baseline
+    "retrieval_rrf_hybrid",        # 1-row query-vector broadcast
 }
 
 
