@@ -290,3 +290,45 @@ def test_join_strategy_hints_are_respected(spark, sf_dir):
     for hint, node in cases.items():
         plan = _plan(li.join(orders.hint(hint), "l_orderkey"))
         assert node in plan, f"{hint} -> expected {node}\n{plan[:800]}"
+
+
+def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
+    """ANALYZE TABLE must land rowCount (and tighter sizeInBytes) in
+    the optimizer's statistics under CBO — the static-stats half of
+    cost-based planning next to AQE's runtime half. On a 100 TB
+    warehouse these stats are what let the initial plan pick broadcast
+    sides and join orders before a single task runs."""
+    saved = spark.conf.get("spark.sql.cbo.enabled", None)
+    spark.conf.set("spark.sql.cbo.enabled", "true")
+    spark.sql("DROP TABLE IF EXISTS cbo_stats_dim")
+    try:
+        (
+            catalog.base(spark, sf_dir, "nation")
+            .write.mode("overwrite")
+            .saveAsTable("cbo_stats_dim")
+        )
+        pre = (
+            spark.table("cbo_stats_dim")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert "rowCount" not in pre
+        spark.sql(
+            "ANALYZE TABLE cbo_stats_dim COMPUTE STATISTICS FOR ALL COLUMNS"
+        )
+        post = (
+            spark.table("cbo_stats_dim")
+            ._jdf.queryExecution()
+            .optimizedPlan()
+            .stats()
+            .toString()
+        )
+        assert "rowCount=25" in post, post
+    finally:
+        spark.sql("DROP TABLE IF EXISTS cbo_stats_dim")
+        if saved is None:
+            spark.conf.unset("spark.sql.cbo.enabled")
+        else:
+            spark.conf.set("spark.sql.cbo.enabled", saved)
