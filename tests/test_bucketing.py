@@ -42,3 +42,52 @@ def test_bucketed_join_runs_without_exchange(spark, sf_dir):
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old_thresh)
         for t in ("v_bucket_a", "v_bucket_b"):
             spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_bucket_pruning_selects_one_bucket(spark, sf_dir):
+    """Point predicates on the bucket key must PRUNE the scan to one
+    bucket (SelectedBucketsCount: 1 out of 8) — the read-side payoff of
+    bucketed layout beyond shuffle-free joins: a PK probe touches 1/N
+    of the files. autoBucketedScan is disabled for the probe because
+    the planner otherwise falls back to a plain file scan when no join
+    needs the bucketed distribution (pruning rides ON the bucketed
+    scan)."""
+    from dc_moving_violations_cloud_etl_spark import catalog
+    from pyspark.sql import functions as F
+
+    saved = spark.conf.get(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", None
+    )
+    spark.conf.set(
+        "spark.sql.sources.bucketing.autoBucketedScan.enabled", "false"
+    )
+    spark.sql("DROP TABLE IF EXISTS bucket_prune_probe")
+    try:
+        (
+            catalog.base(spark, sf_dir, "lineitem")
+            .write.mode("overwrite")
+            .bucketBy(8, "l_orderkey")
+            .sortBy("l_orderkey")
+            .saveAsTable("bucket_prune_probe")
+        )
+        df = (
+            spark.table("bucket_prune_probe")
+            .where(F.col("l_orderkey") == 42)
+            .select("l_orderkey", "l_quantity")
+        )
+        explained = df._jdf.queryExecution().explainString(
+            spark._jvm.org.apache.spark.sql.execution.ExplainMode.fromString(
+                "formatted"
+            )
+        )
+        assert "SelectedBucketsCount: 1 out of 8" in explained, explained[:1200]
+    finally:
+        spark.sql("DROP TABLE IF EXISTS bucket_prune_probe")
+        if saved is None:
+            spark.conf.unset(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled"
+            )
+        else:
+            spark.conf.set(
+                "spark.sql.sources.bucketing.autoBucketedScan.enabled", saved
+            )
