@@ -141,7 +141,8 @@ def _load_all() -> None:
 # stream_py_sink_roundtrip, dedup_prefix_filter_pairs,
 # sql_ansi_try_functions, wap_publish_gate,
 # curation_perplexity_filter, similarity_matryoshka_recall,
-# retrieval_rrf_hybrid — plus
+# retrieval_rrf_hybrid, events_local_day_rollup,
+# stream_right_outer_sealed — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

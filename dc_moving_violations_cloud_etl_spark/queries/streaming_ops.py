@@ -638,3 +638,50 @@ register(
         tags=("streaming", "sink", "python-datasource"),
     )
 )
+
+
+from ..streaming.joins import right_outer_join_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_right_outer_sealed",
+        right_outer_join_streaming,
+        """
+WITH mx AS (
+  SELECT least(max(ts) FILTER (event_type = 'error'),
+               max(ts) FILTER (event_type = 'click')) AS m
+  FROM events
+),
+clicks AS (
+  SELECT user_id, ts, event_id AS click_id FROM events
+  WHERE event_type = 'click'
+    AND ts <= (SELECT m FROM mx) - INTERVAL 5400 SECOND
+),
+errors AS (
+  SELECT user_id, ts, event_id AS error_id FROM events
+  WHERE event_type = 'error'
+),
+rj AS (
+  SELECT c.user_id, c.click_id, e.error_id
+  FROM clicks c LEFT JOIN errors e
+    ON e.user_id = c.user_id
+   AND c.ts >= e.ts - INTERVAL 300 SECOND
+   AND c.ts <= e.ts - INTERVAL 1 SECOND
+)
+SELECT user_id,
+       CAST(count(DISTINCT click_id) AS BIGINT) AS n_clicks_sealed,
+       CAST(sum(CASE WHEN error_id IS NOT NULL THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_matched_pairs,
+       CAST(count(DISTINCT CASE WHEN error_id IS NULL THEN click_id END)
+            AS BIGINT) AS n_unmatched_clicks
+FROM rj GROUP BY user_id ORDER BY user_id
+""",
+        doc="stream-stream RIGHT OUTER join, the mirror of the left "
+        "cell: unmatched clicks null-emit once the error watermark "
+        "passes c_ts + 300 s; sealed-region comparison with the batch "
+        "right join (cutoff on the preserved click side) — the join "
+        "matrix now covers inner / left / right / full outer / semi / "
+        "stream-static",
+        tags=("streaming", "join", "outer"),
+    )
+)

@@ -523,3 +523,77 @@ FROM t JOIN eff USING (wd) ORDER BY day_s
         tags=("extension", "temporal", "timeseries"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# timezone-correct local-day rollup (round 4)
+# ---------------------------------------------------------------------------
+
+_LOCAL_TZ = "America/New_York"
+
+
+def _local_day_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily rollup in the BUSINESS timezone, not UTC — the classic
+    reporting trap: the fixture's timestamps are UTC instants, and a
+    UTC-day GROUP BY silently splits every New-York business day at
+    7 pm local (the reference's DC violations domain reports on
+    America/New_York days; IANA rules, DST-correct by construction).
+    Each event is converted instant→NY wall clock and grouped by the
+    local date; ``n_shifted`` counts the rows whose local day differs
+    from their UTC day — the rows a UTC rollup misassigns.
+
+    Determinism: both engines use the same IANA zone database for
+    1-month-2024 data (fixed EST offset here; the conversion path is
+    DST-general). One fact shuffle on the local-day key; the
+    conversion is a per-row expression in codegen."""
+    ev = _events(spark, sf_dir)
+    local_ts = F.from_utc_timestamp("ts", _LOCAL_TZ)
+    return (
+        ev.select(
+            F.date_format(F.to_date(local_ts), "yyyy-MM-dd").alias(
+                "local_day_s"
+            ),
+            (F.to_date(local_ts) != F.to_date("ts"))
+            .cast("int")
+            .alias("shifted"),
+            "value",
+        )
+        .groupBy("local_day_s")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum("shifted").cast("long").alias("n_shifted"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("local_day_s")
+    )
+
+
+register(
+    QuerySpec(
+        "events_local_day_rollup",
+        _local_day_rollup,
+        f"""
+WITH conv AS (
+  SELECT CAST(timezone('{_LOCAL_TZ}', ts AT TIME ZONE 'UTC') AS DATE)
+           AS local_day,
+         CAST(ts AS DATE) AS utc_day,
+         value
+  FROM events
+)
+SELECT strftime(local_day, '%Y-%m-%d') AS local_day_s,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CASE WHEN local_day <> utc_day THEN 1 ELSE 0 END)
+            AS BIGINT) AS n_shifted,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM conv GROUP BY local_day ORDER BY local_day
+""",
+        doc="timezone-correct daily rollup: UTC instants converted to "
+        "America/New_York wall clock (IANA rules, DST-general) and "
+        "grouped by LOCAL date, with a count of rows a UTC-day rollup "
+        "would misassign — the business-day reporting trap, solved "
+        "per-row in codegen",
+        tags=("extension", "temporal", "timezone"),
+    )
+)

@@ -451,3 +451,96 @@ def left_semi_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id"),
     )
+
+
+def right_outer_join_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream RIGHT OUTER join — the mirror cell of
+    ``left_outer_join_streaming``: every matched (error, click) pair,
+    PLUS clicks that preceded no error, null-emitted once the ERROR
+    watermark passes ``c_ts + 300 s`` (the newest error the click could
+    still match). The sealed-region comparison filters the drained sink
+    to ``c_ts <= wm_base - SEAL_S`` — the same two traps as the left
+    cell (global watermark trails the LAGGING side; the filter must run
+    AFTER the sink) apply symmetrically, and the DuckDB twin
+    pre-filters CLICKS (the preserved side) by the identical cutoff.
+    """
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    batch = normalize_event_ts(read_parquet(spark, path))
+    wm_base = batch.agg(
+        F.least(
+            F.max(F.when(F.col("event_type") == "error", F.col("ts"))),
+            F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+        )
+    ).collect()[0][0]
+    cutoff = F.lit(wm_base) - F.expr(f"INTERVAL {SEAL_S} SECONDS")
+
+    tag = hashlib.md5(f"ssroj:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"right_outer_join_{tag}"
+    stage = _stage_dir(path, tag)
+
+    def _stream():
+        return normalize_event_ts(
+            spark.readStream.schema(schema).parquet(stage)
+        )
+
+    errors = (
+        _stream()
+        .where(F.col("event_type") == "error")
+        .select(
+            F.col("user_id").alias("e_user"),
+            F.col("ts").alias("e_ts"),
+            F.col("event_id").alias("error_id"),
+        )
+        .withWatermark("e_ts", "1 hour")
+    )
+    clicks = (
+        _stream()
+        .where(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("c_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("c_ts", "1 hour")
+    )
+
+    pairs = errors.join(
+        clicks,
+        F.expr(
+            f"""
+            e_user = c_user AND
+            c_ts >= e_ts - INTERVAL {UPPER_S} SECONDS AND
+            c_ts <= e_ts - INTERVAL {LOWER_S} SECONDS
+            """
+        ),
+        "right_outer",
+    )
+
+    _run_to_completion(
+        spark,
+        pairs.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True),
+    )
+
+    return _drain_memory_sink(
+        spark,
+        name,
+        spark.table(name)
+        .where(F.col("c_ts") <= cutoff)
+        .groupBy(F.col("c_user").alias("user_id"))
+        .agg(
+            F.countDistinct("click_id").cast("long").alias(
+                "n_clicks_sealed"
+            ),
+            F.sum(
+                F.when(F.col("error_id").isNotNull(), 1).otherwise(0)
+            ).cast("long").alias("n_matched_pairs"),
+            F.countDistinct(
+                F.when(F.col("error_id").isNull(), F.col("click_id"))
+            ).cast("long").alias("n_unmatched_clicks"),
+        )
+        .orderBy("user_id"),
+    )
