@@ -102,3 +102,31 @@ def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
     for v in expired:
         shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
     return expired
+
+
+class SnapshotConflictError(RuntimeError):
+    """Another writer committed since the transaction's base version."""
+
+
+def write_snapshot_occ(
+    df: DataFrame, table_dir: str, expected_latest: int | None
+) -> int:
+    """Optimistic-concurrency commit: the caller states the latest
+    version it BASED its write on (``None`` for an empty table); if
+    another writer has published since, the commit raises
+    ``SnapshotConflictError`` instead of silently last-wins-ing — the
+    Delta/Iceberg OCC contract, reduced to its essence (validate
+    against the manifest you read, re-read + retry on conflict).
+
+    The parquet write happens before the validation-and-swap, so a
+    losing writer wastes only its own staging work; the manifest swap
+    itself remains the single atomic commit point. (A multi-writer
+    deployment would re-validate under a rename-based lock; on one
+    driver the check-then-swap window is the driver itself.)"""
+    versions = list_versions(table_dir)
+    latest = versions[-1] if versions else None
+    if latest != expected_latest:
+        raise SnapshotConflictError(
+            f"base version {expected_latest} is stale: table is at {latest}"
+        )
+    return write_snapshot(df, table_dir)

@@ -98,3 +98,28 @@ def test_expire_snapshots_noop_when_nothing_to_expire(spark, tmp_path):
     write_snapshot(spark.range(3).toDF("x"), d)
     assert expire_snapshots(d, keep_last=5) == []
     assert list_versions(d) == [1]
+
+
+def test_occ_commit_raises_on_stale_base(spark, tmp_path):
+    import pytest as _pytest
+
+    from dc_moving_violations_cloud_etl_spark.operators.snapshots import (
+        SnapshotConflictError,
+        list_versions,
+        write_snapshot_occ,
+    )
+
+    d = str(tmp_path / "occ_tbl")
+    # first writer: empty table, expected None
+    v1 = write_snapshot_occ(spark.range(3).toDF("x"), d, None)
+    assert v1 == 1
+    # writer A reads latest=1, writer B commits first
+    v2 = write_snapshot_occ(spark.range(5).toDF("x"), d, 1)
+    assert v2 == 2
+    # writer A's commit (still based on v1) must fail, not last-wins
+    with _pytest.raises(SnapshotConflictError):
+        write_snapshot_occ(spark.range(9).toDF("x"), d, 1)
+    assert list_versions(d) == [1, 2]
+    # retry after re-reading the manifest succeeds
+    v3 = write_snapshot_occ(spark.range(9).toDF("x"), d, 2)
+    assert v3 == 3
