@@ -1528,7 +1528,20 @@ def _wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(keymod == 0, F.lit(None)).otherwise(F.col("violation_id")),
     )
 
-    table_dir = os.path.join("/tmp/spark_graft_stream", "wap_demo_table")
+    # per-PROCESS table dir: this query mutates and re-reads its own
+    # demo table, and two concurrent harnesses (pytest plan guardrail +
+    # a sim sweep) must not rmtree each other mid-run; stale dirs from
+    # dead processes are swept best-effort
+    root = "/tmp/spark_graft_stream"
+    os.makedirs(root, exist_ok=True)
+    for entry in os.listdir(root):
+        if entry.startswith("wap_demo_table_") and entry != (
+            f"wap_demo_table_{os.getpid()}"
+        ):
+            pid = entry.rsplit("_", 1)[-1]
+            if not os.path.exists(f"/proc/{pid}"):
+                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    table_dir = os.path.join(root, f"wap_demo_table_{os.getpid()}")
     shutil.rmtree(table_dir, ignore_errors=True)
 
     rows = []
