@@ -580,8 +580,14 @@ def _py_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import hashlib as _hashlib
 
     tag = _hashlib.md5(f"pystreamsink:{sf_dir}".encode()).hexdigest()[:8]
-    out = os.path.join(_SCRATCH_ROOT, f"pystreamsink_out_{tag}")
-    ckpt = os.path.join(_SCRATCH_ROOT, f"pystreamsink_ckpt_{tag}")
+    # pid-keyed: this query rmtrees and rewrites its own output dir, so
+    # concurrent harnesses must each get a private copy
+    out = os.path.join(
+        _SCRATCH_ROOT, f"pystreamsink_out_{tag}_{os.getpid()}"
+    )
+    ckpt = os.path.join(
+        _SCRATCH_ROOT, f"pystreamsink_ckpt_{tag}_{os.getpid()}"
+    )
     # fresh drain per run: the round-trip compares against the full
     # fixture, so a warm checkpoint (no new input -> no batches) would
     # leave a stale output dir from an earlier code version

@@ -28,19 +28,35 @@ def _stage_multifile(spark: SparkSession, path: str, tag: str) -> str:
     """Stage the single-file fixture as N_BACKFILL_FILES parquet parts
     (identity-keyed on the fixture, like source_ops._staged) so the
     file-stream source has a multi-file backlog to pace through."""
+    import shutil
+
     st = os.stat(path)
     ident = f"{tag}-{st.st_size}-{st.st_mtime_ns}"
     d = os.path.join(_SCRATCH_ROOT, ident)
     marker = os.path.join(d, "_STAGED_OK")
-    if not os.path.exists(marker):
-        (
-            read_parquet(spark, path)
-            .repartition(N_BACKFILL_FILES)
-            .write.mode("overwrite")
-            .parquet(d)
-        )
-        with open(marker, "w") as f:
-            f.write("ok")
+    if os.path.exists(marker):
+        return d
+    # stage into a process-private dir, publish with one atomic rename
+    # (two concurrent harnesses must never write the same directory);
+    # the loser of the rename race discards its copy
+    tmp = f"{d}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    (
+        read_parquet(spark, path)
+        .repartition(N_BACKFILL_FILES)
+        .write.mode("overwrite")
+        .parquet(tmp)
+    )
+    with open(os.path.join(tmp, "_STAGED_OK"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if os.path.exists(marker):
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
     return d
 
 
@@ -71,7 +87,9 @@ def rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     # a warm checkpoint (which would legitimately process zero batches)
     # is the wrong fixture — unlike filesink.py, whose warm-replay
     # no-op IS the property under test
-    ckpt = os.path.join(_SCRATCH_ROOT, f"backfill_ckpt_{tag}")
+    ckpt = os.path.join(
+        _SCRATCH_ROOT, f"backfill_ckpt_{tag}_{os.getpid()}"
+    )
     import shutil
 
     shutil.rmtree(ckpt, ignore_errors=True)
