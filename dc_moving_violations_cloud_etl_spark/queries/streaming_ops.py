@@ -5,6 +5,11 @@ than the weaker rows-only check."""
 
 from __future__ import annotations
 
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
 from ..streaming.daily import daily_rollup_streaming, late_data_watermark_streaming
 from ..streaming.stateful import stateful_sessions_streaming
 from .registry import QuerySpec, register
@@ -586,8 +591,8 @@ def _py_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # state must not accumulate across rounds)
     try:
         for entry in os.listdir(_SCRATCH_ROOT):
-            if entry.startswith("pystreamsink_") or entry.startswith(
-                "backfill_ckpt_"
+            if entry.startswith(
+                ("pystreamsink_", "backfill_ckpt_", "occ_rollup_")
             ):
                 pid = entry.rsplit("_", 1)[-1]
                 if pid.isdigit() and pid != str(os.getpid()) and not (
@@ -706,5 +711,117 @@ FROM rj GROUP BY user_id ORDER BY user_id
         "matrix now covers inner / left / right / full outer / semi / "
         "stream-static",
         tags=("streaming", "join", "outer"),
+    )
+)
+
+
+def _occ_stream_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming micro-batches committing to a VERSIONED table under
+    optimistic concurrency — the lakehouse sink discipline end-to-end:
+    each non-empty micro-batch (paced to one file by the backfill
+    stager) merges its per-type aggregate into the previous snapshot
+    state and publishes the result as the next version via
+    ``write_snapshot_occ`` (its base version declared, so a concurrent
+    writer would conflict loudly, never last-wins). The final state is
+    read back THROUGH the manifest and must equal the batch aggregate
+    over the whole table — incremental maintenance, streaming edition —
+    with ``n_versions`` proving one transactional commit per batch.
+
+    All merge arithmetic is exact (long counts, DECIMAL(18,2) value
+    sums), so accumulation across any batch split matches the one-shot
+    aggregate bit-for-bit; doubles appear only in the final output
+    cast."""
+    import shutil as _shutil
+
+    from ..catalog import normalize_event_ts, read_parquet
+    from ..operators import snapshots
+    from ..streaming.backfill import _stage_multifile
+    from ..streaming.daily import _SCRATCH_ROOT, _run_to_completion
+
+    path = f"{sf_dir}/events.parquet"
+    stage = _stage_multifile(spark, path, "occroll")
+    table_dir = os.path.join(
+        _SCRATCH_ROOT, f"occ_rollup_table_{os.getpid()}"
+    )
+    ckpt = os.path.join(_SCRATCH_ROOT, f"occ_rollup_ckpt_{os.getpid()}")
+    _shutil.rmtree(table_dir, ignore_errors=True)
+    _shutil.rmtree(ckpt, ignore_errors=True)
+
+    schema = read_parquet(spark, path).schema
+    stream = normalize_event_ts(
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(stage)
+    )
+
+    def commit_batch(bdf, batch_id: int) -> None:
+        agg = bdf.groupBy("event_type").agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("decimal(18,2)")
+            .alias("value_sum"),
+        )
+        if not agg.take(1):
+            return
+        versions = snapshots.list_versions(table_dir)
+        base_v = versions[-1] if versions else None
+        if base_v is None:
+            merged = agg
+        else:
+            base = snapshots.read_snapshot(spark, table_dir, base_v)
+            merged = (
+                base.unionByName(agg)
+                .groupBy("event_type")
+                .agg(
+                    F.sum("n_events").cast("long").alias("n_events"),
+                    F.sum("value_sum")
+                    .cast("decimal(18,2)")
+                    .alias("value_sum"),
+                )
+            )
+        snapshots.write_snapshot_occ(merged, table_dir, base_v)
+
+    try:
+        _run_to_completion(
+            spark,
+            stream.writeStream.foreachBatch(commit_batch)
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True),
+        )
+        n_versions = len(snapshots.list_versions(table_dir))
+        final = snapshots.read_snapshot(spark, table_dir)
+        return (
+            final.select(
+                "event_type",
+                "n_events",
+                F.col("value_sum").cast("double").alias("total_value"),
+                F.lit(n_versions).cast("long").alias("n_versions"),
+            )
+            .orderBy("event_type")
+            .localCheckpoint()  # detach from the table dir before cleanup
+        )
+    finally:
+        _shutil.rmtree(ckpt, ignore_errors=True)
+
+
+register(
+    QuerySpec(
+        "stream_occ_snapshot_rollup",
+        _occ_stream_rollup,
+        """
+SELECT event_type,
+       CAST(count(*) AS BIGINT) AS n_events,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       CAST(4 AS BIGINT) AS n_versions
+FROM events
+GROUP BY event_type ORDER BY event_type
+""",
+        doc="streaming micro-batches committing under optimistic "
+        "concurrency to a versioned table: one OCC snapshot per "
+        "non-empty batch (4-file paced backlog -> 4 versions), each "
+        "merge in exact long/DECIMAL arithmetic, final state read "
+        "through the manifest equal to the one-shot batch aggregate — "
+        "the lakehouse sink discipline end-to-end",
+        tags=("streaming", "sink", "occ", "snapshot"),
     )
 )
