@@ -102,6 +102,7 @@ _ALLOWED_BNLJ = {
     "similarity_ivfpq_recall",     # 1-row count combines + the above
     "similarity_matryoshka_recall",  # brute-force truncated baseline
     "retrieval_rrf_hybrid",        # 1-row query-vector broadcast
+    "curation_perplexity_filter",  # 1-row vocab-size + p90 broadcasts
 }
 
 
