@@ -1359,3 +1359,118 @@ register(
         tags=("extension", "geo", "spatial"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# feature-store point-in-time labels (round 4): leakage-free by shape
+# ---------------------------------------------------------------------------
+
+_PIT_HORIZON_D = 7
+
+
+def _pit_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Point-in-time-correct training-set assembly — the feature-store
+    join every supervised pipeline needs and most leak: for each
+    (user, day) observation, FEATURES are computed from events at or
+    BEFORE the day (running totals via an ordered window) and the LABEL
+    comes strictly from the (day, day+7] future window (purchase
+    within the horizon). Leakage-free by construction: the feature
+    window and the label window cannot overlap, and the per-day
+    aggregate output carries both sides so the oracle re-derives the
+    same split.
+
+    Shape: one fact shuffle to (user, day) grain, a per-user cumulative
+    window over that bounded table, and a day-bucketed self-join for
+    the label window (1..7 day offsets on per-day rows — never the raw
+    fact table). Output is per-day (calendar-bounded)."""
+    ev = catalog.base(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.to_date("ts").alias("d")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            (F.col("event_type") == "purchase").cast("long")
+        ).alias("n_purch"),
+    )
+    daily = caching.persist_tracked(daily)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    feat = daily.select(
+        "user_id",
+        "d",
+        F.sum("n_events").over(w).cast("long").alias("cum_events"),
+    )
+    fut = daily.where(F.col("n_purch") > 0).select(
+        F.col("user_id").alias("f_user"), F.col("d").alias("f_d")
+    )
+    labeled = (
+        feat.join(
+            fut,
+            (F.col("user_id") == F.col("f_user"))
+            & (F.datediff(F.col("f_d"), F.col("d")).between(1, _PIT_HORIZON_D)),
+            "left",
+        )
+        .groupBy("user_id", "d", "cum_events")
+        .agg(
+            F.max(F.col("f_d").isNotNull().cast("int")).alias("label")
+        )
+    )
+    return (
+        labeled.groupBy(F.date_format("d", "yyyy-MM-dd").alias("day_s"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_user_days"),
+            F.sum("label").cast("long").alias("n_positive"),
+            F.sum("cum_events").cast("long").alias("sum_cum_events"),
+        )
+        .orderBy("day_s")
+    )
+
+
+register(
+    QuerySpec(
+        "feature_store_pit_labels",
+        _pit_labels,
+        f"""
+WITH daily AS (
+  SELECT user_id, CAST(ts AS DATE) AS d,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_purch
+  FROM events GROUP BY user_id, CAST(ts AS DATE)
+),
+feat AS (
+  SELECT user_id, d,
+         CAST(sum(n_events) OVER (PARTITION BY user_id ORDER BY d
+              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+           AS BIGINT) AS cum_events
+  FROM daily
+),
+fut AS (
+  SELECT user_id AS f_user, d AS f_d FROM daily WHERE n_purch > 0
+),
+labeled AS (
+  SELECT f.user_id, f.d, f.cum_events,
+         max(CASE WHEN fu.f_d IS NOT NULL THEN 1 ELSE 0 END) AS label
+  FROM feat f
+  LEFT JOIN fut fu
+    ON fu.f_user = f.user_id
+   AND fu.f_d - f.d BETWEEN 1 AND {_PIT_HORIZON_D}
+  GROUP BY f.user_id, f.d, f.cum_events
+)
+SELECT strftime(d, '%Y-%m-%d') AS day_s,
+       CAST(count(*) AS BIGINT) AS n_user_days,
+       CAST(sum(label) AS BIGINT) AS n_positive,
+       CAST(sum(cum_events) AS BIGINT) AS sum_cum_events
+FROM labeled GROUP BY d ORDER BY day_s
+""",
+        doc="point-in-time-correct label generation (the feature-store "
+        "join): per-(user, day) features from at-or-before the day "
+        "(cumulative window), labels strictly from the (day, day+7] "
+        "future window — leakage-free by construction; day-bucketed "
+        "label join over per-day rows, never the raw fact",
+        tags=("extension", "analytics", "feature-store"),
+    )
+)

@@ -142,7 +142,8 @@ def _load_all() -> None:
 # sql_ansi_try_functions, wap_publish_gate,
 # curation_perplexity_filter, similarity_matryoshka_recall,
 # retrieval_rrf_hybrid, events_local_day_rollup,
-# stream_right_outer_sealed, stream_occ_snapshot_rollup — plus
+# stream_right_outer_sealed, stream_occ_snapshot_rollup,
+# feature_store_pit_labels — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [
