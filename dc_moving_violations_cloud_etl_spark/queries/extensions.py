@@ -2398,3 +2398,132 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
         tags=("extension", "similarity", "recall"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# contrastive-training triple mining (round 4)
+# ---------------------------------------------------------------------------
+
+
+def _contrastive_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training-pair mining for a retrieval/embedding model — the step
+    between ANN search and contrastive fine-tuning: for every query
+    vector, emit its POSITIVE (nearest non-self neighbor), three HARD
+    negatives (ranks 20-22 — similar enough to be informative, far
+    enough to be wrong: the band in-batch negatives miss), and three
+    deterministic RANDOM negatives (hash-picked over the corpus id
+    space; a collision with the top ranks is possible and harmless —
+    random negatives are random). One brute-force ranking pass over the
+    broadcast query set feeds all three via rank slicing; ids are
+    CSV-serialized in rank order for the driver canonicalizer."""
+    emb = _emb(spark, sf_dir)
+    ranked = similarity.cosine_topk_bruteforce(emb, k=22)
+    n_vec = emb.agg(F.count(F.lit(1)).alias("n_vec"))
+    pos = ranked.where(F.col("rank") == 2).select(
+        "query_vec_id", F.col("neighbor_vec_id").alias("pos_id")
+    )
+    hard = (
+        ranked.where(F.col("rank").between(20, 22))
+        .groupBy("query_vec_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(F.struct("rank", "neighbor_vec_id"))
+                    ),
+                    lambda s: s["neighbor_vec_id"].cast("string"),
+                ),
+                ",",
+            ).alias("hard_negs_csv")
+        )
+    )
+    rand = pos.crossJoin(F.broadcast(n_vec)).select(
+        "query_vec_id",
+        F.array_join(
+            F.transform(
+                F.sequence(F.lit(1), F.lit(3)),
+                lambda j: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("cneg:"),
+                                    F.col("query_vec_id").cast("string"),
+                                    F.lit(":"),
+                                    j.cast("string"),
+                                )
+                            ),
+                            1,
+                            8,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % F.col("n_vec")
+                ).cast("string"),
+            ),
+            ",",
+        ).alias("rand_negs_csv"),
+    )
+    return (
+        pos.join(hard, "query_vec_id")
+        .join(rand, "query_vec_id")
+        .orderBy("query_vec_id")
+    )
+
+
+register(
+    QuerySpec(
+        "mining_contrastive_triples",
+        _contrastive_triples,
+        _EMB_CTE
+        + """
+, bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+ranked AS (
+  SELECT query_vec_id, neighbor_vec_id,
+         row_number() OVER (PARTITION BY query_vec_id
+             ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+  FROM bscored
+),
+pos AS (
+  SELECT query_vec_id, neighbor_vec_id AS pos_id FROM ranked WHERE rank = 2
+),
+hard AS (
+  SELECT query_vec_id,
+         string_agg(CAST(neighbor_vec_id AS VARCHAR), ',' ORDER BY rank)
+           AS hard_negs_csv
+  FROM ranked WHERE rank BETWEEN 20 AND 22 GROUP BY query_vec_id
+),
+nv AS (SELECT count(*) AS n_vec FROM corpus),
+rand AS (
+  SELECT p.query_vec_id,
+         string_agg(
+           CAST(CAST('0x' || substr(md5('cneg:'
+                  || CAST(p.query_vec_id AS VARCHAR) || ':'
+                  || CAST(j.j AS VARCHAR)), 1, 8) AS BIGINT)
+                % (SELECT n_vec FROM nv) AS VARCHAR),
+           ',' ORDER BY j.j) AS rand_negs_csv
+  FROM pos p, unnest(generate_series(1, 3)) j(j)
+  GROUP BY p.query_vec_id
+)
+SELECT p.query_vec_id, p.pos_id, h.hard_negs_csv, r.rand_negs_csv
+FROM pos p JOIN hard h USING (query_vec_id) JOIN rand r USING (query_vec_id)
+ORDER BY p.query_vec_id
+""",
+        doc="contrastive-training triple mining: positive = nearest "
+        "non-self neighbor, hard negatives = ranks 20-22 of the same "
+        "brute-force ranking, random negatives = deterministic "
+        "hash-picks over the id space — the pair-mining step between "
+        "ANN search and embedding fine-tuning",
+        tags=("extension", "mining", "similarity", "training"),
+    )
+)

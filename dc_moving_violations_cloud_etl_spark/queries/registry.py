@@ -143,7 +143,7 @@ def _load_all() -> None:
 # curation_perplexity_filter, similarity_matryoshka_recall,
 # retrieval_rrf_hybrid, events_local_day_rollup,
 # stream_right_outer_sealed, stream_occ_snapshot_rollup,
-# feature_store_pit_labels — plus
+# feature_store_pit_labels, mining_contrastive_triples — plus
 # anything in this window that
 # comes back red.
 DRIVER_WINDOW = [

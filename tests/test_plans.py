@@ -103,6 +103,7 @@ _ALLOWED_BNLJ = {
     "similarity_matryoshka_recall",  # brute-force truncated baseline
     "retrieval_rrf_hybrid",        # 1-row query-vector broadcast
     "curation_perplexity_filter",  # 1-row vocab-size + p90 broadcasts
+    "mining_contrastive_triples",  # brute-force ranking + 1-row n_vec
 }
 
 
