@@ -236,6 +236,23 @@ AUDITED = [
         "persisted for the threshold + gate consumers; 1-row "
         "threshold broadcast",
     ),
+    (
+        "events_local_day_rollup",
+        "timezone conversion is a per-row expression inside the codegen "
+        "Project over the fact scan; one shuffle on the local-day key",
+    ),
+    (
+        "feature_store_pit_labels",
+        "fact shuffles once to (user, day) grain (persisted); the "
+        "cumulative window and the 1..7-day label join both run over "
+        "the bounded per-day table",
+    ),
+    (
+        "retrieval_rrf_hybrid",
+        "rank windows run over bounded RESULT lists, never inside the "
+        "scoring joins; the fusion is a full outer join of two rank "
+        "tables; the query vector is a 1-row broadcast",
+    ),
 ]
 
 
