@@ -76,31 +76,55 @@ def read_snapshot(
     return spark.read.parquet(os.path.join(table_dir, f"v={v}"))
 
 
-def expire_snapshots(table_dir: str, keep_last: int = 1) -> list[int]:
+def expire_snapshots(
+    table_dir: str, keep_last: int = 1, retention_s: float = 0.0
+) -> list[int]:
     """Garbage-collect history: retain the newest ``keep_last``
-    versions, atomically publish the shrunk manifest FIRST, then delete
-    the expired directories. Ordering matters — a reader that resolved
-    the old manifest an instant before the swap may still be scanning
-    an expired directory, so deletion after publish is the same
-    grace-period discipline as Delta's VACUUM (a production deployment
-    inserts a retention delay between the two steps; the commit point
-    is identical). Returns the expired version numbers."""
+    versions, atomically publish the shrunk manifest FIRST (unpublish),
+    then delete the expired directories — but only those unpublished at
+    least ``retention_s`` seconds ago. Two-phase expire (ADVICE r4): a
+    reader that resolved the old manifest an instant before the swap
+    may still be scanning an expired directory, so with a retention
+    window the data files outlive the manifest entry by the longest
+    scan you expect — the same grace-period discipline as Delta's
+    VACUUM retention. Unpublished-but-retained versions are ledgered in
+    ``_expired.json`` (version -> unpublish epoch) and deleted by any
+    later ``expire_snapshots`` call once aged out; ``retention_s=0``
+    (the default, and the fixture-scale behavior) deletes immediately.
+    Returns the NEWLY unpublished version numbers."""
     import shutil
     import tempfile as _tempfile
+    import time as _time
 
     versions = list_versions(table_dir)
     if keep_last < 1:
         raise ValueError("keep_last must be >= 1")
     keep = versions[-keep_last:]
     expired = [v for v in versions if v not in keep]
-    if not expired:
-        return []
-    fd, tmp = _tempfile.mkstemp(dir=table_dir, prefix="_versions.")
+    ledger_path = os.path.join(table_dir, "_expired.json")
+    try:
+        with open(ledger_path) as f:
+            ledger = {int(k): v for k, v in json.load(f).items()}
+    except (OSError, ValueError):
+        ledger = {}
+    now = _time.time()
+    if expired:
+        fd, tmp = _tempfile.mkstemp(dir=table_dir, prefix="_versions.")
+        with os.fdopen(fd, "w") as f:
+            json.dump({"versions": keep}, f)
+        os.replace(tmp, _manifest_path(table_dir))
+        for v in expired:
+            ledger.setdefault(v, now)
+    for v, t0 in sorted(ledger.items()):
+        if now - t0 >= retention_s:
+            shutil.rmtree(
+                os.path.join(table_dir, f"v={v}"), ignore_errors=True
+            )
+            del ledger[v]
+    fd, tmp = _tempfile.mkstemp(dir=table_dir, prefix="_expired.")
     with os.fdopen(fd, "w") as f:
-        json.dump({"versions": keep}, f)
-    os.replace(tmp, _manifest_path(table_dir))
-    for v in expired:
-        shutil.rmtree(os.path.join(table_dir, f"v={v}"), ignore_errors=True)
+        json.dump({str(k): v for k, v in ledger.items()}, f)
+    os.replace(tmp, ledger_path)
     return expired
 
 

@@ -84,131 +84,96 @@ def _load_all() -> None:
 # names listed here are emitted first (in this order), everything else
 # follows in registration order.
 #
-# Round-4 rotation (VERDICT r3 rec #2): the window holds exactly the 49
-# queries that have NEVER had an official driver-green CORRECTNESS row —
-# 39 never checked at all (the whole TPC-H pack, modern_sql, paged_api,
-# corpus stats, remaining streaming) plus 9 that carry only stale r1-era
-# red rows (sql_text_*, stream_daily_rollup, stream_stateful_sessions,
-# stream_late_data_watermark; all since fixed and sim-green) plus the
-# r3-red-now-fixed inverted_index_postings — and one reference-core
-# canary (q0). Everything official-green in r2/r3 waits in overflow.
-# Round-5 rotation candidates (registered AFTER this round's window was
-# frozen, so they have no official row yet): graph_triangle_census,
-# basket_type_lift, events_zscore_outliers, dedup_sorted_neighborhood,
-# execute_immediate_profile, dedup_incremental_signatures,
-# events_value_drift_audit, stream_statestore_read, topk_sketch_audit,
-# hll_union_rollup_audit, quantile_sketch_audit, orc_source_roundtrip_agg,
-# similarity_ivf_recall, stream_file_sink_exactly_once,
-# corpus_vocab_encode, events_grouping_sets_matrix,
-# events_value_k_corr_direction, stream_state_metadata_read,
-# partitioned_month_layer_agg, graph_pagerank_coclick,
-# corpus_bigram_lm_nll, stream_outer_join_sealed,
-# embedding_kmeans_exact, xml_source_roundtrip_agg,
-# sql_udf_weather_flags, py_sink_roundtrip_agg,
-# phrase_search_positional, cdc_merge_matrix,
-# graph_cc_incremental, table_fingerprint_audit,
-# snapshot_time_travel_diff, funnel_conversion_window_24h,
-# corpus_bpe_train_merges, corpus_bpe_encode_lengths,
-# geo_radius_join_hotspots, events_mad_outliers,
-# similarity_ivf_nprobe2_recall, semdedup_cluster_pairs,
-# events_decayed_leaderboard, dedup_minhash_recall,
-# rollup_serving_qa, nested_hof_order_amounts,
-# corpus_pipeline_end2end, gdpr_forget_users_audit,
-# fk_cardinality_profile, metadata_agg_pushdown,
-# corpus_dataset_datasheet,
-# tpch_q2_min_cost_supplier, tpch_q9_product_type_profit,
-# tpch_q11_important_stock, tpch_q12_priority_by_bucket,
-# tpch_q16_supplier_part_count, tpch_q20_halfconsumed_stock,
-# tpch_q21_sole_returned_supplier (the pack's final seven),
-# sql_recursive_month_spine, sql_lateral_topk_days,
-# sql_ntile_price_deciles, sql_pipe_syntax_daily,
-# udtf_partitioned_gap_stats, user_activity_streaks,
-# timeseries_gapfill_interpolate, text_bm25_scores,
-# approx_distinct_error_audit, compaction_bin_packing,
-# incremental_agg_maintenance, corpus_weighted_sample,
-# bloom_pruned_fact_join, multimodal_bmp_decode_real,
-# multimodal_wav_decode_real, multimodal_y4m_decode_real,
-# multimodal_ahash_near_dup, udaf_grouped_median,
-# sql_collated_group_by, graph_bfs_seed_distance,
-# privacy_k_anonymity_audit, bucketed_join_zero_shuffle,
-# stream_full_outer_sealed, similarity_pq_adc_topk,
-# similarity_pq_recall, dedup_substring_span_coverage,
-# dp_noisy_histogram_release, multimodal_png_decode_real,
-# logreg_gd_train, stream_semi_join_matched,
-# timeseries_seasonal_decompose, similarity_ivfpq_topk,
-# similarity_ivfpq_recall, stream_rate_limited_backfill,
-# geo_ward_point_in_polygon, corpus_mix_temperature,
-# stream_py_sink_roundtrip, dedup_prefix_filter_pairs,
-# sql_ansi_try_functions, wap_publish_gate,
-# curation_perplexity_filter, similarity_matryoshka_recall,
-# retrieval_rrf_hybrid, events_local_day_rollup,
-# stream_right_outer_sealed, stream_occ_snapshot_rollup,
-# feature_store_pit_labels, mining_contrastive_triples — plus
-# anything in this window that
-# comes back red.
+# Round-5 rotation (VERDICT r4 rec #1): all 50 slots go to queries that
+# have NEVER had an official driver CORRECTNESS row. After r4, 102 of 239
+# registered queries were official-row-less; this window takes the 50
+# flagship claims of round 4 (the ANN/PQ trade-off matrix, the five real
+# media decoders, the TPC-H completions q2/q9/q11/q12/q16/q20/q21, the
+# graph pack, OCC/WAP/time-travel/CDC, the BPE tokenizer-training loop,
+# sketch audits, the remaining streaming lifecycles, and the bucketed/
+# bloom/geo scale machinery). All 50 are sim-green under
+# tools/driver_sim.py with the driver-aligned canonicalizer.
+#
+# Round-6 rotation: the remaining 52 never-official queries, enumerated
+# so the next window is mechanical (VERDICT r4 rec #3; per-query official
+# round also ledgered in QUERIES.md):
+#   dedup_substring_span_coverage, corpus_weighted_sample,
+#   corpus_mix_temperature, corpus_pipeline_end2end,
+#   corpus_dataset_datasheet, compaction_bin_packing,
+#   timeseries_gapfill_interpolate, timeseries_seasonal_decompose,
+#   events_local_day_rollup, user_activity_streaks,
+#   udtf_partitioned_gap_stats, events_grouping_sets_matrix,
+#   funnel_conversion_window_24h, geo_radius_join_hotspots,
+#   events_decayed_leaderboard, udaf_grouped_median,
+#   incremental_agg_maintenance, phrase_search_positional,
+#   table_fingerprint_audit, rollup_serving_qa, gdpr_forget_users_audit,
+#   fk_cardinality_profile, privacy_k_anonymity_audit,
+#   dp_noisy_histogram_release, orc_source_roundtrip_agg,
+#   xml_source_roundtrip_agg, py_sink_roundtrip_agg,
+#   partitioned_month_layer_agg, metadata_agg_pushdown,
+#   nested_hof_order_amounts, sql_recursive_month_spine,
+#   sql_lateral_topk_days, sql_pipe_syntax_daily, sql_ntile_price_deciles,
+#   execute_immediate_profile, sql_udf_weather_flags,
+#   sql_collated_group_by, sql_ansi_try_functions, basket_type_lift,
+#   events_zscore_outliers, dedup_sorted_neighborhood,
+#   events_value_drift_audit, events_value_k_corr_direction,
+#   embedding_kmeans_exact, events_mad_outliers, semdedup_cluster_pairs,
+#   logreg_gd_train, stream_state_metadata_read, stream_outer_join_sealed,
+#   stream_full_outer_sealed, stream_semi_join_matched,
+#   stream_right_outer_sealed
+# — plus anything in THIS window that comes back red, plus any round-5
+# additions (which are themselves official-row-less by construction).
 DRIVER_WINDOW = [
-    # r3's only red row, fixed this round (posting list serialized to a
-    # comma-joined string so the driver's canonicalizer can hash it)
-    "inverted_index_postings",
-    # reference-core canary (green r2+r3; keeps the official record
-    # re-covering the reference flagship every round)
-    "q0_flagship_rainy_count",
-    # never checked — round-2/3 extension ops judged green only via sim
-    "sink_semantics_diff",
-    "embedding_dup_components",
-    "multimodal_decode_arrow",
-    "embedding_quantize_int8",
-    "curation_decontaminate",
-    "curation_chunk_plan",
-    "text_repetition_ratio",
-    "doc_ngram_novelty",
-    "corpus_mix_weights",
-    "user_entropy_histogram",
-    "corpus_zipf_slope",
-    "events_user_rolling_7d",
-    "events_pivot_daily",
-    "geo_cell_hotspots",
-    "monthly_ticket_growth",
-    "dau_wau_stickiness",
-    # never checked — custom Python DataSource (batch) surface
-    "paged_api_source_agg",
-    "paged_api_pushdown_agg",
-    # never checked — modern-SQL surface (VARIANT, parameterized SQL,
-    # SQL scripting, Observation)
-    "variant_props_extract",
-    "sql_parameterized_qb",
-    "sql_scripting_month_loop",
-    "observed_etl_metrics",
-    # never checked — the full TPC-H pack
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q6_forecast_revenue",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q18_large_volume_customers",
-    "tpch_q19_bracket_predicates",
-    "tpch_q22_rich_inactive_customers",
-    # never checked — streaming lifecycles (custom streaming source,
-    # UPDATE mode) and the three carrying stale r1 reds (since fixed)
-    "stream_stateful_sessions",
-    "stream_late_data_watermark",
-    "stream_daily_rollup",
-    "stream_custom_source_ingest",
-    "stream_update_mode_counts",
-    # stale r1 reds (fixed in r2/r3, sim-green) — sql_text surface
-    "sql_text_qb_since",
-    "sql_text_qc_weekday",
-    "sql_text_qd_rainy",
-    "sql_text_qg_hourly",
-    "sql_text_qh_accidents",
-    "sql_text_monthly_tickets",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall",
+    "similarity_matryoshka_recall",
+    "similarity_ivf_recall",
+    "similarity_ivf_nprobe2_recall",
+    "dedup_minhash_recall",
+    "dedup_prefix_filter_pairs",
+    "dedup_incremental_signatures",
+    "multimodal_png_decode_real",
+    "multimodal_bmp_decode_real",
+    "multimodal_wav_decode_real",
+    "multimodal_y4m_decode_real",
+    "multimodal_ahash_near_dup",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_bucket",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_halfconsumed_stock",
+    "tpch_q21_sole_returned_supplier",
+    "graph_pagerank_coclick",
+    "graph_bfs_seed_distance",
+    "graph_triangle_census",
+    "graph_cc_incremental",
+    "wap_publish_gate",
+    "stream_occ_snapshot_rollup",
+    "snapshot_time_travel_diff",
+    "cdc_merge_matrix",
+    "corpus_bpe_train_merges",
+    "corpus_bpe_encode_lengths",
+    "corpus_vocab_encode",
+    "corpus_bigram_lm_nll",
+    "curation_perplexity_filter",
+    "text_bm25_scores",
+    "retrieval_rrf_hybrid",
+    "feature_store_pit_labels",
+    "mining_contrastive_triples",
+    "topk_sketch_audit",
+    "hll_union_rollup_audit",
+    "quantile_sketch_audit",
+    "approx_distinct_error_audit",
+    "stream_py_sink_roundtrip",
+    "stream_rate_limited_backfill",
+    "stream_statestore_read",
+    "stream_file_sink_exactly_once",
+    "bucketed_join_zero_shuffle",
+    "bloom_pruned_fact_join",
+    "geo_ward_point_in_polygon",
 ]
 
 

@@ -588,22 +588,13 @@ def _py_stream_sink_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     # pid-keyed: this query rmtrees and rewrites its own output dir, so
     # concurrent harnesses must each get a private copy; stale copies
     # from dead processes are swept best-effort (VERDICT r2: scratch
-    # state must not accumulate across rounds)
-    try:
-        for entry in os.listdir(_SCRATCH_ROOT):
-            if entry.startswith(
-                ("pystreamsink_", "backfill_ckpt_", "occ_rollup_")
-            ):
-                pid = entry.rsplit("_", 1)[-1]
-                if pid.isdigit() and pid != str(os.getpid()) and not (
-                    os.path.exists(f"/proc/{pid}")
-                ):
-                    shutil.rmtree(
-                        os.path.join(_SCRATCH_ROOT, entry),
-                        ignore_errors=True,
-                    )
-    except FileNotFoundError:
-        pass
+    # state must not accumulate across rounds; portable age-gated
+    # liveness probe per ADVICE r4)
+    from ..scratch import sweep_dead_scratch
+
+    sweep_dead_scratch(
+        _SCRATCH_ROOT, ("pystreamsink_", "backfill_ckpt_", "occ_rollup_")
+    )
     out = os.path.join(
         _SCRATCH_ROOT, f"pystreamsink_out_{tag}_{os.getpid()}"
     )

@@ -1515,8 +1515,17 @@ def _wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from ..operators import snapshots
 
-    v = catalog.violations(spark, sf_dir).select(
-        "violation_id", "issuing_agency_name", "fine_amount"
+    # pre-filter any PRE-EXISTING null/empty keys so the "good"
+    # candidate is clean by construction: the gate demo must probe the
+    # INJECTED corruption, not fixture hygiene (ADVICE r4 — otherwise a
+    # fixture regeneration with one bad key flips the good arm to
+    # rejected and read_snapshot raises instead of diverging)
+    v = (
+        catalog.violations(spark, sf_dir)
+        .select("violation_id", "issuing_agency_name", "fine_amount")
+        .where(
+            F.col("violation_id").isNotNull() & (F.col("violation_id") != "")
+        )
     )
     keymod = (
         F.conv(F.substring(F.md5(F.col("violation_id")), 1, 8), 16, 10)
@@ -1531,16 +1540,13 @@ def _wap_publish_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     # per-PROCESS table dir: this query mutates and re-reads its own
     # demo table, and two concurrent harnesses (pytest plan guardrail +
     # a sim sweep) must not rmtree each other mid-run; stale dirs from
-    # dead processes are swept best-effort
+    # dead processes are swept best-effort (portable age-gated liveness
+    # probe per ADVICE r4)
+    from ..scratch import sweep_dead_scratch
+
     root = "/tmp/spark_graft_stream"
     os.makedirs(root, exist_ok=True)
-    for entry in os.listdir(root):
-        if entry.startswith("wap_demo_table_") and entry != (
-            f"wap_demo_table_{os.getpid()}"
-        ):
-            pid = entry.rsplit("_", 1)[-1]
-            if not os.path.exists(f"/proc/{pid}"):
-                shutil.rmtree(os.path.join(root, entry), ignore_errors=True)
+    sweep_dead_scratch(root, ("wap_demo_table_",))
     table_dir = os.path.join(root, f"wap_demo_table_{os.getpid()}")
     shutil.rmtree(table_dir, ignore_errors=True)
 
@@ -1597,6 +1603,7 @@ register(
          CAST('0x' || substr(md5(violation_id), 1, 8) AS BIGINT) % 10
            AS keymod
   FROM violations
+  WHERE violation_id IS NOT NULL AND violation_id <> ''
 ),
 stats AS (
   SELECT CAST(count(*) AS BIGINT) AS n,

@@ -143,9 +143,11 @@ def make_jsonl_stream_sink():
     the driver-side ``commit(messages, batchId)`` publishes each
     micro-batch under its own ``_BATCH<id>_MANIFEST`` — the per-batch
     transaction log that, combined with the engine's checkpointed
-    offsets, gives end-to-end exactly-once (a replayed batch id simply
-    re-publishes the same manifest; readers key on manifests, so
-    uncommitted staging is never visible)."""
+    offsets, gives end-to-end exactly-once (a replayed batch id
+    atomically REPLACES its manifest with the replay's file list, and
+    commit() sweeps part files no manifest references; readers key on
+    manifests, so neither staging nor orphaned parts are ever
+    visible)."""
     from pyspark.sql.datasource import (
         DataSource,
         DataSourceStreamWriter,
@@ -192,26 +194,57 @@ def make_jsonl_stream_sink():
             return _StagedFile(staged, final, n)
 
         def commit(self, messages, batchId):
+            import glob
             import json
             import os
+
+            # Crash-window ordering (ADVICE r4): a commit that dies
+            # between renaming SOME staged files and publishing the
+            # manifest leaves committed-looking part files that abort()
+            # (staged-only) can never clean, and the replayed batch then
+            # publishes a manifest naming DIFFERENT uuids. Readers key
+            # on manifests, so those orphans were never *visible* — but
+            # they accumulate. Ordering here: (1) sweep part files not
+            # referenced by any published manifest (the debris of a
+            # previously crashed commit of this or any batch), (2)
+            # rename staged -> final, (3) publish the manifest
+            # atomically (tmp + fsync + os.replace) only after every
+            # referenced file exists. A crash at any point leaves either
+            # invisible-and-swept-later debris or a fully published
+            # batch — never a manifest naming missing files.
+            this_batch = {os.path.basename(m.final) for m in messages}
+            referenced = set(this_batch)
+            for man in glob.glob(os.path.join(self.path, "_BATCH*_MANIFEST")):
+                try:
+                    with open(man) as f:
+                        referenced.update(json.load(f).get("files", []))
+                except (OSError, ValueError):
+                    continue
+            for part in glob.glob(os.path.join(self.path, "part-*.jsonl")):
+                if os.path.basename(part) not in referenced:
+                    try:
+                        os.remove(part)
+                    except FileNotFoundError:
+                        pass
 
             total = 0
             for m in messages:
                 os.replace(m.staged, m.final)
                 total += m.n_rows
-            with open(
-                os.path.join(self.path, f"_BATCH{batchId}_MANIFEST"), "w"
-            ) as f:
+            manifest = os.path.join(self.path, f"_BATCH{batchId}_MANIFEST")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {
                         "batch_id": batchId,
                         "n_rows": total,
-                        "files": sorted(
-                            os.path.basename(m.final) for m in messages
-                        ),
+                        "files": sorted(this_batch),
                     },
                     f,
                 )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, manifest)
 
         def abort(self, messages, batchId):
             import os

@@ -91,3 +91,51 @@ def test_py_sink_commit_manifest_and_staging_clean(spark, tmp_path):
     )
     assert back.count() == 100
     assert back.agg(F.sum("event_id")).collect()[0][0] == 4950
+
+
+def test_stream_sink_commit_sweeps_unreferenced_orphans(tmp_path):
+    """Crash-window hygiene (ADVICE r4): a commit that died after some
+    staged->final renames but before the manifest write leaves
+    committed-looking part files referenced by NO manifest; the next
+    commit must sweep them, publish its manifest atomically, and never
+    name a missing file."""
+    import types
+
+    from dc_moving_violations_cloud_etl_spark.sources.py_sink import (
+        make_jsonl_stream_sink,
+    )
+
+    out = str(tmp_path / "ssink")
+    os.makedirs(os.path.join(out, "_staging"))
+    # debris of a crashed previous commit: final-named, no manifest
+    orphan = os.path.join(out, "part-00000-deadbeef0000.jsonl")
+    with open(orphan, "w") as f:
+        f.write('{"x": 1}\n')
+    # a file referenced by a published manifest must survive
+    kept = os.path.join(out, "part-00000-cafecafe0000.jsonl")
+    with open(kept, "w") as f:
+        f.write('{"x": 2}\n')
+    with open(os.path.join(out, "_BATCH0_MANIFEST"), "w") as f:
+        json.dump({"batch_id": 0, "n_rows": 1,
+                   "files": [os.path.basename(kept)]}, f)
+
+    writer = make_jsonl_stream_sink()({"path": out}).streamWriter(None, False)
+    staged = os.path.join(out, "_staging", "part-00001-aaaa.jsonl")
+    with open(staged, "w") as f:
+        f.write('{"x": 3}\n{"x": 4}\n')
+    final = os.path.join(out, "part-00001-aaaa.jsonl")
+    msg = types.SimpleNamespace(staged=staged, final=final, n_rows=2)
+    writer.commit([msg], 1)
+
+    assert not os.path.exists(orphan), "unreferenced orphan not swept"
+    assert os.path.exists(kept), "manifest-referenced file was swept"
+    assert os.path.exists(final)
+    with open(os.path.join(out, "_BATCH1_MANIFEST")) as f:
+        m = json.load(f)
+    assert m["files"] == [os.path.basename(final)]
+    assert m["n_rows"] == 2
+    # every manifest-named file exists (no manifest names a missing file)
+    for man in ("_BATCH0_MANIFEST", "_BATCH1_MANIFEST"):
+        with open(os.path.join(out, man)) as f:
+            for name in json.load(f)["files"]:
+                assert os.path.exists(os.path.join(out, name))

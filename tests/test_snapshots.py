@@ -123,3 +123,36 @@ def test_occ_commit_raises_on_stale_base(spark, tmp_path):
     # retry after re-reading the manifest succeeds
     v3 = write_snapshot_occ(spark.range(9).toDF("x"), d, 2)
     assert v3 == 3
+
+
+def test_expire_snapshots_retention_defers_delete(spark, tmp_path):
+    """Two-phase expire (ADVICE r4): with a retention window the expired
+    version is UNPUBLISHED immediately (invisible through the manifest)
+    but its directory survives until it ages out — an in-flight reader
+    that resolved the old manifest can finish its scan."""
+    import os
+
+    from dc_moving_violations_cloud_etl_spark.operators.snapshots import (
+        expire_snapshots,
+        list_versions,
+        read_snapshot,
+        write_snapshot,
+    )
+
+    d = str(tmp_path / "tbl3")
+    write_snapshot(spark.range(5).toDF("x"), d)
+    write_snapshot(spark.range(7).toDF("x"), d)
+    expired = expire_snapshots(d, keep_last=1, retention_s=3600)
+    assert expired == [1]
+    # unpublished: manifest no longer resolves v1 ...
+    assert list_versions(d) == [2]
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        read_snapshot(spark, d, 1)
+    # ... but the data files are still on disk for in-flight readers
+    assert os.path.exists(os.path.join(d, "v=1"))
+    assert spark.read.parquet(os.path.join(d, "v=1")).count() == 5
+    # a later expire pass with no retention sweeps the aged-out ledger
+    assert expire_snapshots(d, keep_last=1, retention_s=0) == []
+    assert not os.path.exists(os.path.join(d, "v=1"))
