@@ -114,6 +114,325 @@ FROM keyed ORDER BY doc_id
 
 
 # ---------------------------------------------------------------------------
+# leakage-safe split keying (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _split_leakage_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/test LEAKAGE audit of split keying: hashing the split
+    bucket from ``doc_id`` (the naive rule `curation_shuffle_split`
+    uses) lets two IDENTICAL documents land in train AND test — the
+    classic eval-contamination bug; keying the bucket on the
+    normalized-TEXT hash instead sends every exact-dup group to one
+    split by construction. One row per keying strategy: split sizes,
+    group count, and the number of dup groups STRADDLING >1 split
+    (must be 0 for the group keying).
+
+    Shape at 100 TB: per-row hashing, one groupBy on the uniform text
+    hash, conditional aggregation — no windows, no joins, no scalar
+    broadcasts; each keying row is a constant-size aggregate.
+    """
+    from ..operators.text import normalized as _norm
+    from ..operators.text import text_hash as _th
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", _th(_norm(F.col("text"))).alias("text_hash")
+    )
+
+    def bucket(col: F.Column) -> F.Column:
+        return (
+            F.when(_md5_mod(col, "split:", 100) < _TRAIN_PCT, "train")
+            .when(_md5_mod(col, "split:", 100) < _VALID_PCT, "valid")
+            .otherwise("test")
+        )
+
+    def audit(keying: str, split: F.Column) -> DataFrame:
+        per_group = (
+            d.select("text_hash", split.alias("split"))
+            .groupBy("text_hash")
+            .agg(
+                F.count(F.lit(1)).alias("n_docs"),
+                F.countDistinct("split").alias("n_splits"),
+                F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).alias(
+                    "n_train"
+                ),
+                F.sum(F.when(F.col("split") == "valid", 1).otherwise(0)).alias(
+                    "n_valid"
+                ),
+                F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).alias(
+                    "n_test"
+                ),
+            )
+        )
+        return per_group.agg(
+            F.lit(keying).alias("keying"),
+            F.sum("n_train").cast("long").alias("n_train"),
+            F.sum("n_valid").cast("long").alias("n_valid"),
+            F.sum("n_test").cast("long").alias("n_test"),
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(F.when(F.col("n_splits") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("n_straddle_groups"),
+        )
+
+    by_doc = audit("by_doc_id", bucket(F.col("doc_id")))
+    by_group = audit("by_text_hash", bucket(F.col("text_hash")))
+    return by_doc.unionByName(by_group).orderBy("keying")
+
+
+register(
+    QuerySpec(
+        "curation_split_leakage_audit",
+        _split_leakage_audit,
+        f"""
+WITH d AS (
+  SELECT doc_id,
+         md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')))
+           AS text_hash
+  FROM documents
+),
+assigned AS (
+  SELECT text_hash,
+         CASE WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < {_TRAIN_PCT} THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:' || CAST(doc_id AS VARCHAR)), 1, 8)
+                   AS BIGINT) % 100 < {_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS doc_split,
+         CASE WHEN CAST('0x' || substr(md5('split:' || text_hash), 1, 8)
+                   AS BIGINT) % 100 < {_TRAIN_PCT} THEN 'train'
+              WHEN CAST('0x' || substr(md5('split:' || text_hash), 1, 8)
+                   AS BIGINT) % 100 < {_VALID_PCT} THEN 'valid'
+              ELSE 'test' END AS group_split
+  FROM d
+),
+audits AS (
+  SELECT 'by_doc_id' AS keying, text_hash,
+         count(*) AS n_docs,
+         count(DISTINCT doc_split) AS n_splits,
+         sum(CASE WHEN doc_split = 'train' THEN 1 ELSE 0 END) AS n_train,
+         sum(CASE WHEN doc_split = 'valid' THEN 1 ELSE 0 END) AS n_valid,
+         sum(CASE WHEN doc_split = 'test' THEN 1 ELSE 0 END) AS n_test
+  FROM assigned GROUP BY text_hash
+  UNION ALL
+  SELECT 'by_text_hash', text_hash,
+         count(*),
+         count(DISTINCT group_split),
+         sum(CASE WHEN group_split = 'train' THEN 1 ELSE 0 END),
+         sum(CASE WHEN group_split = 'valid' THEN 1 ELSE 0 END),
+         sum(CASE WHEN group_split = 'test' THEN 1 ELSE 0 END)
+  FROM assigned GROUP BY text_hash
+)
+SELECT keying,
+       CAST(sum(n_train) AS BIGINT) AS n_train,
+       CAST(sum(n_valid) AS BIGINT) AS n_valid,
+       CAST(sum(n_test) AS BIGINT) AS n_test,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN n_splits > 1 THEN 1 ELSE 0 END) AS BIGINT)
+         AS n_straddle_groups
+FROM audits GROUP BY keying ORDER BY keying
+""",
+        doc="Split-keying leakage audit: doc_id-keyed buckets let exact-"
+        "dup groups straddle train/test (counted), text-hash-keyed "
+        "buckets pin each dup group to ONE split (straddle = 0 by "
+        "construction) — per-keying split sizes + straddling-group "
+        "counts",
+        tags=("extension", "curation", "compliance"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# shard-mix audit (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _shuffle_mix_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-mix chi-square audit: after the deterministic md5 shard
+    assignment (`curation_shuffle_split`), each training shard should
+    hold the SAME language mix as the corpus — a skewed shard means the
+    "global shuffle" is not mixing and a data-parallel trainer would
+    see non-stationary batches. Per shard: doc count and the shard's
+    chi-square contribution sum_lang (obs - exp)^2 / exp against the
+    corpus-wide language shares.
+
+    Shape at 100 TB: one groupBy to the (shard x lang) grain (|8 x
+    langs| rows), then windows over that CONSTANT-SIZE aggregate for
+    the marginals — the fact table is touched exactly once.
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", _md5_mod(F.col("doc_id"), "shard:", _N_SHARDS).alias(
+            "shard"
+        )
+    )
+    cell = d.groupBy("shard", "lang").agg(F.count(F.lit(1)).alias("obs"))
+    # marginals over the |shards x langs| aggregate — constant-size
+    w_all = Window.partitionBy()
+    w_shard = Window.partitionBy("shard")
+    w_lang = Window.partitionBy("lang")
+    with_exp = cell.select(
+        "shard",
+        "obs",
+        (
+            F.sum("obs").over(w_shard).cast("double")
+            * F.sum("obs").over(w_lang).cast("double")
+            / F.sum("obs").over(w_all).cast("double")
+        ).alias("exp"),
+    )
+    return (
+        with_exp.groupBy("shard")
+        .agg(
+            F.sum("obs").cast("long").alias("n_docs"),
+            F.round(
+                F.sum((F.col("obs") - F.col("exp")) ** 2 / F.col("exp")), 6
+            ).alias("chi2_r6"),
+        )
+        .orderBy("shard")
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_shuffle_mix_audit",
+        _shuffle_mix_audit,
+        f"""
+WITH d AS (
+  SELECT CAST('0x' || substr(md5('shard:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_N_SHARDS} AS shard,
+         lang
+  FROM documents
+),
+cell AS (SELECT shard, lang, count(*) AS obs FROM d GROUP BY shard, lang),
+with_exp AS (
+  SELECT shard, obs,
+         CAST(sum(obs) OVER (PARTITION BY shard) AS DOUBLE)
+           * CAST(sum(obs) OVER (PARTITION BY lang) AS DOUBLE)
+           / CAST(sum(obs) OVER () AS DOUBLE) AS exp
+  FROM cell
+)
+SELECT shard,
+       CAST(sum(obs) AS BIGINT) AS n_docs,
+       round(sum((obs - exp) * (obs - exp) / exp), 6) AS chi2_r6
+FROM with_exp GROUP BY shard ORDER BY shard
+""",
+        doc="Shard-mix chi-square audit: per-shard language-mix deviation "
+        "from the corpus-wide shares after the deterministic md5 shard "
+        "assignment — one fact pass to the (shard x lang) grain, "
+        "marginals as windows over that constant-size aggregate",
+        tags=("extension", "curation", "statistics"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# skip-gram pair generation (round 5)
+# ---------------------------------------------------------------------------
+
+_SKIPGRAM_WINDOW = 2
+_SKIPGRAM_TOP = 20
+
+
+def _skipgram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skip-gram (center, context) pair generation — the word2vec /
+    embedding-pretraining data op: for every token, pair it with its
+    next 1..W neighbors (W=2) WITHIN the document, count pair
+    frequencies, report the global top-20.
+
+    Shape at 100 TB: posexplode to (doc, pos, token), then the W
+    context pairings come from ``lead(pos, o)`` windows PARTITIONED BY
+    doc — bounded per-doc windows, never a self-join of the token
+    table on position arithmetic (the naive shape, which shuffles the
+    exploded corpus twice). The top-20 runs through the lossless
+    per-partition pre-reduction (operators/ranking.global_topk).
+    """
+    from ..operators.ranking import global_topk
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    tok = d.select(
+        "doc_id", F.posexplode("toks").alias("pos", "w1")
+    ).where(F.length("w1") > 0)
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    # all W leads evaluate in ONE Window pass (same spec), then explode
+    # — not a union of per-offset passes (which would shuffle the
+    # exploded corpus once per offset)
+    led = tok.select(
+        "w1",
+        *[
+            F.lead("w1", off).over(w).alias(f"_ctx{off}")
+            for off in range(1, _SKIPGRAM_WINDOW + 1)
+        ],
+    )
+    pairs = led.select(
+        "w1",
+        F.explode(
+            F.array(*[f"_ctx{o}" for o in range(1, _SKIPGRAM_WINDOW + 1)])
+        ).alias("w2"),
+    ).where(F.col("w2").isNotNull() & (F.length("w2") > 0))
+    counts = pairs.groupBy("w1", "w2").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs")
+    )
+    return global_topk(
+        counts,
+        _SKIPGRAM_TOP,
+        F.desc("n_pairs"),
+        F.asc("w1"),
+        F.asc("w2"),
+        alias="rank",
+    ).select(
+        "w1", "w2", "n_pairs", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+register(
+    QuerySpec(
+        "corpus_skipgram_pairs",
+        _skipgram_pairs,
+        f"""
+WITH d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS w1
+  FROM d, unnest(generate_series(0, len(toks) - 1)) t(i)
+  WHERE length(toks[i + 1]) > 0
+),
+pairs AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok)
+  WHERE w2 IS NOT NULL AND length(w2) > 0
+  UNION ALL
+  SELECT w1, w2 FROM (
+    SELECT w1, lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok)
+  WHERE w2 IS NOT NULL AND length(w2) > 0
+),
+counts AS (
+  SELECT w1, w2, CAST(count(*) AS BIGINT) AS n_pairs
+  FROM pairs GROUP BY w1, w2
+)
+SELECT w1, w2, n_pairs,
+       CAST(row_number() OVER (ORDER BY n_pairs DESC, w1, w2) AS BIGINT)
+         AS rank
+FROM counts
+QUALIFY rank <= {_SKIPGRAM_TOP}
+ORDER BY rank
+""",
+        doc="Skip-gram (center, context) pair counts within +-2 token "
+        "windows per document (word2vec-style pretraining pairs): "
+        "doc-partitioned lead() windows instead of a positional "
+        "self-join, global top-20 via lossless per-partition "
+        "pre-reduction",
+        tags=("extension", "corpus", "training"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

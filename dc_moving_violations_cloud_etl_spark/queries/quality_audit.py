@@ -364,10 +364,16 @@ def _zipf_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("t")
         .agg(F.count(F.lit(1)).alias("c"))
     )
-    w = Window.orderBy(F.desc("c"), F.asc("t"))
-    top = counts.withColumn("rank", F.row_number().over(w)).where(
-        F.col("rank") <= ZIPF_TOP_N
-    )
+    # top-N by frequency via lossless per-partition pre-reduction (each
+    # partition emits its own top-N before one N x partitions-sized
+    # global window) — the vocabulary is corpus-sized at 100 TB and must
+    # not funnel through a single unpartitioned rank task (VERDICT r4
+    # rec #4)
+    from ..operators.ranking import global_topk
+
+    top = global_topk(
+        counts, ZIPF_TOP_N, F.desc("c"), F.asc("t"), alias="rank"
+    ).select("t", "c", F.col("rank").cast("int").alias("rank"))
     xy = top.select(
         F.log(F.col("rank").cast("double")).alias("x"),
         F.log(F.col("c").cast("double")).alias("y"),

@@ -66,10 +66,23 @@ def _stage_dir(path: str, tag: str) -> str:
 STREAM_SHUFFLE_PARTITIONS = 8
 
 
+# Streaming-plan audit ledger (VERDICT r4 rec #5): batch queries get
+# their physical plans asserted registry-wide (tests/test_plans.py),
+# but stream_* queries execute at build time, so their auditable
+# surface is the per-batch PROGRESS record instead — watermark
+# advancement and state-store row counts. Every _run_to_completion
+# appends (query name, [progress dicts]) here; the pytest audit
+# (tests/test_streaming_audit.py) replays selected stream queries and
+# asserts watermark presence + bounded state from these records.
+PROGRESS_LEDGER: list[tuple[str, list[dict]]] = []
+_LEDGER_MAX = 200  # bounded: a long bench session must not accumulate
+
+
 def _run_to_completion(spark: SparkSession, writer) -> None:
     """Start the streaming query with the stream-sized shuffle-partition
     conf (plans resolve at ``start()``), await availableNow completion,
-    stop, and always restore the caller's conf."""
+    stop, record its progress trail in ``PROGRESS_LEDGER``, and always
+    restore the caller's conf."""
     try:
         old = spark.conf.get("spark.sql.shuffle.partitions")
     except Exception:
@@ -82,6 +95,14 @@ def _run_to_completion(spark: SparkSession, writer) -> None:
         try:
             q.awaitTermination()
         finally:
+            try:
+                trail = [p for p in q.recentProgress if p]
+                del PROGRESS_LEDGER[: max(
+                    0, len(PROGRESS_LEDGER) + 1 - _LEDGER_MAX
+                )]
+                PROGRESS_LEDGER.append((q.name or str(q.id), trail))
+            except Exception:  # noqa: BLE001 - audit trail is best-effort
+                pass
             q.stop()
     finally:
         if old is not None:

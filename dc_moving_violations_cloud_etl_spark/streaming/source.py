@@ -178,6 +178,14 @@ def custom_source_ingest_streaming(
         try:
             q.processAllAvailable()
         finally:
+            try:
+                from .daily import PROGRESS_LEDGER
+
+                PROGRESS_LEDGER.append(
+                    (q.name or str(q.id), [p for p in q.recentProgress if p])
+                )
+            except Exception:  # noqa: BLE001 - audit trail is best-effort
+                pass
             q.stop()
     finally:
         if old is not None:

@@ -86,6 +86,7 @@ _ALLOWED_BNLJ = {
     "corpus_bigram_lm_nll",        # 1-row vocabulary-size broadcast
     "events_decayed_leaderboard",  # 1-row reference-day broadcast
     "gdpr_forget_users_audit",     # per-table 1x1x1 audit-count combines
+    "sql_ntile_price_deciles",     # 1-row total-count broadcast (ntile n)
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
@@ -107,13 +108,60 @@ _ALLOWED_BNLJ = {
 }
 
 
+def _walk_logical(node):
+    yield node
+    cs = node.children()
+    for i in range(cs.size()):
+        yield from _walk_logical(cs.apply(i))
+
+
+def _unreduced_global_windows(df) -> int:
+    """Count unpartitioned Window nodes in the optimized logical plan
+    whose subtree holds NO reduction — no Aggregate, no Limit, no
+    partitioned (pre-reduce) Window below. Such a window funnels a
+    data-sized input through one task (VERDICT r4 rec #4); the accepted
+    shapes are (a) windows over aggregate-grain inputs (months, days,
+    a limited vocab) and (b) the distributed-ranking helpers
+    (operators/ranking.py), whose only global window reads either the
+    per-partition offset ledger or a per-partition top-k."""
+    reducers = {"Aggregate", "GlobalLimit", "LocalLimit", "Sample"}
+    bad = 0
+    for n in _walk_logical(df._jdf.queryExecution().optimizedPlan()):
+        if (
+            n.getClass().getSimpleName() == "Window"
+            and n.partitionSpec().isEmpty()
+        ):
+            below = list(_walk_logical(n))[1:]
+            reduced = any(
+                c.getClass().getSimpleName() in reducers
+                or (
+                    c.getClass().getSimpleName() == "Window"
+                    and not c.partitionSpec().isEmpty()
+                )
+                for c in below
+            )
+            if not reduced:
+                bad += 1
+    return bad
+
+
+# Queries whose plan legitimately holds an unpartitioned window over an
+# un-Aggregate-reduced input. Every entry must state the bound.
+_ALLOWED_GLOBAL_WINDOW: dict[str, str] = {
+    "gen_date_chunks": "sequence-explode date spine: |days| rows",
+    "sql_recursive_month_spine": "recursive month spine: |months| rows",
+}
+
+
 def test_registry_wide_plan_guardrails(spark, sf_dir):
     """Permanent invariant over EVERY registered query (VERDICT r3 rec
-    #6): no shuffle cartesian products anywhere, and a broadcast
+    #6): no shuffle cartesian products anywhere, a broadcast
     nested-loop join may appear only in the audited scalar-combine /
-    tiny-query-set allow-list above. This is the automated version of
-    the per-round manual plan audit — any future quadratic join fails
-    here before it ships."""
+    tiny-query-set allow-list above, and (VERDICT r4 rec #4) no
+    unpartitioned window may rank an unreduced, data-sized input. This
+    is the automated version of the per-round manual plan audit — any
+    future quadratic join or single-task global sort fails here before
+    it ships."""
     offenders: list[str] = []
     for name, spec in QUERIES.items():
         if name.startswith("stream_"):
@@ -124,12 +172,25 @@ def test_registry_wide_plan_guardrails(spark, sf_dir):
             # vacuous here (and building it would run the join); the
             # REAL plan is asserted by test_bloom_filter_prunes_fact_scan
             continue
-        plan = _plan(spec.build(spark, sf_dir))
+        df = spec.build(spark, sf_dir)
+        plan = _plan(df)
         if "CartesianProduct" in plan:
             offenders.append(f"{name}: CartesianProduct")
         if "BroadcastNestedLoopJoin" in plan and name not in _ALLOWED_BNLJ:
             offenders.append(f"{name}: unaudited BroadcastNestedLoopJoin")
+        if name not in _ALLOWED_GLOBAL_WINDOW:
+            n_bad = _unreduced_global_windows(df)
+            if n_bad:
+                offenders.append(
+                    f"{name}: {n_bad} unpartitioned window(s) over an "
+                    "unreduced input"
+                )
     assert not offenders, offenders
+
+
+def test_global_window_allowlist_has_no_stale_entries():
+    stale = set(_ALLOWED_GLOBAL_WINDOW) - set(QUERIES)
+    assert not stale, stale
 
 
 def test_bnlj_allowlist_has_no_stale_entries():

@@ -22,27 +22,20 @@ def test_window_is_front_loaded_and_fits():
     assert len(DRIVER_WINDOW) <= 50, "window exceeds the driver's check cap"
 
 
-def test_reference_canary_inside_window():
-    # Round-4 rotation: the window is spent on the 49 queries that have
-    # never had an official driver-green row (VERDICT r3 rec #2); the
-    # full reference core (Qa–Qh, V1/V2) went green in r3 and waits in
-    # overflow — one flagship canary stays inside the window.
-    first50 = set(list(get_queries())[:50])
-    assert "q0_flagship_rainy_count" in first50
-
-
-def test_window_holds_only_never_official_green_plus_canary():
-    """Pin the round-4 rotation intent: every window slot is spent on a
-    query without an official driver-green CORRECTNESS row (r1–r3),
-    except the single reference-core canary."""
+def test_window_holds_only_never_official_queries():
+    """Pin the round-5 rotation intent (VERDICT r4 rec #1): with 102
+    queries still lacking ANY official driver row after r4 (and the
+    reference core + canary latest-green through r4), every one of the
+    50 slots is spent on a never-officially-checked query — zero slots
+    wasted on already-green rows."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
     green: set[str] = set()
-    # only the rounds that informed this rotation — r4+ artifacts land
+    # only the rounds that informed this rotation — r5+ artifacts land
     # AFTER the window was chosen and must not retro-fail the pin
-    for rn in ("r01", "r02", "r03"):
+    for rn in ("r01", "r02", "r03", "r04"):
         p = root / f"CORRECTNESS_{rn}.json"
         if not p.exists():
             continue
@@ -52,7 +45,7 @@ def test_window_holds_only_never_official_green_plus_canary():
     if not green:  # driver artifacts absent (fresh checkout)
         return
     wasted = [n for n in DRIVER_WINDOW if n in green]
-    assert wasted == ["q0_flagship_rainy_count"], wasted
+    assert not wasted, wasted
 
 
 def test_every_query_has_oracle():
