@@ -432,6 +432,57 @@ def cosine_topk_pq_adc(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     )
 
 
+REFINE_C = 50  # stage-1 candidate depth for the two-stage refine
+
+
+def cosine_topk_pq_refine(
+    embeddings: DataFrame, k: int = TOP_K, c: int = REFINE_C
+) -> DataFrame:
+    """Two-stage retrieval: PQ-ADC candidate generation (top-``c`` in
+    the compressed domain) followed by EXACT cosine re-scoring of just
+    those candidates — FAISS's ``IndexRefineFlat`` pattern, and the
+    standard production answer to PQ's recall loss: the corpus scan
+    stays in the ~32x-smaller code domain, and the float vectors are
+    fetched for only |queries| x c rows (an equi-join on neighbor id —
+    point lookups against vector storage at 100 TB, not a scan).
+    """
+    cand = cosine_topk_pq_adc(embeddings, k=c).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    base = with_norm(embeddings)
+    queries = base.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("e").alias("qe"),
+        F.col("norm").alias("qnorm"),
+    )
+    refined = (
+        cand.join(
+            base.select(
+                F.col("vec_id").alias("neighbor_vec_id"), "e", "norm"
+            ),
+            "neighbor_vec_id",
+        )
+        .join(F.broadcast(queries), "query_vec_id")
+        .select(
+            "query_vec_id",
+            "neighbor_vec_id",
+            F.round(
+                _dot(F.col("qe"), F.col("e"))
+                / (F.col("qnorm") * F.col("norm")),
+                6,
+            ).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_sim").desc(), F.col("neighbor_vec_id").asc()
+    )
+    return (
+        refined.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_vec_id", "rank")
+    )
+
+
 def cosine_topk_ivfpq(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
     """IVF-PQ — the composed index every production ANN service runs
     (FAISS's IndexIVFPQ): the coarse quantizer prunes the search to the

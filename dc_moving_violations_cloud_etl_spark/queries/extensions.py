@@ -2105,6 +2105,132 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
 )
 
 
+# ---------------------------------------------------------------------------
+# two-stage retrieval: ADC candidates + exact refine (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured effect of the two-stage refine (`operators/similarity.
+    cosine_topk_pq_refine` — FAISS IndexRefineFlat): recall@5 of raw
+    PQ-ADC top-5 vs recall@5 after exact re-scoring of the ADC top-50,
+    against the brute-force baseline. The refine stage touches only
+    |queries| x 50 float vectors (point lookups), yet recovers most of
+    the recall the compressed-domain scan loses — the number that
+    justifies running the 32x-smaller index at 100 TB."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    adc5 = similarity.cosine_topk_pq_adc(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    ref5 = similarity.cosine_topk_pq_refine(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_adc = exact.join(adc5, ["query_vec_id", "neighbor_vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_adc_matched")
+    )
+    n_ref = exact.join(ref5, ["query_vec_id", "neighbor_vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_refined_matched")
+    )
+    return (
+        n_exact.crossJoin(F.broadcast(n_adc))
+        .crossJoin(F.broadcast(n_ref))
+        .select(
+            "n_exact_pairs",
+            "n_adc_matched",
+            "n_refined_matched",
+            F.round(
+                F.col("n_adc_matched").cast("double")
+                / F.col("n_exact_pairs"),
+                6,
+            ).alias("adc_recall_r6"),
+            F.round(
+                F.col("n_refined_matched").cast("double")
+                / F.col("n_exact_pairs"),
+                6,
+            ).alias("refined_recall_r6"),
+            F.lit(similarity.REFINE_C).cast("long").alias("refine_depth"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "retrieval_two_stage_rerank",
+        _two_stage_rerank,
+        _EMB_CTE
+        + _PQ_CHAIN_SQL
+        + f"""
+, adc_ranked AS (
+  SELECT query_vec_id, neighbor_vec_id,
+         row_number() OVER (PARTITION BY query_vec_id
+             ORDER BY cos_pq DESC, neighbor_vec_id ASC) AS rank
+  FROM pq_scored
+),
+adc5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM adc_ranked WHERE rank <= 5
+),
+cand AS (
+  SELECT query_vec_id, neighbor_vec_id FROM adc_ranked
+  WHERE rank <= {similarity.REFINE_C}
+),
+refined AS (
+  SELECT c.query_vec_id, c.neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(n.e)),
+               i -> q.e[i] * n.e[i])) / (q.nrm * n.nrm), 6) AS cos_exact
+  FROM cand c
+  JOIN normed n ON n.vec_id = c.neighbor_vec_id
+  JOIN normed q ON q.vec_id = c.query_vec_id
+),
+ref5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_exact DESC, neighbor_vec_id ASC) AS rank
+    FROM refined
+  ) WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+ma AS (SELECT count(*) AS n FROM exact JOIN adc5
+       USING (query_vec_id, neighbor_vec_id)),
+mr AS (SELECT count(*) AS n FROM exact JOIN ref5
+       USING (query_vec_id, neighbor_vec_id))
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(n AS BIGINT) FROM ma) AS n_adc_matched,
+       (SELECT CAST(n AS BIGINT) FROM mr) AS n_refined_matched,
+       round(CAST((SELECT n FROM ma) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS adc_recall_r6,
+       round(CAST((SELECT n FROM mr) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS refined_recall_r6,
+       CAST({similarity.REFINE_C} AS BIGINT) AS refine_depth
+""",
+        doc="Two-stage retrieval audit: recall@5 of raw PQ-ADC top-5 vs "
+        "exact-refined ADC top-50 (FAISS IndexRefineFlat pattern) "
+        "against the brute-force baseline — the compressed scan plus "
+        "|Q| x 50 point lookups recovers the recall the codes lose",
+        tags=("extension", "similarity", "pq", "retrieval", "recall"),
+    )
+)
+
+
 def _png_decode_real(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = multimodal.decode_png_real(_docs(spark, sf_dir))
     return d.select(
@@ -2524,6 +2650,108 @@ ORDER BY p.query_vec_id
         "brute-force ranking, random negatives = deterministic "
         "hash-picks over the id space — the pair-mining step between "
         "ANN search and embedding fine-tuning",
+        tags=("extension", "mining", "similarity", "training"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# DPO preference-pair mining (round 5)
+# ---------------------------------------------------------------------------
+
+_PREF_CHOSEN_RANK = 2   # nearest non-self neighbor plays "chosen"
+_PREF_REJECTED_RANK = 15  # a plausible-but-worse response plays "rejected"
+
+
+def _preference_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Preference-pair mining for DPO/RLHF-style training — the sibling
+    of `mining_contrastive_triples` for PAIRWISE objectives: for every
+    query (prompt stand-in), CHOSEN = its nearest non-self neighbor and
+    REJECTED = rank 15 of the SAME ranking pass (a plausible but
+    measurably worse response), with the score margin that pair
+    curricula sort and filter by. Pairs with sub-threshold margin are
+    dropped (margin <= 0.05 teaches nothing and destabilizes the DPO
+    loss) and the per-pair margin is reported for curriculum bucketing.
+
+    Shape at 100 TB: ONE brute-force ranking pass over the broadcast
+    query set (rank slicing, exactly like the triples miner — no second
+    scoring pass), then a per-query pivot of two rank rows. The margin
+    filter is a post-aggregation predicate on a |queries|-row table."""
+    emb = _emb(spark, sf_dir)
+    ranked = similarity.cosine_topk_bruteforce(emb, k=_PREF_REJECTED_RANK)
+    picked = ranked.where(
+        F.col("rank").isin(_PREF_CHOSEN_RANK, _PREF_REJECTED_RANK)
+    )
+    pairs = picked.groupBy("query_vec_id").agg(
+        F.max(
+            F.when(
+                F.col("rank") == _PREF_CHOSEN_RANK, F.col("neighbor_vec_id")
+            )
+        ).alias("chosen_id"),
+        F.max(
+            F.when(
+                F.col("rank") == _PREF_REJECTED_RANK,
+                F.col("neighbor_vec_id"),
+            )
+        ).alias("rejected_id"),
+        F.round(
+            F.max(
+                F.when(F.col("rank") == _PREF_CHOSEN_RANK, F.col("cos_sim"))
+            )
+            - F.max(
+                F.when(
+                    F.col("rank") == _PREF_REJECTED_RANK, F.col("cos_sim")
+                )
+            ),
+            6,
+        ).alias("margin_r6"),
+    )
+    return pairs.where(F.col("margin_r6") > 0.05).orderBy("query_vec_id")
+
+
+register(
+    QuerySpec(
+        "mining_preference_pairs",
+        _preference_pairs,
+        _EMB_CTE
+        + f"""
+, bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+ranked AS (
+  SELECT query_vec_id, neighbor_vec_id, cos_sim,
+         row_number() OVER (PARTITION BY query_vec_id
+             ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+  FROM bscored
+),
+pairs AS (
+  SELECT query_vec_id,
+         max(CASE WHEN rank = {_PREF_CHOSEN_RANK}
+                  THEN neighbor_vec_id END) AS chosen_id,
+         max(CASE WHEN rank = {_PREF_REJECTED_RANK}
+                  THEN neighbor_vec_id END) AS rejected_id,
+         round(max(CASE WHEN rank = {_PREF_CHOSEN_RANK} THEN cos_sim END)
+             - max(CASE WHEN rank = {_PREF_REJECTED_RANK} THEN cos_sim END),
+           6) AS margin_r6
+  FROM ranked
+  WHERE rank IN ({_PREF_CHOSEN_RANK}, {_PREF_REJECTED_RANK})
+  GROUP BY query_vec_id
+)
+SELECT query_vec_id, chosen_id, rejected_id, margin_r6
+FROM pairs WHERE margin_r6 > 0.05
+ORDER BY query_vec_id
+""",
+        doc="DPO/RLHF preference-pair mining: chosen = nearest non-self "
+        "neighbor, rejected = rank 15 of the same single ranking pass, "
+        "margin-filtered (> 0.05) with per-pair margins for curriculum "
+        "bucketing — the pairwise sibling of the contrastive triples",
         tags=("extension", "mining", "similarity", "training"),
     )
 )

@@ -105,6 +105,8 @@ _ALLOWED_BNLJ = {
     "retrieval_rrf_hybrid",        # 1-row query-vector broadcast
     "curation_perplexity_filter",  # 1-row vocab-size + p90 broadcasts
     "mining_contrastive_triples",  # brute-force ranking + 1-row n_vec
+    "mining_preference_pairs",     # same brute-force broadcast query set
+    "retrieval_two_stage_rerank",  # tiny query set + 1-row count combines
 }
 
 
