@@ -1474,3 +1474,239 @@ FROM labeled GROUP BY d ORDER BY day_s
         tags=("extension", "analytics", "feature-store"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# marketing touch attribution (round 5)
+# ---------------------------------------------------------------------------
+
+_ATTR_WINDOW_S = 86_400  # 24h lookback
+
+
+def _touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-touch vs last-touch purchase attribution: each purchase is
+    credited to the FIRST and to the LAST view/click by the same user
+    in the 24h before it (ties broken by event id), under both models;
+    purchases with no touch in-window report as 'none'. The revenue
+    split across touch types is the report marketing pipelines ship.
+
+    Shape at 100 TB: the purchase-touch pairing is the engine's
+    bucketed RANGE join (operators/temporal.range_join_pairs — <= 3
+    candidate day-buckets per purchase, hash equi-join, never a per-user
+    cross product); first/last election is a row_number window
+    PARTITIONED per purchase (bounded by that purchase's 24h touches);
+    the final aggregate is (2 models x |touch types|) rows."""
+    from ..operators.temporal import range_join_pairs
+
+    ev = _events(spark, sf_dir)
+    purchases = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"),
+        "user_id",
+        F.col("ts").alias("p_ts"),
+        "value",
+    )
+    touches = ev.where(F.col("event_type").isin("view", "click")).select(
+        "user_id",
+        F.col("ts").alias("t_ts"),
+        F.col("event_id").alias("t_id"),
+        F.col("event_type").alias("touch_type"),
+    )
+    pairs = range_join_pairs(
+        purchases,
+        touches,
+        key="user_id",
+        left_ts="p_ts",
+        right_ts="t_ts",
+        lower_s=0,
+        upper_s=_ATTR_WINDOW_S,
+        left_cols=["p_id"],
+        right_cols=["t_id", "touch_type"],
+    )
+    w_first = Window.partitionBy("p_id").orderBy(
+        F.asc("_rts"), F.asc("t_id")
+    )
+    w_last = Window.partitionBy("p_id").orderBy(
+        F.desc("_rts"), F.desc("t_id")
+    )
+    first_t = (
+        pairs.withColumn("rn", F.row_number().over(w_first))
+        .where(F.col("rn") == 1)
+        .select("p_id", "touch_type")
+    )
+    last_t = (
+        pairs.withColumn("rn", F.row_number().over(w_last))
+        .where(F.col("rn") == 1)
+        .select("p_id", "touch_type")
+    )
+    base = purchases.select("p_id", "value")
+
+    def model(name: str, elected: DataFrame) -> DataFrame:
+        return base.join(elected, "p_id", "left").select(
+            F.lit(name).alias("model"),
+            F.coalesce("touch_type", F.lit("none")).alias("touch_type"),
+            "value",
+        )
+
+    return (
+        model("first_touch", first_t)
+        .unionByName(model("last_touch", last_t))
+        .groupBy("model", "touch_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_purchases"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        .orderBy("model", "touch_type")
+    )
+
+
+register(
+    QuerySpec(
+        "events_touch_attribution",
+        _touch_attribution,
+        f"""
+WITH p AS (
+  SELECT event_id AS p_id, user_id, ts AS p_ts, value
+  FROM events WHERE event_type = 'purchase'
+),
+t AS (
+  SELECT user_id, ts AS t_ts, event_id AS t_id, event_type AS touch_type
+  FROM events WHERE event_type IN ('view', 'click')
+),
+pairs AS (
+  SELECT p.p_id, t.t_ts, t.t_id, t.touch_type
+  FROM p JOIN t USING (user_id)
+  WHERE CAST(floor(epoch(p.p_ts)) AS BIGINT)
+        - CAST(floor(epoch(t.t_ts)) AS BIGINT)
+        BETWEEN 0 AND {_ATTR_WINDOW_S}
+),
+first_t AS (
+  SELECT p_id, touch_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_id
+        ORDER BY t_ts ASC, t_id ASC) AS rn
+    FROM pairs) WHERE rn = 1
+),
+last_t AS (
+  SELECT p_id, touch_type FROM (
+    SELECT *, row_number() OVER (PARTITION BY p_id
+        ORDER BY t_ts DESC, t_id DESC) AS rn
+    FROM pairs) WHERE rn = 1
+),
+attributed AS (
+  SELECT 'first_touch' AS model,
+         coalesce(f.touch_type, 'none') AS touch_type, p.value
+  FROM p LEFT JOIN first_t f USING (p_id)
+  UNION ALL
+  SELECT 'last_touch', coalesce(l.touch_type, 'none'), p.value
+  FROM p LEFT JOIN last_t l USING (p_id)
+)
+SELECT model, touch_type,
+       CAST(count(*) AS BIGINT) AS n_purchases,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM attributed
+GROUP BY model, touch_type
+ORDER BY model, touch_type
+""",
+        doc="First-touch vs last-touch purchase attribution over a 24h "
+        "lookback: bucketed range join (<= 3 day-bucket candidates per "
+        "purchase), per-purchase election windows, revenue split by "
+        "touch type under both models",
+        tags=("extension", "analytics", "range-join"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# bot-traffic audit (round 5)
+# ---------------------------------------------------------------------------
+
+_BOT_FAST_GAP_S = 600  # inter-arrival <= 10 min counts as a burst step
+
+
+def _bot_user_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bot/abuse screening over the event log — the log-hygiene filter
+    a training pipeline runs before treating user behavior as signal:
+    per user, the share of inter-arrival gaps at burst speed (<= 10
+    min), reported as the top-10 most burst-heavy users. The per-user
+    lag window is key-partitioned (bounded by one user's events); the
+    top-10 goes through the lossless per-partition pre-reduction
+    (operators/ranking.global_topk), so nothing global ever sorts the
+    fact table."""
+    from ..operators.ranking import global_topk
+
+    ev = _events(spark, sf_dir).select("user_id", "ts", "event_id")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gaps = ev.select(
+        "user_id",
+        (
+            F.unix_timestamp("ts")
+            - F.unix_timestamp(F.lag("ts").over(w))
+        ).alias("gap_s"),
+    )
+    per_user = gaps.groupBy("user_id").agg(
+        # one gaps row per EVENT (the user's first has a null gap)
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.sum(
+            F.when(F.col("gap_s") <= _BOT_FAST_GAP_S, 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_fast_gaps"),
+        F.count("gap_s").cast("long").alias("n_gaps"),
+    )
+    scored = per_user.where(F.col("n_gaps") > 0).select(
+        "user_id",
+        "n_events",
+        "n_fast_gaps",
+        F.round(
+            F.col("n_fast_gaps").cast("double") / F.col("n_gaps"), 6
+        ).alias("fast_ratio_r6"),
+    )
+    return global_topk(
+        scored,
+        10,
+        F.desc("fast_ratio_r6"),
+        F.asc("user_id"),
+        alias="rank",
+    ).select(
+        "user_id", "n_events", "n_fast_gaps", "fast_ratio_r6",
+        F.col("rank").cast("long").alias("rank"),
+    ).orderBy("rank")
+
+
+register(
+    QuerySpec(
+        "events_bot_user_audit",
+        _bot_user_audit,
+        f"""
+WITH g AS (
+  SELECT user_id,
+         CAST(floor(epoch(ts)) AS BIGINT)
+         - lag(CAST(floor(epoch(ts)) AS BIGINT))
+             OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_s
+  FROM events
+),
+per_user AS (
+  SELECT user_id,
+         CAST(count(*) AS BIGINT) AS n_events,
+         CAST(sum(CASE WHEN gap_s <= {_BOT_FAST_GAP_S} THEN 1 ELSE 0 END)
+              AS BIGINT) AS n_fast_gaps,
+         count(gap_s) AS n_gaps
+  FROM g GROUP BY user_id
+)
+SELECT user_id, n_events, n_fast_gaps,
+       round(CAST(n_fast_gaps AS DOUBLE) / n_gaps, 6) AS fast_ratio_r6,
+       CAST(row_number() OVER (ORDER BY
+           round(CAST(n_fast_gaps AS DOUBLE) / n_gaps, 6) DESC,
+           user_id ASC) AS BIGINT) AS rank
+FROM per_user WHERE n_gaps > 0
+QUALIFY rank <= 10
+ORDER BY rank
+""",
+        doc="Bot/abuse screening: per-user share of burst-speed "
+        "inter-arrival gaps (<= 10 min) via key-partitioned lag "
+        "windows, top-10 burst-heavy users through the lossless "
+        "pre-reduced global ranking",
+        tags=("extension", "analytics", "quality"),
+    )
+)

@@ -543,28 +543,40 @@ def _decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     per = caching.persist_tracked(
         _dedup.minhash_signatures(_docs(spark, sf_dir)).select(
-            "doc_id", "lang", "sh", "bands"
+            "doc_id", "lang", "text_hash", "sh", "bands"
         )
     )
     is_bench = F.col("doc_id") % BENCH_MOD == 0
-    bands = per.select(
-        "doc_id", F.posexplode("bands").alias("band_idx", "band_hash")
+    # dup-cluster collapse: bands and shingles are pure functions of the
+    # normalized TEXT, so candidate generation and Jaccard verification
+    # run once per UNIQUE corpus text (min-doc representative) — a
+    # web-scale corpus's heavy exact-dup clusters (the fixture has
+    # ~1,500-doc ones) would otherwise multiply both stages by cluster
+    # size for identical answers (measured 22 s -> per-rep at sf0.1)
+    w_th = Window.partitionBy("text_hash")
+    reps = caching.persist_tracked(
+        per.where(~is_bench)
+        .withColumn("_rep", F.min("doc_id").over(w_th))
+        .where(F.col("doc_id") == F.col("_rep"))
+        .select("text_hash", "sh", "bands")
     )
-    bench_bands = bands.where(is_bench).select(
-        F.col("doc_id").alias("bench_doc_id"), "band_idx", "band_hash"
+    rep_bands = reps.select(
+        "text_hash", F.posexplode("bands").alias("band_idx", "band_hash")
+    )
+    bench_bands = per.where(is_bench).select(
+        F.col("doc_id").alias("bench_doc_id"),
+        F.posexplode("bands").alias("band_idx", "band_hash"),
     )
     cand = (
-        bands.where(~is_bench)
-        .join(F.broadcast(bench_bands), ["band_idx", "band_hash"])
-        .select("doc_id", "bench_doc_id")
+        rep_bands.join(F.broadcast(bench_bands), ["band_idx", "band_hash"])
+        .select("text_hash", "bench_doc_id")
         .distinct()
     )
-    sh = per.select("doc_id", "sh")
     verified = (
-        cand.join(sh, "doc_id")
+        cand.join(reps.select("text_hash", "sh"), "text_hash")
         .join(
             F.broadcast(
-                sh.where(is_bench).select(
+                per.where(is_bench).select(
                     F.col("doc_id").alias("bench_doc_id"),
                     F.col("sh").alias("sh_b"),
                 )
@@ -572,16 +584,16 @@ def _decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "bench_doc_id",
         )
         .select(
-            "doc_id",
+            "text_hash",
             _dedup._jaccard(F.col("sh"), F.col("sh_b")).alias("jaccard"),
         )
         .where(F.col("jaccard") >= _dedup.JACCARD_THRESHOLD)
-        .groupBy("doc_id")
+        .groupBy("text_hash")
         .agg(F.max("jaccard").alias("max_jaccard"))
     )
-    corpus = per.where(~is_bench).select("doc_id", "lang")
+    corpus = per.where(~is_bench).select("doc_id", "lang", "text_hash")
     return (
-        corpus.join(verified, "doc_id", "left")
+        corpus.join(verified, "text_hash", "left")
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).alias("n_docs_checked"),

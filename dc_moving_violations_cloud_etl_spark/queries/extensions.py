@@ -2755,3 +2755,144 @@ ORDER BY query_vec_id
         tags=("extension", "mining", "similarity", "training"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# binary-quantized Hamming ANN (round 5)
+# ---------------------------------------------------------------------------
+
+_BINARY_CTE = """
+, bcoded AS (
+  SELECT vec_id,
+         CAST(list_sum(list_transform(generate_series(1, 32),
+              i -> CASE WHEN e[i] > 0
+                        THEN CAST(power(2, i - 1) AS BIGINT)
+                        ELSE 0 END)) AS BIGINT) AS blo,
+         CAST(list_sum(list_transform(generate_series(33, 64),
+              i -> CASE WHEN e[i] > 0
+                        THEN CAST(power(2, i - 33) AS BIGINT)
+                        ELSE 0 END)) AS BIGINT) AS bhi
+  FROM normed
+),
+bqueries AS (
+  SELECT vec_id AS query_vec_id, blo AS qlo, bhi AS qhi
+  FROM bcoded WHERE vec_id % 100 = 0
+),
+hscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         CAST(bit_count(xor(c.blo, q.qlo))
+            + bit_count(xor(c.bhi, q.qhi)) AS BIGINT) AS hamming
+  FROM bcoded c, bqueries q
+),
+htop AS (
+  SELECT query_vec_id, neighbor_vec_id, hamming,
+         CAST(row_number() OVER (PARTITION BY query_vec_id
+             ORDER BY hamming ASC, neighbor_vec_id ASC) AS BIGINT) AS rank
+  FROM hscored
+)
+"""
+
+
+register(
+    QuerySpec(
+        "similarity_binary_hamming_topk",
+        lambda spark, sf_dir: similarity.hamming_topk_binary(
+            _emb(spark, sf_dir)
+        ),
+        _EMB_CTE
+        + _BINARY_CTE
+        + """
+SELECT query_vec_id, neighbor_vec_id, hamming, rank
+FROM htop WHERE rank <= 5
+ORDER BY query_vec_id, rank
+""",
+        doc="Binary-quantized ANN: 64 sign bits packed into two longs "
+        "(8 bytes/vector, 32x smaller index), top-5 by XOR+popcount "
+        "Hamming distance — integer-only whole-stage codegen, the "
+        "cheapest compressed scan in the ANN matrix "
+        "(operators/similarity.py binary_codes/hamming_topk_binary)",
+        tags=("extension", "similarity", "recall"),
+    )
+)
+
+
+def _binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """recall@5 of the binary-Hamming scan vs the exact brute-force
+    baseline, with the measured index bytes — positioning binary
+    quantization inside the ANN trade-off matrix (LSH / IVF / PQ /
+    Matryoshka / binary)."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    ham = similarity.hamming_topk_binary(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
+    n_match = exact.join(ham, ["query_vec_id", "neighbor_vec_id"]).agg(
+        F.count(F.lit(1)).alias("n_matched")
+    )
+    nvec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
+    return (
+        n_exact.crossJoin(F.broadcast(n_match))
+        .crossJoin(F.broadcast(nvec))
+        .select(
+            "n_exact_pairs",
+            "n_matched",
+            F.round(
+                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+            ).alias("recall_r6"),
+            (F.col("n_vectors") * 64 * 4).cast("long").alias(
+                "bytes_float_index"
+            ),
+            (F.col("n_vectors") * 8).cast("long").alias("bytes_binary_index"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "similarity_binary_recall",
+        _binary_recall,
+        _EMB_CTE
+        + _BINARY_CTE
+        + """
+, ham5 AS (
+  SELECT query_vec_id, neighbor_vec_id FROM htop WHERE rank <= 5
+),
+bq AS (
+  SELECT vec_id AS query_vec_id, e AS qe, nrm AS qnorm
+  FROM normed WHERE vec_id % 100 = 0
+),
+bscored AS (
+  SELECT q.query_vec_id, c.vec_id AS neighbor_vec_id,
+         round(list_sum(list_transform(generate_series(1, len(c.e)),
+               i -> q.qe[i] * c.e[i])) / (q.qnorm * c.nrm), 6) AS cos_sim
+  FROM normed c, bq q
+),
+exact AS (
+  SELECT query_vec_id, neighbor_vec_id FROM (
+    SELECT *, row_number() OVER (PARTITION BY query_vec_id
+        ORDER BY cos_sim DESC, neighbor_vec_id ASC) AS rank
+    FROM bscored
+  ) WHERE rank <= 5
+),
+m AS (
+  SELECT count(*) AS n_matched
+  FROM exact JOIN ham5 USING (query_vec_id, neighbor_vec_id)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_exact_pairs,
+       (SELECT CAST(n_matched AS BIGINT) FROM m) AS n_matched,
+       round(CAST((SELECT n_matched FROM m) AS DOUBLE)
+             / (SELECT count(*) FROM exact), 6) AS recall_r6,
+       (SELECT CAST(count(*) * 64 * 4 AS BIGINT) FROM corpus)
+         AS bytes_float_index,
+       (SELECT CAST(count(*) * 8 AS BIGINT) FROM corpus)
+         AS bytes_binary_index
+""",
+        doc="recall@5 of the binary sign-bit Hamming scan vs the exact "
+        "baseline, with measured 32x index compression — completes the "
+        "ANN matrix (LSH / IVF / PQ / IVF-PQ / Matryoshka / binary)",
+        tags=("extension", "similarity", "recall"),
+    )
+)

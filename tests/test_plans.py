@@ -102,6 +102,8 @@ _ALLOWED_BNLJ = {
     "similarity_ivfpq_topk",       # same tiny LUT build as the PQ path
     "similarity_ivfpq_recall",     # 1-row count combines + the above
     "similarity_matryoshka_recall",  # brute-force truncated baseline
+    "similarity_binary_hamming_topk",  # tiny binary-code query set
+    "similarity_binary_recall",    # 1-row count combines + the above
     "retrieval_rrf_hybrid",        # 1-row query-vector broadcast
     "curation_perplexity_filter",  # 1-row vocab-size + p90 broadcasts
     "mining_contrastive_triples",  # brute-force ranking + 1-row n_vec
