@@ -1608,3 +1608,235 @@ register(
         tags=("extension", "mining", "training"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# label propagation communities (round 5)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 3
+_LPA_TOP = 10
+
+
+def _label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation over the
+    co-click graph: labels start as node ids; each round every node
+    adopts its neighbors' MODE label (count desc, label asc tie-break —
+    fully deterministic, unlike classic async LPA). Three rounds,
+    unrolled; the report is the top-10 communities by size.
+
+    Shape at 100 TB: each round is one equi-join of the symmetric edge
+    list against the current |nodes|-row label table plus a
+    per-node mode election (key-partitioned count + rank window) —
+    R x (join + two key-partitioned shuffles), the same bounded-round
+    discipline as the PageRank and CC operators; labels never leave
+    key-partitioned operators. Co-click nodes all have >= 1 edge by
+    construction, so no isolated-node carry is needed."""
+    from ..operators.ranking import global_topk
+
+    edges = _coclick_edges(spark, sf_dir)
+    sym = caching.persist_tracked(
+        edges.select(F.col("u").alias("a"), F.col("v").alias("b")).unionByName(
+            edges.select(F.col("v").alias("a"), F.col("u").alias("b"))
+        )
+    )
+    labels = sym.select(F.col("a").alias("n")).distinct().select(
+        "n", F.col("n").alias("lbl")
+    )
+    for _ in range(_LPA_ROUNDS):
+        counted = (
+            sym.join(labels, sym["b"] == labels["n"])
+            .groupBy(F.col("a").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = Window.partitionBy("node").orderBy(
+            F.col("c").desc(), F.col("lbl").asc()
+        )
+        labels = (
+            counted.withColumn("rn", F.row_number().over(w))
+            .where(F.col("rn") == 1)
+            .select(F.col("node").alias("n"), "lbl")
+        )
+    communities = labels.groupBy(F.col("lbl").alias("community")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_nodes")
+    )
+    return global_topk(
+        communities,
+        _LPA_TOP,
+        F.desc("n_nodes"),
+        F.asc("community"),
+        alias="rank",
+    ).select(
+        "community", "n_nodes", F.col("rank").cast("long").alias("rank")
+    ).orderBy("rank")
+
+
+def _lpa_round_sql(prev: str, cur: str) -> str:
+    return f"""
+r{cur} AS (
+  SELECT s.a AS n, l.lbl, count(*) AS c
+  FROM sym s JOIN {prev} l ON l.n = s.b
+  GROUP BY s.a, l.lbl
+),
+l{cur} AS (
+  SELECT n, lbl FROM (
+    SELECT *, row_number() OVER (PARTITION BY n
+        ORDER BY c DESC, lbl ASC) AS rn
+    FROM r{cur}) WHERE rn = 1
+)"""
+
+
+register(
+    QuerySpec(
+        "graph_label_propagation",
+        _label_propagation,
+        """
+WITH uk AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM uk a JOIN uk b ON a.k = b.k AND a.d = b.d
+  WHERE a.user_id < b.user_id
+),
+sym AS (SELECT u AS a, v AS b FROM e UNION ALL SELECT v, u FROM e),
+l0 AS (SELECT DISTINCT a AS n, a AS lbl FROM sym),"""
+        + _lpa_round_sql("l0", "1")
+        + ","
+        + _lpa_round_sql("l1", "2")
+        + ","
+        + _lpa_round_sql("l2", "3")
+        + f"""
+, communities AS (
+  SELECT lbl AS community, CAST(count(*) AS BIGINT) AS n_nodes
+  FROM l3 GROUP BY lbl
+)
+SELECT community, n_nodes,
+       CAST(row_number() OVER (ORDER BY n_nodes DESC, community ASC)
+            AS BIGINT) AS rank
+FROM communities
+QUALIFY rank <= {_LPA_TOP}
+ORDER BY rank
+""",
+        doc="Deterministic synchronous label propagation (3 rounds, mode "
+        "label with count/label tie-break) over the co-click graph; "
+        "top-10 communities by size — R bounded rounds of edge-join + "
+        "key-partitioned mode election",
+        tags=("extension", "graph", "mining", "iterative"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity (round 5)
+# ---------------------------------------------------------------------------
+
+
+def _degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the co-click graph: the Pearson
+    correlation of endpoint degrees over the DOUBLED edge list (Newman
+    2002) — positive means hubs click alongside hubs. Every sum in the
+    correlation is an exact integer (degrees are counts), so the
+    closed-form is bit-deterministic; one degree table, one edge-degree
+    equi-join per endpoint, one constant-size aggregate."""
+    edges = caching.persist_tracked(_coclick_edges(spark, sf_dir))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .unionByName(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("long").alias("d"))
+    )
+    sym = edges.select(F.col("u").alias("x"), F.col("v").alias("y")).unionByName(
+        edges.select(F.col("v").alias("x"), F.col("u").alias("y"))
+    )
+    paired = (
+        sym.join(deg.select(F.col("n").alias("x"), F.col("d").alias("dx")), "x")
+        .join(deg.select(F.col("n").alias("y"), F.col("d").alias("dy")), "y")
+    )
+    agg = paired.agg(
+        F.count(F.lit(1)).cast("long").alias("m2"),
+        F.sum("dx").cast("long").alias("sx"),
+        F.sum("dy").cast("long").alias("sy"),
+        F.sum(F.col("dx") * F.col("dy")).cast("long").alias("sxy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("long").alias("sxx"),
+        F.sum(F.col("dy") * F.col("dy")).cast("long").alias("syy"),
+    )
+    n_nodes = deg.agg(F.count(F.lit(1)).cast("long").alias("n_nodes"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+    r = (
+        (F.col("m2") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (
+            F.sqrt(
+                (F.col("m2") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+                    "double"
+                )
+            )
+            * F.sqrt(
+                (F.col("m2") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+                    "double"
+                )
+            )
+        )
+    )
+    return (
+        agg.crossJoin(F.broadcast(n_nodes))
+        .crossJoin(F.broadcast(n_edges))
+        .select(
+            "n_nodes",
+            "n_edges",
+            F.round(r, 6).alias("assortativity_r6"),
+        )
+    )
+
+
+register(
+    QuerySpec(
+        "graph_degree_assortativity",
+        _degree_assortativity,
+        """
+WITH uk AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'click'
+),
+e AS (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM uk a JOIN uk b ON a.k = b.k AND a.d = b.d
+  WHERE a.user_id < b.user_id
+),
+deg AS (
+  SELECT n, CAST(count(*) AS BIGINT) AS d
+  FROM (SELECT u AS n FROM e UNION ALL SELECT v AS n FROM e)
+  GROUP BY n
+),
+sym AS (SELECT u AS x, v AS y FROM e UNION ALL SELECT v, u FROM e),
+paired AS (
+  SELECT dx.d AS dx, dy.d AS dy
+  FROM sym s JOIN deg dx ON dx.n = s.x JOIN deg dy ON dy.n = s.y
+),
+agg AS (
+  SELECT CAST(count(*) AS BIGINT) AS m2,
+         CAST(sum(dx) AS BIGINT) AS sx,
+         CAST(sum(dy) AS BIGINT) AS sy,
+         CAST(sum(dx * dy) AS BIGINT) AS sxy,
+         CAST(sum(dx * dx) AS BIGINT) AS sxx,
+         CAST(sum(dy * dy) AS BIGINT) AS syy
+  FROM paired
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM deg) AS n_nodes,
+       (SELECT CAST(count(*) AS BIGINT) FROM e) AS n_edges,
+       round(CAST(m2 * sxy - sx * sy AS DOUBLE)
+             / (sqrt(CAST(m2 * sxx - sx * sx AS DOUBLE))
+                * sqrt(CAST(m2 * syy - sy * sy AS DOUBLE))), 6)
+         AS assortativity_r6
+FROM agg
+""",
+        doc="Degree assortativity (Newman 2002) of the co-click graph: "
+        "Pearson correlation of endpoint degrees over the doubled edge "
+        "list, all sums exact integers - one degree table, two "
+        "edge-degree equi-joins, constant-size aggregate",
+        tags=("extension", "graph", "mining", "statistics"),
+    )
+)

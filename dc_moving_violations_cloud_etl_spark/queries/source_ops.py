@@ -655,3 +655,180 @@ ORDER BY table_name
         tags=("extension", "source", "pushdown", "metadata"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# Z-order clustering / min-max pruning audit (round 5)
+# ---------------------------------------------------------------------------
+
+_Z_BITS = 5          # 5 bits per dimension -> 10-bit Morton code
+_Z_RG_ROWS = 1000    # simulated parquet row-group size
+_Z_MAX = (1 << _Z_BITS) - 1
+# predicate workload over (epoch-day % 32, user_id % 32): a day-only
+# box, a user-only box, and a both-dims box — the mix that separates
+# the layouts (each linear order wins its own dimension and loses the
+# other; the Morton curve bounds both)
+_Z_PREDICATES: dict[str, tuple[int, int, int, int]] = {
+    "day_box": (8, 11, 0, _Z_MAX),
+    "user_box": (0, _Z_MAX, 8, 15),
+    "both_box": (8, 11, 8, 15),
+}
+
+
+def _zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-ORDER clustering audit — the Delta ``OPTIMIZE ZORDER BY``
+    trade, measured: lay the events fact out under three sort orders
+    (day-major, user-major, Morton-interleaved day x user), cut it into
+    fixed-size row groups, and count how many groups' min-max ranges a
+    2-D predicate box must touch. Linear orders prune only their
+    leading dimension; the Z-order curve bounds BOTH, which at 100 TB
+    is the difference between scanning a stripe of the table and a few
+    row groups (min-max zone maps come free from parquet footers).
+
+    The row-group assignment uses the DISTRIBUTED global rank
+    (operators/ranking.global_rank) per ordering — a real rewrite would
+    range-repartition + sortWithinPartitions on the same key, with the
+    identical resulting layout; ``test_zorder_real_parquet_footers``
+    pins this simulation to actual parquet footer stats."""
+    from ..operators.ranking import global_rank
+
+    ev = catalog.base(spark, sf_dir, "events").select(
+        "event_id",
+        (
+            F.datediff(F.to_date("ts"), F.lit("1970-01-01").cast("date"))
+            % (1 << _Z_BITS)
+        ).cast("long").alias("did"),
+        (F.col("user_id") % (1 << _Z_BITS)).cast("long").alias("ub"),
+    )
+    z = sum(
+        (
+            F.shiftright(F.col("did"), i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i))
+            + F.shiftright(F.col("ub"), i).bitwiseAND(F.lit(1))
+            * F.lit(1 << (2 * i + 1))
+        )
+        for i in range(_Z_BITS)
+    )
+    keyed = ev.withColumn("z", z.cast("long"))
+
+    orders = {
+        "linear_day": [F.asc("did"), F.asc("ub"), F.asc("event_id")],
+        "linear_user": [F.asc("ub"), F.asc("did"), F.asc("event_id")],
+        "zorder": [F.asc("z"), F.asc("event_id")],
+    }
+    out = None
+    for name, cols in orders.items():
+        ranked = global_rank(keyed, *cols, alias="rk")
+        groups = (
+            ranked.withColumn(
+                "rg", ((F.col("rk") - 1) / _Z_RG_ROWS).cast("long")
+            )
+            .groupBy("rg")
+            .agg(
+                F.min("did").alias("lo_d"),
+                F.max("did").alias("hi_d"),
+                F.min("ub").alias("lo_u"),
+                F.max("ub").alias("hi_u"),
+            )
+        )
+        for pname, (dlo, dhi, ulo, uhi) in _Z_PREDICATES.items():
+            audit = groups.agg(
+                F.lit(name).alias("strategy"),
+                F.lit(pname).alias("predicate"),
+                F.count(F.lit(1)).cast("long").alias("n_groups"),
+                F.sum(
+                    F.when(
+                        (F.col("lo_d") <= dhi)
+                        & (F.col("hi_d") >= dlo)
+                        & (F.col("lo_u") <= uhi)
+                        & (F.col("hi_u") >= ulo),
+                        1,
+                    ).otherwise(0)
+                )
+                .cast("long")
+                .alias("n_groups_scanned"),
+            )
+            out = audit if out is None else out.unionByName(audit)
+    return out.select(
+        "strategy",
+        "predicate",
+        "n_groups",
+        "n_groups_scanned",
+        F.round(
+            F.col("n_groups_scanned").cast("double") / F.col("n_groups"), 6
+        ).alias("scan_fraction_r6"),
+    ).orderBy("strategy", "predicate")
+
+
+_Z_PREDS_SQL = ", ".join(
+    f"('{n}', {dlo}, {dhi}, {ulo}, {uhi})"
+    for n, (dlo, dhi, ulo, uhi) in _Z_PREDICATES.items()
+)
+
+
+register(
+    QuerySpec(
+        "layout_zorder_pruning_audit",
+        _zorder_pruning_audit,
+        f"""
+WITH keyed AS (
+  SELECT event_id,
+         CAST(date_diff('day', DATE '1970-01-01', CAST(ts AS DATE))
+              % {1 << _Z_BITS} AS BIGINT) AS did,
+         CAST(user_id % {1 << _Z_BITS} AS BIGINT) AS ub
+  FROM events
+),
+zkeyed AS (
+  SELECT event_id, did, ub,
+         CAST({" + ".join(
+             f"((did // {1 << i}) % 2) * {1 << (2 * i)}"
+             f" + ((ub // {1 << i}) % 2) * {1 << (2 * i + 1)}"
+             for i in range(_Z_BITS)
+         )} AS BIGINT) AS z
+  FROM keyed
+),
+assigned AS (
+  SELECT 'linear_day' AS strategy,
+         (row_number() OVER (ORDER BY did, ub, event_id) - 1)
+           // {_Z_RG_ROWS} AS rg, did, ub
+  FROM zkeyed
+  UNION ALL
+  SELECT 'linear_user',
+         (row_number() OVER (ORDER BY ub, did, event_id) - 1)
+           // {_Z_RG_ROWS}, did, ub
+  FROM zkeyed
+  UNION ALL
+  SELECT 'zorder',
+         (row_number() OVER (ORDER BY z, event_id) - 1)
+           // {_Z_RG_ROWS}, did, ub
+  FROM zkeyed
+),
+groups AS (
+  SELECT strategy, rg,
+         min(did) AS lo_d, max(did) AS hi_d,
+         min(ub) AS lo_u, max(ub) AS hi_u
+  FROM assigned GROUP BY strategy, rg
+),
+preds(predicate, dlo, dhi, ulo, uhi) AS (
+  VALUES {_Z_PREDS_SQL}
+)
+SELECT g.strategy, p.predicate,
+       CAST(count(*) AS BIGINT) AS n_groups,
+       CAST(sum(CASE WHEN g.lo_d <= p.dhi AND g.hi_d >= p.dlo
+                      AND g.lo_u <= p.uhi AND g.hi_u >= p.ulo
+                     THEN 1 ELSE 0 END) AS BIGINT) AS n_groups_scanned,
+       round(CAST(sum(CASE WHEN g.lo_d <= p.dhi AND g.hi_d >= p.dlo
+                            AND g.lo_u <= p.uhi AND g.hi_u >= p.ulo
+                           THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6)
+         AS scan_fraction_r6
+FROM groups g CROSS JOIN preds p
+GROUP BY g.strategy, p.predicate ORDER BY g.strategy, p.predicate
+""",
+        doc="Z-order clustering audit (Delta OPTIMIZE ZORDER trade, "
+        "measured): row-group min-max pruning under day-major, "
+        "user-major, and Morton-interleaved layouts against a 2-D "
+        "predicate box - the zone-map scan fractions that decide a "
+        "100 TB layout rewrite",
+        tags=("extension", "layout", "statistics"),
+    )
+)

@@ -81,6 +81,7 @@ _ALLOWED_BNLJ = {
     "tpch_q11_important_stock",    # 1-row national stock total
     "text_bm25_scores",            # 1-row (N, avgdl) corpus stats
     "graph_triangle_census",       # nodes/edges/wedges/tri 1x1x1 combine
+    "graph_degree_assortativity",  # 1-row moment-sum x node/edge counts
     "basket_type_lift",            # 1-row basket-count broadcast
     "events_value_drift_audit",    # 1-row midpoint + totals broadcasts
     "corpus_bigram_lm_nll",        # 1-row vocabulary-size broadcast
