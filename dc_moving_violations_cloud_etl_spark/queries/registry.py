@@ -121,8 +121,16 @@ def _load_all() -> None:
 #   logreg_gd_train, stream_state_metadata_read, stream_outer_join_sealed,
 #   stream_full_outer_sealed, stream_semi_join_matched,
 #   stream_right_outer_sealed
-# — plus anything in THIS window that comes back red, plus any round-5
-# additions (which are themselves official-row-less by construction).
+# — plus anything in THIS window that comes back red, plus the
+# round-5 additions (official-row-less by construction; ledgered as
+# `queued` in QUERIES.md): curation_decontaminate_neardup,
+# curation_split_leakage_audit, corpus_shuffle_mix_audit,
+# corpus_skipgram_pairs, retrieval_two_stage_rerank,
+# mining_preference_pairs, similarity_binary_hamming_topk,
+# similarity_binary_recall, events_touch_attribution,
+# events_bot_user_audit, graph_label_propagation,
+# graph_degree_assortativity, layout_zorder_pruning_audit,
+# stream_chained_pipeline.
 DRIVER_WINDOW = [
     "similarity_pq_adc_topk",
     "similarity_pq_recall",

@@ -816,3 +816,113 @@ GROUP BY event_type ORDER BY event_type
         tags=("streaming", "sink", "occ", "snapshot"),
     )
 )
+
+
+def _chained_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TWO chained streaming stages — the multi-hop topology real
+    streaming platforms run (bronze -> silver), with the custom Python
+    streaming sink as the hand-off: stage 1 is a map-only streaming ETL
+    (filter clicks, project) landing jsonl through the per-batch
+    manifest-committing sink; stage 2 is an INDEPENDENT streaming query
+    tailing that directory as a file stream and aggregating a daily
+    rollup in complete mode. The hop is exactly-once end-to-end: stage
+    1 publishes atomic per-batch manifests, stage 2's file-source
+    checkpoint tracks each landed file exactly once.
+
+    Scale: each stage is an ordinary Structured Streaming query (map
+    stage has no state at all; rollup state is |days x 1| rows); the
+    hand-off directory is the bronze table a 100 TB deployment would
+    place on object storage."""
+    import hashlib as _hashlib
+    import os
+    import shutil
+
+    from ..catalog import normalize_event_ts, read_parquet
+    from ..scratch import sweep_dead_scratch
+    from ..sources.py_sink import STREAM_SINK_NAME, make_jsonl_stream_sink
+    from ..streaming.daily import (
+        _SCRATCH_ROOT,
+        _drain_memory_sink,
+        _run_to_completion,
+        _stage_dir,
+    )
+
+    spark.dataSource.register(make_jsonl_stream_sink())
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = _hashlib.md5(f"chain:{sf_dir}".encode()).hexdigest()[:8]
+    sweep_dead_scratch(_SCRATCH_ROOT, ("chain_",))
+    bronze = os.path.join(_SCRATCH_ROOT, f"chain_bronze_{tag}_{os.getpid()}")
+    ck1 = os.path.join(_SCRATCH_ROOT, f"chain_ck1_{tag}_{os.getpid()}")
+    ck2 = os.path.join(_SCRATCH_ROOT, f"chain_ck2_{tag}_{os.getpid()}")
+    for d in (bronze, ck1, ck2):
+        shutil.rmtree(d, ignore_errors=True)
+
+    # stage 1: map-only ETL -> custom Python streaming sink (bronze)
+    src = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
+    stage1 = src.where(F.col("event_type") == "click").select(
+        "event_id", "ts", "user_id", "value"
+    )
+    try:
+        _run_to_completion(
+            spark,
+            stage1.writeStream.format(STREAM_SINK_NAME)
+            .option("path", bronze)
+            .option("checkpointLocation", ck1)
+            .trigger(availableNow=True),
+        )
+
+        # stage 2: tail the bronze directory as a file stream -> rollup
+        name = f"chain_rollup_{tag}"
+        silver = (
+            spark.readStream.schema(
+                "event_id long, ts timestamp, user_id long, value double"
+            )
+            .option("timestampFormat", "yyyy-MM-dd'T'HH:mm:ss.SSSSSS")
+            .option("pathGlobFilter", "part-*.jsonl")
+            .json(bronze)
+        )
+        agg = silver.groupBy(
+            F.date_format("ts", "yyyy-MM-dd").alias("day")
+        ).agg(
+            F.count(F.lit(1)).cast("long").alias("n_clicks"),
+            F.sum(F.col("value").cast("decimal(18,2)"))
+            .cast("double")
+            .alias("total_value"),
+        )
+        _run_to_completion(
+            spark,
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .trigger(availableNow=True),
+        )
+        return _drain_memory_sink(
+            spark, name, spark.table(name).orderBy("day")
+        )
+    finally:
+        shutil.rmtree(ck1, ignore_errors=True)
+        shutil.rmtree(ck2, ignore_errors=True)
+
+
+register(
+    QuerySpec(
+        "stream_chained_pipeline",
+        _chained_pipeline,
+        """
+SELECT strftime(CAST(ts AS DATE), '%Y-%m-%d') AS day,
+       CAST(count(*) AS BIGINT) AS n_clicks,
+       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+FROM events WHERE event_type = 'click'
+GROUP BY 1 ORDER BY 1
+""",
+        doc="two chained streaming stages (bronze -> silver): map-only "
+        "click ETL through the manifest-committing Python streaming "
+        "sink, then an independent file-stream query tails the landed "
+        "jsonl into a complete-mode daily rollup — exactly-once "
+        "multi-hop hand-off, oracle-equal to the one-shot batch rollup",
+        tags=("streaming", "sink", "python-datasource", "pipeline"),
+    )
+)
