@@ -700,16 +700,13 @@ def _zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("long").alias("did"),
         (F.col("user_id") % (1 << _Z_BITS)).cast("long").alias("ub"),
     )
-    z = sum(
-        (
-            F.shiftright(F.col("did"), i).bitwiseAND(F.lit(1))
-            * F.lit(1 << (2 * i))
-            + F.shiftright(F.col("ub"), i).bitwiseAND(F.lit(1))
-            * F.lit(1 << (2 * i + 1))
-        )
-        for i in range(_Z_BITS)
+    from ..operators.layout import zorder_key
+
+    # shared Morton operator (operators/layout.py): bit i of column j
+    # lands at output bit i*2+j — same interleave the oracle unrolls
+    keyed = ev.withColumn(
+        "z", zorder_key([F.col("did"), F.col("ub")], bits=_Z_BITS)
     )
-    keyed = ev.withColumn("z", z.cast("long"))
 
     orders = {
         "linear_day": [F.asc("did"), F.asc("ub"), F.asc("event_id")],

@@ -249,9 +249,54 @@ AUDITED = [
     ),
     (
         "retrieval_rrf_hybrid",
-        "rank windows run over bounded RESULT lists, never inside the "
-        "scoring joins; the fusion is a full outer join of two rank "
-        "tables; the query vector is a 1-row broadcast",
+        "both arm ranks are DISTRIBUTED global ranks (rangepartitioning "
+        "exchange, per-partition row_number, constant-size offset "
+        "ledger as the only SinglePartition window input); final "
+        "top-10 pre-reduces per partition; query vector is a 1-row "
+        "broadcast",
+    ),
+    (
+        "sql_ntile_price_deciles",
+        "exact ntile WITHOUT a global sort: rangepartitioning rank "
+        "pipeline + closed-form bucket arithmetic in codegen; the only "
+        "nested-loop is the 1-row total-count broadcast",
+    ),
+    (
+        "layout_zorder_pruning_audit",
+        "three rank pipelines (one per layout) over one events scan; "
+        "each is range-partitioned with the offset ledger as the only "
+        "single-partition window; final audit is a constant-size "
+        "aggregate per strategy x predicate",
+    ),
+    (
+        "events_touch_attribution",
+        "purchase-touch pairing is a day-bucketed HASH equi-join "
+        "(explode <= 3 candidate buckets), never a nested loop; "
+        "first/last election windows are per-purchase partitions",
+    ),
+    (
+        "similarity_binary_hamming_topk",
+        "corpus side scans two LONG code columns of the persisted "
+        "binary index; XOR+popcount evaluates in codegen; the only "
+        "nested-loop is the tiny broadcast query set",
+    ),
+    (
+        "curation_decontaminate_neardup",
+        "persisted signature scan feeds reps, band join, and verify; "
+        "benchmark band + shingle sides broadcast; verification joins "
+        "run on unique-TEXT representatives, not per doc",
+    ),
+    (
+        "corpus_skipgram_pairs",
+        "one multi-lead Window pass per doc partition (both offsets in "
+        "a single Window node), no positional self-join; top-20 "
+        "pre-reduces per partition before the global window",
+    ),
+    (
+        "graph_label_propagation",
+        "each round is one equi-join of the persisted symmetric edge "
+        "list against the label table + a key-partitioned mode "
+        "election window; no cross join, no global window",
     ),
 ]
 
