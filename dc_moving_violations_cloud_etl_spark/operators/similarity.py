@@ -661,3 +661,85 @@ def hamming_topk_binary(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         .where(F.col("rank") <= k)
         .orderBy("query_vec_id", "rank")
     )
+
+
+def int8_codes(embeddings: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 quantization for SEARCH (the serving
+    twin of `queries/curation.embedding_quantize_int8`'s storage audit):
+    scale = max|x|/127, q_i = floor(x_i/scale + 0.5) clamped to
+    [-127, 127] — `floor(x+0.5)` sidesteps engine round-half rules.
+    64 bytes/vector (4x smaller than float32), and int8 x int8 dots are
+    EXACT integers, so ranking is deterministic across engines."""
+    e = _as_double(F.col("embedding"))
+    amax = F.array_max(F.transform(e, F.abs))
+    return _fan_out(embeddings).select(
+        "vec_id",
+        e.alias("e"),
+        amax.alias("amax"),
+        (amax / F.lit(127.0)).alias("scale"),
+    ).select(
+        "vec_id",
+        "scale",
+        F.transform(
+            F.col("e"),
+            lambda x: F.when(
+                F.col("amax") == 0.0, F.lit(0).cast("long")
+            ).otherwise(
+                F.greatest(
+                    F.lit(-127).cast("long"),
+                    F.least(
+                        F.lit(127).cast("long"),
+                        F.floor(x / F.col("scale") + F.lit(0.5)),
+                    ),
+                )
+            ),
+        ).alias("q"),
+    )
+
+
+def cosine_topk_int8(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
+    """Approximate top-k over int8 codes, symmetric scoring: the
+    integer dot q_c . q_q is exact; cosine is reconstructed as
+    dot / (|q_c| |q_q|) from integer self-dots (the per-vector scales
+    cancel in cosine). Corpus side reads 64 bytes/vector; all hot-path
+    arithmetic is integer codegen + two sqrt/division flops per pair."""
+    coded = persist_tracked(
+        int8_codes(embeddings).select(
+            "vec_id",
+            "q",
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("q"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("qq"),
+        )
+    )
+    queries = coded.where(F.col("vec_id") % QUERY_MOD == 0).select(
+        F.col("vec_id").alias("query_vec_id"),
+        F.col("q").alias("quer"),
+        F.col("qq").alias("qq_q"),
+    )
+    scored = coded.crossJoin(F.broadcast(queries)).select(
+        "query_vec_id",
+        F.col("vec_id").alias("neighbor_vec_id"),
+        F.round(
+            F.aggregate(
+                F.zip_with(F.col("q"), F.col("quer"), lambda a, b: a * b),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / (
+                F.sqrt(F.col("qq").cast("double"))
+                * F.sqrt(F.col("qq_q").cast("double"))
+            ),
+            6,
+        ).alias("cos_q8"),
+    )
+    w = Window.partitionBy("query_vec_id").orderBy(
+        F.col("cos_q8").desc(), F.col("neighbor_vec_id").asc()
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .where(F.col("rank") <= k)
+        .orderBy("query_vec_id", "rank")
+    )

@@ -105,6 +105,8 @@ _ALLOWED_BNLJ = {
     "similarity_matryoshka_recall",  # brute-force truncated baseline
     "similarity_binary_hamming_topk",  # tiny binary-code query set
     "similarity_binary_recall",    # 1-row count combines + the above
+    "similarity_int8_topk",        # tiny int8-code query set
+    "similarity_int8_recall",      # 1-row count combines + the above
     "retrieval_rrf_hybrid",        # 1-row query-vector broadcast
     "curation_perplexity_filter",  # 1-row vocab-size + p90 broadcasts
     "mining_contrastive_triples",  # brute-force ranking + 1-row n_vec
