@@ -95,3 +95,38 @@ def test_global_topk_plan_prereduces_before_global_window(spark):
     assert "SPARK_PARTITION_ID" in plan
     first_win = plan.index("Window")
     assert "SPARK_PARTITION_ID" in plan[first_win:], plan
+
+
+def test_global_rank_property_random_data(spark):
+    """Hypothesis-style property sweep without per-example Spark jobs
+    (one job per case is already slow): several adversarial datasets —
+    all-equal keys, pre-sorted, reverse-sorted, heavy ties, singleton —
+    must all rank identically to the single-window reference."""
+    cases = [
+        [(i, 7) for i in range(100)],            # all sort-values equal
+        [(i, i) for i in range(100)],            # pre-sorted
+        [(i, -i) for i in range(100)],           # reverse-sorted
+        [(i, i % 3) for i in range(101)],        # heavy ties
+        [(0, 42)],                               # singleton
+        [(i, (i * 37) % 11) for i in range(257)],  # scrambled, odd size
+    ]
+    for rows in cases:
+        df = spark.createDataFrame(rows, "k long, v long").repartition(7)
+        got = {
+            (r["k"], r["r"])
+            for r in global_rank(df, F.asc("v"), F.asc("k"), alias="r")
+            .select("k", "r")
+            .collect()
+        }
+        want = {
+            (r["k"], r["r"])
+            for r in df.withColumn(
+                "r",
+                F.row_number()
+                .over(Window.orderBy(F.asc("v"), F.asc("k")))
+                .cast("long"),
+            )
+            .select("k", "r")
+            .collect()
+        }
+        assert got == want, rows[:5]
