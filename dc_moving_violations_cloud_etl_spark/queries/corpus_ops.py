@@ -1562,3 +1562,140 @@ GROUP BY d.lang ORDER BY d.lang
         tags=("extension", "curation", "quality"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# span-corruption objective plan (round 5)
+# ---------------------------------------------------------------------------
+
+_SPAN_BLOCK = 8   # positions per block
+_SPAN_LEN = 3     # masked span = first 3 positions of a selected block
+_SPAN_MOD = 4     # 1 in 4 blocks selected -> ~9% token mask rate
+
+
+def _span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-corruption data generation (the T5/UL2 denoising objective)
+    as a DETERMINISTIC relational plan: token positions are cut into
+    8-position blocks, a seeded md5 pick selects 1-in-4 blocks, and the
+    first 3 positions of each selected block form the masked span —
+    non-overlapping BY CONSTRUCTION (blocks partition the position
+    space), so no greedy conflict resolution is needed anywhere. The
+    report is the per-language mask accounting a data pipeline checks
+    before launching a pretraining run (mask rate, span count, mean
+    span length including doc-end clamping).
+
+    Shape at 100 TB: posexplode + per-row hash arithmetic + one
+    aggregate — no windows, no joins, no state; the masking decision is
+    reproducible from (doc_id, block) alone, so shards can be
+    regenerated independently."""
+    d = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    )
+    tok = d.select(
+        "doc_id", "lang", F.posexplode("toks").alias("pos", "t")
+    ).where(F.length("t") > 0)
+    block = (F.col("pos") / _SPAN_BLOCK).cast("long")
+    picked = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.lit("span:"),
+                        F.col("doc_id").cast("string"),
+                        F.lit(":"),
+                        block.cast("string"),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        % _SPAN_MOD
+        == 0
+    )
+    masked = picked & (F.col("pos") % _SPAN_BLOCK < _SPAN_LEN)
+    flagged = tok.select(
+        "doc_id",
+        "lang",
+        masked.alias("is_masked"),
+        F.when(masked, block).alias("span_key"),
+    )
+    return (
+        flagged.groupBy("lang")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("total_tokens"),
+            F.sum(F.when(F.col("is_masked"), 1).otherwise(0))
+            .cast("long")
+            .alias("masked_tokens"),
+            F.countDistinct("doc_id", "span_key")
+            .cast("long")
+            .alias("n_spans"),
+        )
+        .select(
+            "lang",
+            "n_docs",
+            "total_tokens",
+            "masked_tokens",
+            "n_spans",
+            F.round(
+                F.col("masked_tokens").cast("double") / F.col("total_tokens"),
+                6,
+            ).alias("mask_ratio_r6"),
+            F.round(
+                F.col("masked_tokens").cast("double") / F.col("n_spans"), 6
+            ).alias("avg_span_len_r6"),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_span_corruption_plan",
+        _span_corruption_plan,
+        f"""
+WITH d AS (
+  SELECT doc_id, lang,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, lang, i AS pos
+  FROM d, unnest(generate_series(0, len(toks) - 1)) t(i)
+  WHERE length(toks[i + 1]) > 0
+),
+flagged AS (
+  SELECT doc_id, lang, pos,
+         pos // {_SPAN_BLOCK} AS block,
+         (CAST('0x' || substr(md5('span:' || CAST(doc_id AS VARCHAR) || ':'
+               || CAST(pos // {_SPAN_BLOCK} AS VARCHAR)), 1, 8) AS BIGINT)
+            % {_SPAN_MOD} = 0)
+         AND (pos % {_SPAN_BLOCK} < {_SPAN_LEN}) AS is_masked
+  FROM tok
+)
+SELECT lang,
+       CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs,
+       CAST(count(*) AS BIGINT) AS total_tokens,
+       CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT)
+         AS masked_tokens,
+       CAST(count(DISTINCT CASE WHEN is_masked
+            THEN doc_id * 1000000 + block END) AS BIGINT) AS n_spans,
+       round(CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 6) AS mask_ratio_r6,
+       round(CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(DISTINCT CASE WHEN is_masked
+                  THEN doc_id * 1000000 + block END), 6) AS avg_span_len_r6
+FROM flagged GROUP BY lang ORDER BY lang
+""",
+        doc="Span-corruption (T5/UL2) data-gen plan: blocks of 8 token "
+        "positions, seeded md5 1-in-4 block pick, first-3 positions "
+        "masked - non-overlapping by construction, shard-reproducible "
+        "from (doc_id, block); per-language mask rate / span count / "
+        "mean span length accounting",
+        tags=("extension", "corpus", "training"),
+    )
+)
