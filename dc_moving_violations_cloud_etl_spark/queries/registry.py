@@ -131,7 +131,7 @@ def _load_all() -> None:
 # events_bot_user_audit, graph_label_propagation,
 # graph_degree_assortativity, layout_zorder_pruning_audit,
 # stream_chained_pipeline, similarity_int8_topk, similarity_int8_recall,
-# corpus_span_corruption_plan.
+# corpus_span_corruption_plan, stream_hopping_window.
 DRIVER_WINDOW = [
     "similarity_pq_adc_topk",
     "similarity_pq_recall",

@@ -926,3 +926,36 @@ GROUP BY 1 ORDER BY 1
         tags=("streaming", "sink", "python-datasource", "pipeline"),
     )
 )
+
+
+from ..streaming.daily import hopping_window_streaming  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_hopping_window",
+        hopping_window_streaming,
+        """
+WITH mx AS (SELECT max(ts) AS max_ts FROM events),
+hops AS (
+  SELECT date_trunc('day', ts) - INTERVAL (o) DAY AS w_start,
+         event_type
+  FROM events, unnest([0, 1]) t(o)
+),
+agg AS (
+  SELECT w_start, event_type, CAST(count(*) AS BIGINT) AS n_events
+  FROM hops GROUP BY w_start, event_type
+)
+SELECT strftime(a.w_start, '%Y-%m-%d') AS window_start,
+       a.event_type, a.n_events
+FROM agg a, mx
+WHERE a.w_start + INTERVAL 2 DAY <= mx.max_ts - INTERVAL 1 DAY
+ORDER BY window_start, event_type
+""",
+        doc="Streaming HOPPING windows (2-day window, 1-day hop, 1-day "
+        "watermark, APPEND): each event expands into 2 windows "
+        "engine-side; only watermark-sealed windows emit — completes "
+        "the streaming window-shape trio (tumbling / session / "
+        "hopping), oracle = batch hop expansion with the seal cutoff",
+        tags=("streaming", "hopping-window", "watermark"),
+    )
+)

@@ -313,3 +313,49 @@ def update_mode_counts_streaming(
         .agg(F.max("n_events").cast("long").alias("n_events"))
         .orderBy("event_type"),
     )
+
+
+def hopping_window_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HOPPING (sliding) windows on a real stream — the third streaming
+    window shape next to the tumbling rollup and session windows: 2-day
+    windows every 1 day (each event lands in 2 windows via the engine's
+    Expand), 1-day watermark, APPEND mode so only watermark-sealed
+    windows emit. With availableNow the final watermark is
+    max(ts) - 1 day; the oracle drops windows whose END the watermark
+    has not passed — deterministic, fully hash-checkable."""
+    path = f"{sf_dir}/events.parquet"
+    schema = read_parquet(spark, path).schema
+    tag = hashlib.md5(f"hop:{sf_dir}".encode()).hexdigest()[:8]
+    name = f"hop_rollup_{tag}"
+
+    events = normalize_event_ts(
+        spark.readStream.schema(schema).parquet(_stage_dir(path, tag))
+    )
+    agg = (
+        events.withWatermark("ts", "1 day")
+        .groupBy(
+            F.window("ts", "2 days", "1 day").alias("win"),
+            F.col("event_type"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    _run_to_completion(
+        spark,
+        agg.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .trigger(availableNow=True),
+    )
+    return _drain_memory_sink(
+        spark,
+        name,
+        spark.table(name)
+        .select(
+            F.date_format(F.col("win.start"), "yyyy-MM-dd").alias(
+                "window_start"
+            ),
+            "event_type",
+            "n_events",
+        )
+        .orderBy("window_start", "event_type"),
+    )
