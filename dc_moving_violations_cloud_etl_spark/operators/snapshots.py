@@ -88,9 +88,15 @@ def expire_snapshots(
     window the data files outlive the manifest entry by the longest
     scan you expect — the same grace-period discipline as Delta's
     VACUUM retention. Unpublished-but-retained versions are ledgered in
-    ``_expired.json`` (version -> unpublish epoch) and deleted by any
-    later ``expire_snapshots`` call once aged out; ``retention_s=0``
+    ``_expired.json`` (version -> delete-after DEADLINE epoch, fixed at
+    unpublish time from the retention_s then in force — ADVICE r5: a
+    later call with a smaller/default retention_s must NOT shorten the
+    grace window already promised to in-flight readers) and deleted by
+    any later ``expire_snapshots`` call once aged out; ``retention_s=0``
     (the default, and the fixture-scale behavior) deletes immediately.
+    A version leaves the ledger only once its directory is confirmed
+    gone, so a partially-failed delete is retried by the next pass
+    instead of orphaning the directory forever (ADVICE r5).
     Returns the NEWLY unpublished version numbers."""
     import shutil
     import tempfile as _tempfile
@@ -114,13 +120,13 @@ def expire_snapshots(
             json.dump({"versions": keep}, f)
         os.replace(tmp, _manifest_path(table_dir))
         for v in expired:
-            ledger.setdefault(v, now)
-    for v, t0 in sorted(ledger.items()):
-        if now - t0 >= retention_s:
-            shutil.rmtree(
-                os.path.join(table_dir, f"v={v}"), ignore_errors=True
-            )
-            del ledger[v]
+            ledger.setdefault(v, now + retention_s)
+    for v, deadline in sorted(ledger.items()):
+        if now >= deadline:
+            vdir = os.path.join(table_dir, f"v={v}")
+            shutil.rmtree(vdir, ignore_errors=True)
+            if not os.path.exists(vdir):
+                del ledger[v]
     fd, tmp = _tempfile.mkstemp(dir=table_dir, prefix="_expired.")
     with os.fdopen(fd, "w") as f:
         json.dump({str(k): v for k, v in ledger.items()}, f)

@@ -84,105 +84,86 @@ def _load_all() -> None:
 # names listed here are emitted first (in this order), everything else
 # follows in registration order.
 #
-# Round-5 rotation (VERDICT r4 rec #1): all 50 slots go to queries that
-# have NEVER had an official driver CORRECTNESS row. After r4, 102 of 239
-# registered queries were official-row-less; this window takes the 50
-# flagship claims of round 4 (the ANN/PQ trade-off matrix, the five real
-# media decoders, the TPC-H completions q2/q9/q11/q12/q16/q20/q21, the
-# graph pack, OCC/WAP/time-travel/CDC, the BPE tokenizer-training loop,
-# sketch audits, the remaining streaming lifecycles, and the bucketed/
-# bloom/geo scale machinery). All 50 are sim-green under
-# tools/driver_sim.py with the driver-aligned canonicalizer.
+# Round-6 rotation (VERDICT r5 rec #1): all 50 slots again go to queries
+# that have NEVER had an official driver CORRECTNESS row. After r5, 70 of
+# 257 registered queries were official-row-less; this window takes the 50
+# highest-leverage ones — every round-5 flagship claim (int8/binary ANN +
+# two-stage rerank, MinHash near-dup decontamination, split-leakage +
+# shuffle-mix audits, span-corruption + skip-gram data gen, DPO pairs,
+# label propagation + assortativity, Z-order pruning audit, chained and
+# hopping-window streaming), the four sealed outer/semi streaming cells +
+# state-metadata reader, the ORC/XML/py-sink/partitioned/metadata source
+# matrix, the timeseries pair, kmeans/semdedup/logreg, udaf/udtf, all
+# nine SQL-dialect extras, and six corpus/dedup remainders. All 50 are
+# sim-green under tools/driver_sim.py with the driver-aligned
+# canonicalizer.
 #
-# Round-6 rotation: the remaining 52 never-official queries, enumerated
-# so the next window is mechanical (VERDICT r4 rec #3; per-query official
-# round also ledgered in QUERIES.md):
-#   dedup_substring_span_coverage, corpus_weighted_sample,
-#   corpus_mix_temperature, corpus_pipeline_end2end,
+# Round-7 rotation: the final 20 never-official queries, enumerated so
+# the next window is mechanical (also ledgered as `queued` in QUERIES.md;
+# this closes the catalog at 257/257 official):
 #   corpus_dataset_datasheet, compaction_bin_packing,
-#   timeseries_gapfill_interpolate, timeseries_seasonal_decompose,
 #   events_local_day_rollup, user_activity_streaks,
-#   udtf_partitioned_gap_stats, events_grouping_sets_matrix,
-#   funnel_conversion_window_24h, geo_radius_join_hotspots,
-#   events_decayed_leaderboard, udaf_grouped_median,
-#   incremental_agg_maintenance, phrase_search_positional,
-#   table_fingerprint_audit, rollup_serving_qa, gdpr_forget_users_audit,
-#   fk_cardinality_profile, privacy_k_anonymity_audit,
-#   dp_noisy_histogram_release, orc_source_roundtrip_agg,
-#   xml_source_roundtrip_agg, py_sink_roundtrip_agg,
-#   partitioned_month_layer_agg, metadata_agg_pushdown,
-#   nested_hof_order_amounts, sql_recursive_month_spine,
-#   sql_lateral_topk_days, sql_pipe_syntax_daily, sql_ntile_price_deciles,
-#   execute_immediate_profile, sql_udf_weather_flags,
-#   sql_collated_group_by, sql_ansi_try_functions, basket_type_lift,
-#   events_zscore_outliers, dedup_sorted_neighborhood,
-#   events_value_drift_audit, events_value_k_corr_direction,
-#   embedding_kmeans_exact, events_mad_outliers, semdedup_cluster_pairs,
-#   logreg_gd_train, stream_state_metadata_read, stream_outer_join_sealed,
-#   stream_full_outer_sealed, stream_semi_join_matched,
-#   stream_right_outer_sealed
-# — plus anything in THIS window that comes back red, plus the
-# round-5 additions (official-row-less by construction; ledgered as
-# `queued` in QUERIES.md): curation_decontaminate_neardup,
-# curation_split_leakage_audit, corpus_shuffle_mix_audit,
-# corpus_skipgram_pairs, retrieval_two_stage_rerank,
-# mining_preference_pairs, similarity_binary_hamming_topk,
-# similarity_binary_recall, events_touch_attribution,
-# events_bot_user_audit, graph_label_propagation,
-# graph_degree_assortativity, layout_zorder_pruning_audit,
-# stream_chained_pipeline, similarity_int8_topk, similarity_int8_recall,
-# corpus_span_corruption_plan, stream_hopping_window.
+#   events_grouping_sets_matrix, funnel_conversion_window_24h,
+#   geo_radius_join_hotspots, events_decayed_leaderboard,
+#   phrase_search_positional, table_fingerprint_audit, rollup_serving_qa,
+#   gdpr_forget_users_audit, fk_cardinality_profile,
+#   privacy_k_anonymity_audit, dp_noisy_histogram_release,
+#   basket_type_lift, events_zscore_outliers, events_value_drift_audit,
+#   events_value_k_corr_direction, events_mad_outliers
+# — plus anything in THIS window that comes back red, plus any round-6
+# additions (official-row-less by construction; ledgered as `queued` in
+# QUERIES.md).
 DRIVER_WINDOW = [
-    "similarity_pq_adc_topk",
-    "similarity_pq_recall",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_recall",
-    "similarity_matryoshka_recall",
-    "similarity_ivf_recall",
-    "similarity_ivf_nprobe2_recall",
-    "dedup_minhash_recall",
-    "dedup_prefix_filter_pairs",
-    "dedup_incremental_signatures",
-    "multimodal_png_decode_real",
-    "multimodal_bmp_decode_real",
-    "multimodal_wav_decode_real",
-    "multimodal_y4m_decode_real",
-    "multimodal_ahash_near_dup",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_bucket",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_halfconsumed_stock",
-    "tpch_q21_sole_returned_supplier",
-    "graph_pagerank_coclick",
-    "graph_bfs_seed_distance",
-    "graph_triangle_census",
-    "graph_cc_incremental",
-    "wap_publish_gate",
-    "stream_occ_snapshot_rollup",
-    "snapshot_time_travel_diff",
-    "cdc_merge_matrix",
-    "corpus_bpe_train_merges",
-    "corpus_bpe_encode_lengths",
-    "corpus_vocab_encode",
-    "corpus_bigram_lm_nll",
-    "curation_perplexity_filter",
-    "text_bm25_scores",
-    "retrieval_rrf_hybrid",
-    "feature_store_pit_labels",
-    "mining_contrastive_triples",
-    "topk_sketch_audit",
-    "hll_union_rollup_audit",
-    "quantile_sketch_audit",
-    "approx_distinct_error_audit",
-    "stream_py_sink_roundtrip",
-    "stream_rate_limited_backfill",
-    "stream_statestore_read",
-    "stream_file_sink_exactly_once",
-    "bucketed_join_zero_shuffle",
-    "bloom_pruned_fact_join",
-    "geo_ward_point_in_polygon",
+    "similarity_int8_topk",
+    "similarity_int8_recall",
+    "similarity_binary_hamming_topk",
+    "similarity_binary_recall",
+    "retrieval_two_stage_rerank",
+    "mining_preference_pairs",
+    "curation_decontaminate_neardup",
+    "curation_split_leakage_audit",
+    "corpus_shuffle_mix_audit",
+    "corpus_skipgram_pairs",
+    "corpus_span_corruption_plan",
+    "corpus_weighted_sample",
+    "corpus_mix_temperature",
+    "corpus_pipeline_end2end",
+    "dedup_substring_span_coverage",
+    "dedup_sorted_neighborhood",
+    "incremental_agg_maintenance",
+    "events_touch_attribution",
+    "events_bot_user_audit",
+    "graph_label_propagation",
+    "graph_degree_assortativity",
+    "layout_zorder_pruning_audit",
+    "orc_source_roundtrip_agg",
+    "xml_source_roundtrip_agg",
+    "py_sink_roundtrip_agg",
+    "partitioned_month_layer_agg",
+    "metadata_agg_pushdown",
+    "timeseries_gapfill_interpolate",
+    "timeseries_seasonal_decompose",
+    "embedding_kmeans_exact",
+    "semdedup_cluster_pairs",
+    "logreg_gd_train",
+    "udtf_partitioned_gap_stats",
+    "udaf_grouped_median",
+    "nested_hof_order_amounts",
+    "sql_recursive_month_spine",
+    "sql_lateral_topk_days",
+    "sql_pipe_syntax_daily",
+    "sql_ntile_price_deciles",
+    "execute_immediate_profile",
+    "sql_udf_weather_flags",
+    "sql_collated_group_by",
+    "sql_ansi_try_functions",
+    "stream_state_metadata_read",
+    "stream_outer_join_sealed",
+    "stream_full_outer_sealed",
+    "stream_semi_join_matched",
+    "stream_right_outer_sealed",
+    "stream_chained_pipeline",
+    "stream_hopping_window",
 ]
 
 

@@ -713,7 +713,12 @@ def _zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "linear_user": [F.asc("ub"), F.asc("did"), F.asc("event_id")],
         "zorder": [F.asc("z"), F.asc("event_id")],
     }
-    out = None
+    # One rank pipeline + group aggregate PER STRATEGY (3 scans total),
+    # then the tiny predicate list joins against the unioned group
+    # stats — not one lineage rebuild per (strategy, predicate) pair
+    # (ADVICE r5: the audit previously ran 9 rank pipelines for a
+    # 3-strategy x 3-predicate matrix).
+    groups_all = None
     for name, cols in orders.items():
         ranked = global_rank(keyed, *cols, alias="rk")
         groups = (
@@ -727,25 +732,33 @@ def _zorder_pruning_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.min("ub").alias("lo_u"),
                 F.max("ub").alias("hi_u"),
             )
+            .withColumn("strategy", F.lit(name))
         )
-        for pname, (dlo, dhi, ulo, uhi) in _Z_PREDICATES.items():
-            audit = groups.agg(
-                F.lit(name).alias("strategy"),
-                F.lit(pname).alias("predicate"),
-                F.count(F.lit(1)).cast("long").alias("n_groups"),
-                F.sum(
-                    F.when(
-                        (F.col("lo_d") <= dhi)
-                        & (F.col("hi_d") >= dlo)
-                        & (F.col("lo_u") <= uhi)
-                        & (F.col("hi_u") >= ulo),
-                        1,
-                    ).otherwise(0)
-                )
-                .cast("long")
-                .alias("n_groups_scanned"),
+        groups_all = (
+            groups if groups_all is None else groups_all.unionByName(groups)
+        )
+    preds = spark.createDataFrame(
+        [(n, *box) for n, box in _Z_PREDICATES.items()],
+        "predicate string, dlo long, dhi long, ulo long, uhi long",
+    )
+    out = (
+        groups_all.crossJoin(F.broadcast(preds))
+        .groupBy("strategy", "predicate")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_groups"),
+            F.sum(
+                F.when(
+                    (F.col("lo_d") <= F.col("dhi"))
+                    & (F.col("hi_d") >= F.col("dlo"))
+                    & (F.col("lo_u") <= F.col("uhi"))
+                    & (F.col("hi_u") >= F.col("ulo")),
+                    1,
+                ).otherwise(0)
             )
-            out = audit if out is None else out.unionByName(audit)
+            .cast("long")
+            .alias("n_groups_scanned"),
+        )
+    )
     return out.select(
         "strategy",
         "predicate",

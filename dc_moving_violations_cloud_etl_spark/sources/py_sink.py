@@ -212,20 +212,36 @@ def make_jsonl_stream_sink():
             # referenced file exists. A crash at any point leaves either
             # invisible-and-swept-later debris or a fully published
             # batch — never a manifest naming missing files.
+            #
+            # Cost bound (ADVICE r5): the manifest re-read + part glob is
+            # O(stream lifetime), so doing it EVERY commit is quadratic
+            # total. Crashed-commit debris can only predate this writer
+            # (a live writer renames exactly what it then publishes), so
+            # the full sweep runs once on the first commit after
+            # (re)start; later commits maintain the referenced-set
+            # incrementally and touch only their own files.
             this_batch = {os.path.basename(m.final) for m in messages}
-            referenced = set(this_batch)
-            for man in glob.glob(os.path.join(self.path, "_BATCH*_MANIFEST")):
-                try:
-                    with open(man) as f:
-                        referenced.update(json.load(f).get("files", []))
-                except (OSError, ValueError):
-                    continue
-            for part in glob.glob(os.path.join(self.path, "part-*.jsonl")):
-                if os.path.basename(part) not in referenced:
+            if getattr(self, "_referenced", None) is None:
+                referenced = set(this_batch)
+                for man in glob.glob(
+                    os.path.join(self.path, "_BATCH*_MANIFEST")
+                ):
                     try:
-                        os.remove(part)
-                    except FileNotFoundError:
-                        pass
+                        with open(man) as f:
+                            referenced.update(json.load(f).get("files", []))
+                    except (OSError, ValueError):
+                        continue
+                for part in glob.glob(
+                    os.path.join(self.path, "part-*.jsonl")
+                ):
+                    if os.path.basename(part) not in referenced:
+                        try:
+                            os.remove(part)
+                        except FileNotFoundError:
+                            pass
+                self._referenced = referenced
+            else:
+                self._referenced.update(this_batch)
 
             total = 0
             for m in messages:

@@ -78,6 +78,14 @@ PROGRESS_LEDGER: list[tuple[str, list[dict]]] = []
 _LEDGER_MAX = 200  # bounded: a long bench session must not accumulate
 
 
+def record_progress(name: str, trail: list[dict]) -> None:
+    """Append a (query name, progress trail) entry, trimming the ledger
+    to ``_LEDGER_MAX`` first — the single choke point every stream
+    runner must use so no call site can grow the ledger unboundedly."""
+    del PROGRESS_LEDGER[: max(0, len(PROGRESS_LEDGER) + 1 - _LEDGER_MAX)]
+    PROGRESS_LEDGER.append((name, trail))
+
+
 def _run_to_completion(spark: SparkSession, writer) -> None:
     """Start the streaming query with the stream-sized shuffle-partition
     conf (plans resolve at ``start()``), await availableNow completion,
@@ -96,11 +104,9 @@ def _run_to_completion(spark: SparkSession, writer) -> None:
             q.awaitTermination()
         finally:
             try:
-                trail = [p for p in q.recentProgress if p]
-                del PROGRESS_LEDGER[: max(
-                    0, len(PROGRESS_LEDGER) + 1 - _LEDGER_MAX
-                )]
-                PROGRESS_LEDGER.append((q.name or str(q.id), trail))
+                record_progress(
+                    q.name or str(q.id), [p for p in q.recentProgress if p]
+                )
             except Exception:  # noqa: BLE001 - audit trail is best-effort
                 pass
             q.stop()

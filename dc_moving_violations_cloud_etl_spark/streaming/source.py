@@ -179,10 +179,10 @@ def custom_source_ingest_streaming(
             q.processAllAvailable()
         finally:
             try:
-                from .daily import PROGRESS_LEDGER
+                from .daily import record_progress
 
-                PROGRESS_LEDGER.append(
-                    (q.name or str(q.id), [p for p in q.recentProgress if p])
+                record_progress(
+                    q.name or str(q.id), [p for p in q.recentProgress if p]
                 )
             except Exception:  # noqa: BLE001 - audit trail is best-effort
                 pass

@@ -23,19 +23,19 @@ def test_window_is_front_loaded_and_fits():
 
 
 def test_window_holds_only_never_official_queries():
-    """Pin the round-5 rotation intent (VERDICT r4 rec #1): with 102
-    queries still lacking ANY official driver row after r4 (and the
-    reference core + canary latest-green through r4), every one of the
-    50 slots is spent on a never-officially-checked query — zero slots
+    """Pin the round-6 rotation intent (VERDICT r5 rec #1): with 70
+    queries still lacking ANY official driver row after r5 (and every
+    ever-checked query latest-green through r5), every one of the 50
+    slots is spent on a never-officially-checked query — zero slots
     wasted on already-green rows."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
     green: set[str] = set()
-    # only the rounds that informed this rotation — r5+ artifacts land
+    # only the rounds that informed this rotation — r6+ artifacts land
     # AFTER the window was chosen and must not retro-fail the pin
-    for rn in ("r01", "r02", "r03", "r04"):
+    for rn in ("r01", "r02", "r03", "r04", "r05"):
         p = root / f"CORRECTNESS_{rn}.json"
         if not p.exists():
             continue

@@ -153,6 +153,17 @@ def test_expire_snapshots_retention_defers_delete(spark, tmp_path):
     # ... but the data files are still on disk for in-flight readers
     assert os.path.exists(os.path.join(d, "v=1"))
     assert spark.read.parquet(os.path.join(d, "v=1")).count() == 5
-    # a later expire pass with no retention sweeps the aged-out ledger
+    # the grace window is fixed at unpublish time (ADVICE r5): a later
+    # pass with the DEFAULT retention_s=0 must NOT shorten the promise
+    assert expire_snapshots(d, keep_last=1, retention_s=0) == []
+    assert os.path.exists(os.path.join(d, "v=1"))
+    # age the ledgered deadline out, then any pass sweeps it
+    import json
+
+    ledger_path = os.path.join(d, "_expired.json")
+    with open(ledger_path) as f:
+        ledger = json.load(f)
+    with open(ledger_path, "w") as f:
+        json.dump({k: 0.0 for k in ledger}, f)
     assert expire_snapshots(d, keep_last=1, retention_s=0) == []
     assert not os.path.exists(os.path.join(d, "v=1"))
