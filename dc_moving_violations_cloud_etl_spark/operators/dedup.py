@@ -227,8 +227,14 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
             for b in range(N_BANDS)
         ]
     )
+    # shuffle-hash, never broadcast: BOTH sides scale with the corpus,
+    # and the signature table's compressed shuffle stats undersell its
+    # in-memory size (16 longs/row builds ~20x bigger than its shuffle
+    # bytes), so AQE's 64MB broadcast demotion misfires at scale —
+    # measured at the 100x smoke: auto-broadcast of a corpus-sized side
+    # aborted the whole query with a driver broadcast OOM.
     return (
-        d.join(sig, "doc_id")
+        d.join(sig.hint("shuffle_hash"), "doc_id")
         .withColumn("mh", mh)
         .withColumn("bands", bands)
         .drop(*[f"_mh{s}" for s in range(N_MINHASH)])
@@ -267,7 +273,12 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
         )
         .distinct()
     )
-    sh = per_doc.select("doc_id", "sh")
+    # shuffle-hash on the shingle-payload sides: a doc's shingle array
+    # is KBs in memory but compresses ~20x in shuffle stats, so AQE can
+    # "broadcast-demote" a corpus-sized side at scale (measured 100x
+    # smoke: driver broadcast OOM). Neither side of a corpus-vs-corpus
+    # verify join is ever broadcastable — pin the strategy.
+    sh = per_doc.select("doc_id", "sh").hint("shuffle_hash")
     return (
         cand.join(sh.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("sh", "sh_a"), "a_doc_id")
         .join(sh.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("sh", "sh_b"), "b_doc_id")
@@ -421,7 +432,10 @@ def minhash_assign_from_signatures(per_doc: DataFrame) -> DataFrame:
         .select("doc_id", "keeper_doc_id")
         .distinct()
     )
-    sh = per_doc.select("doc_id", "sh")
+    # shuffle-hash for the same reason as minhash_lsh_pairs' verify
+    # join: shingle payloads undersell their in-memory size to AQE, and
+    # no corpus-sized side may ever be broadcast (100x smoke OOM).
+    sh = per_doc.select("doc_id", "sh").hint("shuffle_hash")
     verified = (
         cand.join(sh, "doc_id")
         .join(

@@ -56,6 +56,7 @@ def _load_all() -> None:
         "relational_ops",
         "modern_sql",
         "mining_ops",
+        "datasel_ops",
         "tpch",
         "streaming_ops",
         "sql_text",

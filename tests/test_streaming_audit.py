@@ -49,6 +49,34 @@ _KEYED_STATEFUL = [
     "stream_stateful_sessions",
 ]
 
+# source/sink lifecycle and keyed-aggregation streams with no
+# event-time-eviction dependence: audited for the weaker invariant that
+# ANY state they report stays keyed (bounded by input rows), so a future
+# stateful refactor of one of these cannot silently dodge the audit by
+# staying off the watermarked list (VERDICT r5 rec #6)
+_LEDGERED_LIFECYCLE = [
+    "stream_chained_pipeline",
+    "stream_custom_source_ingest",
+    "stream_daily_rollup",
+    "stream_file_sink_exactly_once",
+    "stream_foreachbatch_upsert",
+    "stream_occ_snapshot_rollup",
+    "stream_py_sink_roundtrip",
+    "stream_rate_limited_backfill",
+    "stream_static_join",
+    "stream_update_mode_counts",
+]
+
+# batch readers over a once-driven checkpoint (streaming/statestore.py):
+# on the warm path NO streaming query runs (the point of the
+# demonstrators — state outlives the query), so there is no per-run
+# progress to audit; the checkpoint-driving aggregation goes through
+# _run_to_completion (ledgered) on its one cold start
+_CHECKPOINT_READERS = [
+    "stream_state_metadata_read",
+    "stream_statestore_read",
+]
+
 
 def _progress_for(spark, sf_dir, name):
     """Build (= run) the streaming query and return the ledger entries
@@ -102,9 +130,43 @@ def test_keyed_stateful_query_state_bounded_by_keys(spark, sf_dir, name):
     )
 
 
-def test_watermarked_list_has_no_stale_entries():
-    stale = (set(_WATERMARKED_STATEFUL) | set(_KEYED_STATEFUL)) - set(QUERIES)
-    assert not stale, stale
+@pytest.mark.parametrize("name", _LEDGERED_LIFECYCLE)
+def test_lifecycle_query_state_stays_keyed(spark, sf_dir, name):
+    """Lifecycle/keyed-agg streams may legitimately hold aggregation
+    state (keyed by group/window), but never per-event state with no
+    eviction path. If one of these gains an operator whose state scales
+    past its input, it belongs on the watermarked list — this test is
+    the tripwire."""
+    progresses = _progress_for(spark, sf_dir, name)
+    ops = [op for p in progresses for op in p.get("stateOperators", [])]
+    if not ops:
+        return  # genuinely stateless lifecycle — nothing to bound
+    total_in = sum(p.get("numInputRows", 0) for p in progresses)
+    max_state = max(op.get("numRowsTotal", 0) for op in ops)
+    assert max_state <= max(total_in, 1), (
+        f"{name}: state rows {max_state} vs input rows {total_in} — "
+        "state grew past keyed scale; move this query to the "
+        "watermarked-stateful audit list"
+    )
+
+
+def test_audit_lists_partition_every_stream_query():
+    """Completeness (VERDICT r5 rec #6): every stream_* query appears in
+    EXACTLY one audit list, so no streaming query — present or future —
+    can exist outside the audit."""
+    lists = (
+        _WATERMARKED_STATEFUL,
+        _KEYED_STATEFUL,
+        _LEDGERED_LIFECYCLE,
+        _CHECKPOINT_READERS,
+    )
+    union: set[str] = set().union(*map(set, lists))
+    assert sum(map(len, lists)) == len(union), "a query is in two lists"
+    streams = {n for n in QUERIES if n.startswith("stream_")}
+    assert union == streams, (
+        f"unaudited: {sorted(streams - union)}; "
+        f"stale: {sorted(union - streams)}"
+    )
 
 
 def test_ledger_is_bounded(spark, sf_dir):

@@ -100,20 +100,55 @@ def main() -> None:
     ).collect()
     scaled_dir = stage(spark, n)
 
+    sc = spark.sparkContext
+    tracker = sc.statusTracker()
+
+    def run_tracked(build, d: str, group: str) -> tuple[float, int, int]:
+        """Time one run and report (wall s, n_stages, n_tasks) from the
+        status tracker, keyed by a per-run job group — per-stage task
+        counts are the evidence separating 'more data -> more tasks,
+        same per-task cost' (scales out) from 'same tasks, each Nx
+        bigger' (a serialization point)."""
+        sc.setJobGroup(group, group)
+        try:
+            t0 = time.perf_counter()
+            build(spark, d).collect()
+            dt = time.perf_counter() - t0
+        finally:
+            sc.setJobGroup(None, None)
+        stage_ids: set[int] = set()
+        for jid in tracker.getJobIdsForGroup(group):
+            info = tracker.getJobInfo(jid)
+            if info:
+                stage_ids.update(info.stageIds)
+        n_tasks = 0
+        for sid in stage_ids:
+            sinfo = tracker.getStageInfo(sid)
+            if sinfo:
+                n_tasks += sinfo.numTasks
+        return dt, len(stage_ids), n_tasks
+
     for name in names:
         row = {"query": name, "n": n}
-        for label, d in (("t_base", BASE), ("t_scaled", scaled_dir)):
-            t0 = time.perf_counter()
+        for label, d in (("base", BASE), ("scaled", scaled_dir)):
             try:
-                qs[name](spark, d).collect()
-                row[label] = round(time.perf_counter() - t0, 2)
+                dt, n_stages, n_tasks = run_tracked(
+                    qs[name], d, f"scale_smoke:{name}:{label}:{n}"
+                )
+                row[f"t_{label}"] = round(dt, 2)
+                row[f"stages_{label}"] = n_stages
+                row[f"tasks_{label}"] = n_tasks
             except Exception as exc:  # noqa: BLE001
-                row[label] = None
+                row[f"t_{label}"] = None
                 row["err"] = f"{type(exc).__name__}: {exc}"[:200]
             finally:
                 caching.release_tracked()
         if row.get("t_base") and row.get("t_scaled"):
             row["ratio"] = round(row["t_scaled"] / row["t_base"], 2)
+        if row.get("tasks_base") and row.get("tasks_scaled"):
+            row["task_ratio"] = round(
+                row["tasks_scaled"] / row["tasks_base"], 2
+            )
         print(json.dumps(row), flush=True)
 
 
