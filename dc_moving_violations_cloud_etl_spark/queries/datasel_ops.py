@@ -61,23 +61,30 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     a downstream sampler consumes.
 
     100 TB shape: one explode pass over the corpus builds the feature
-    stream; the model is a 512-row bucket table (two hash-aggregates +
-    a window over 512 rows), broadcast back against the stream. No
-    corpus-sized join side, no driver loop.
+    stream — adjacency comes from an ARRAY transform fused into the
+    scan (the ``corpus_bigram_lm_nll`` pattern), not a per-doc lead
+    window, so feature extraction is shuffle-free; the model is a
+    512-row bucket table (two hash-aggregates + a window over 512
+    rows), broadcast back against the stream. No corpus-sized join
+    side, no driver loop.
     """
-    toks = _docs(spark, sf_dir).select(
+    docs = _docs(spark, sf_dir).select(
+        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("t")
+    )
+    uni = docs.select(
+        "doc_id", "lang", F.explode("t").alias("w")
+    ).select("doc_id", "lang", _bucket(F.col("w"), "u:").alias("f"))
+    bi = docs.select(
         "doc_id",
         "lang",
-        F.posexplode(tokens(normalized(F.col("text")))).alias("pos", "w"),
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    grams = toks.withColumn("w2", F.lead("w").over(w_doc))
-    uni = grams.select("doc_id", "lang", _bucket(F.col("w"), "u:").alias("f"))
-    bi = grams.where(F.col("w2").isNotNull()).select(
-        "doc_id",
-        "lang",
-        _bucket(F.concat_ws(" ", "w", "w2"), "b:").alias("f"),
-    )
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) > 1 THEN transform(sequence(1, "
+                "size(t)-1), i -> concat(t[i-1], ' ', t[i])) "
+                "ELSE array() END"
+            )
+        ).alias("g"),
+    ).select("doc_id", "lang", _bucket(F.col("g"), "b:").alias("f"))
     feats = uni.unionByName(bi)
 
     raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("r_f"))
@@ -197,21 +204,27 @@ def _kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the continuation probability of "francisco" is low even though
     its unigram count is high).
 
-    Shape: all five statistics are hash-aggregates of the bigram table
+    Shape: bigrams come from an array transform fused into the scan
+    (shuffle-free adjacency, the ``corpus_bigram_lm_nll`` pattern);
+    all five statistics are hash-aggregates of the bigram table
     (counts and distinct-type counts); the scoring join touches only
     the vocabulary-bounded count tables, and the final report is the
     global top-k via the lossless per-partition pre-reduction
     (operators/ranking.global_topk — no data-sized single-task sort).
     """
-    toks = _docs(spark, sf_dir).select(
-        "doc_id",
-        F.posexplode(tokens(normalized(F.col("text")))).alias("pos", "w"),
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
     big = (
-        toks.withColumn("w2", F.lead("w").over(w_doc))
-        .where(F.col("w2").isNotNull())
-        .select(F.col("w").alias("w1"), "w2")
+        _docs(spark, sf_dir)
+        .select(tokens(normalized(F.col("text"))).alias("t"))
+        .select(
+            F.explode(
+                F.expr(
+                    "CASE WHEN size(t) > 1 THEN transform(sequence(1, "
+                    "size(t)-1), i -> struct(t[i-1] AS w1, t[i] AS w2)) "
+                    "ELSE array() END"
+                )
+            ).alias("bg")
+        )
+        .select("bg.w1", "bg.w2")
     )
     c2 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
     c1 = c2.groupBy("w1").agg(
@@ -542,6 +555,136 @@ register(
         "two-sided mutual-reinforcement ranking next to PageRank's "
         "co-click projection",
         tags=("extension", "graph", "iterative", "mining"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Gopher quality rules (Rae et al. 2021) — per-lang pass-rate report
+# ---------------------------------------------------------------------------
+
+_GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def _gopher_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Gopher quality-filter rule set (Rae et al. 2021, Appendix A
+    — the canonical heuristic battery MassiveText/RefinedWeb/Dolma all
+    derive from), evaluated per document and reported as per-lang pass
+    rates:
+
+    - word count in [50, 100,000]
+    - mean word length in [3, 10]
+    - >= 80% of words contain at least one alphabetic character
+    - >= 2 distinct "stop words" from the canonical 8-word probe list
+
+    Every rule is a whole-stage-codegen array expression over the
+    token array (aggregate/filter HOFs — no explode, no shuffle until
+    the one per-lang hash-aggregate); output is lang-bounded. The
+    thresholds are Gopher's own, kept verbatim so the pass rates mean
+    what the paper's mean — the synthetic fixture mostly fails the
+    50-word floor, which the report makes visible rather than hiding.
+    """
+    t = tokens(normalized(F.col("text")))
+    d = _docs(spark, sf_dir).select(
+        "lang",
+        F.size(t).alias("n_words"),
+        (
+            F.aggregate(
+                t, F.lit(0).cast("long"), lambda acc, x: acc + F.length(x)
+            )
+            / F.size(t)
+        ).alias("mean_wlen"),
+        (
+            F.size(F.filter(t, lambda x: x.rlike("[a-z]")))
+            / F.size(t)
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(t),
+                F.array(*[F.lit(s) for s in _GOPHER_STOPWORDS]),
+            )
+        ).alias("n_stop"),
+    )
+    flags = d.select(
+        "lang",
+        F.col("n_words").between(50, 100000).cast("int").alias("p_wc"),
+        F.col("mean_wlen").between(3.0, 10.0).cast("int").alias("p_wl"),
+        (F.col("alpha_frac") >= 0.8).cast("int").alias("p_alpha"),
+        (F.col("n_stop") >= 2).cast("int").alias("p_stop"),
+    ).withColumn(
+        "p_all",
+        (
+            (F.col("p_wc") == 1)
+            & (F.col("p_wl") == 1)
+            & (F.col("p_alpha") == 1)
+            & (F.col("p_stop") == 1)
+        ).cast("int"),
+    )
+    return (
+        flags.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("p_wc").cast("long").alias("pass_wordcount"),
+            F.sum("p_wl").cast("long").alias("pass_meanwordlen"),
+            F.sum("p_alpha").cast("long").alias("pass_alphafrac"),
+            F.sum("p_stop").cast("long").alias("pass_stopwords"),
+            F.sum("p_all").cast("long").alias("pass_all"),
+            F.round(F.sum("p_all") / F.count(F.lit(1)), 6).alias(
+                "pass_rate"
+            ),
+        )
+        .orderBy("lang")
+    )
+
+
+register(
+    QuerySpec(
+        "curation_gopher_rules",
+        _gopher_rules,
+        rf"""
+WITH d AS (
+  SELECT lang,
+         string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                      ' ') AS t
+  FROM documents
+),
+m AS (
+  SELECT lang,
+         len(t) AS n_words,
+         CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+           / len(t) AS mean_wlen,
+         CAST(len(list_filter(t, x -> regexp_matches(x, '[a-z]')))
+              AS DOUBLE) / len(t) AS alpha_frac,
+         len(list_intersect(list_distinct(t),
+             {list(_GOPHER_STOPWORDS)})) AS n_stop
+  FROM d
+),
+flags AS (
+  SELECT lang,
+         CASE WHEN n_words BETWEEN 50 AND 100000 THEN 1 ELSE 0 END AS p_wc,
+         CASE WHEN mean_wlen BETWEEN 3.0 AND 10.0 THEN 1 ELSE 0 END AS p_wl,
+         CASE WHEN alpha_frac >= 0.8 THEN 1 ELSE 0 END AS p_alpha,
+         CASE WHEN n_stop >= 2 THEN 1 ELSE 0 END AS p_stop
+  FROM m
+)
+SELECT lang,
+       CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(p_wc) AS BIGINT) AS pass_wordcount,
+       CAST(sum(p_wl) AS BIGINT) AS pass_meanwordlen,
+       CAST(sum(p_alpha) AS BIGINT) AS pass_alphafrac,
+       CAST(sum(p_stop) AS BIGINT) AS pass_stopwords,
+       CAST(sum(p_wc * p_wl * p_alpha * p_stop) AS BIGINT) AS pass_all,
+       round(CAST(sum(p_wc * p_wl * p_alpha * p_stop) AS DOUBLE)
+             / count(*), 6) AS pass_rate
+FROM flags
+GROUP BY lang
+ORDER BY lang
+""",
+        doc="Gopher rule battery (Rae et al. 2021: word-count bounds, "
+        "mean word length, alpha-word fraction, stopword probe) as "
+        "per-lang pass rates — the canonical heuristic filter next to "
+        "the model-based DSIR/perplexity/NB signals",
+        tags=("extension", "curation", "text", "quality"),
     )
 )
 

@@ -1912,6 +1912,219 @@ SELECT (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
 
 
 # ---------------------------------------------------------------------------
+# MinHash-LSH band-configuration trade-off (round 6)
+# ---------------------------------------------------------------------------
+
+# (n_bands, band_width) splits of the 16 minhash values: the S-curve
+# dial — more/narrower bands catch lower-similarity pairs (higher
+# recall, more candidates); fewer/wider bands sharpen the threshold
+_LSH_CONFIGS = ((16, 1), (8, 2), (4, 4), (2, 8))
+
+
+def _lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH banding S-curve, MEASURED: candidate volume and recall
+    (vs the same exact-Jaccard >= 0.5 ground truth as
+    ``dedup_minhash_recall``) for four (bands x width) splits of ONE
+    16-value MinHash signature — 16x1, 8x2, 4x4 (the production
+    config), 2x8. The collision probability at similarity s is
+    1-(1-s^w)^b, so width w sets the threshold sharpness and band
+    count b the recall; this query turns that formula into measured
+    numbers on the corpus, the evidence behind choosing 4x4.
+
+    Scale shape: the signature pass runs ONCE (same persisted table
+    all four configs read); per config the band hashes are a
+    vocabulary of md5 expressions over the in-row ``mh`` array (no
+    re-sketch), and candidate generation is the same bounded
+    query-set broadcast band join as the recall audit. Ground truth
+    is computed once. Everything after the signature pass is
+    per-config counting; output is 4 rows."""
+    per_doc = dedup.persist_tracked(
+        dedup.minhash_signatures(_docs(spark, sf_dir)).select(
+            "doc_id", "sh", "mh"
+        )
+    )
+    qset = per_doc.where(F.col("doc_id") % _DEDUP_QUERY_MOD == 0).select(
+        F.col("doc_id").alias("q_doc_id"), F.col("sh").alias("q_sh")
+    )
+    sizes = per_doc.select("doc_id", F.size("sh").alias("n"))
+    q_post = qset.select("q_doc_id", F.explode("q_sh").alias("x"))
+    c_post = per_doc.select("doc_id", F.explode("sh").alias("x"))
+    inter = (
+        c_post.join(F.broadcast(q_post), "x")
+        .where(F.col("doc_id") != F.col("q_doc_id"))
+        .groupBy("doc_id", "q_doc_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    exact = dedup.persist_tracked(
+        inter.join(sizes, "doc_id")
+        .join(
+            F.broadcast(
+                sizes.select(
+                    F.col("doc_id").alias("q_doc_id"),
+                    F.col("n").alias("qn"),
+                )
+            ),
+            "q_doc_id",
+        )
+        .where(F.lit(3) * F.col("c") >= F.col("n") + F.col("qn"))
+        .select(
+            F.least("doc_id", "q_doc_id").alias("a"),
+            F.greatest("doc_id", "q_doc_id").alias("b"),
+        )
+        .distinct()
+    )
+    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
+
+    out = None
+    for nb, wid in _LSH_CONFIGS:
+        band_arr = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "_",
+                        *[
+                            F.col("mh")[b * wid + j].cast("string")
+                            for j in range(wid)
+                        ],
+                    )
+                )
+                for b in range(nb)
+            ]
+        )
+        bands = per_doc.select(
+            "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        )
+        qbands = bands.join(
+            F.broadcast(qset.select(F.col("q_doc_id").alias("doc_id"))),
+            "doc_id",
+        ).select(F.col("doc_id").alias("q_doc_id"), "band_idx", "band_hash")
+        cand = (
+            bands.join(F.broadcast(qbands), ["band_idx", "band_hash"])
+            .where(F.col("doc_id") != F.col("q_doc_id"))
+            .select(
+                F.least("doc_id", "q_doc_id").alias("a"),
+                F.greatest("doc_id", "q_doc_id").alias("b"),
+            )
+            .distinct()
+        )
+        n_cand = cand.agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        )
+        n_match = exact.join(cand, ["a", "b"]).agg(
+            F.count(F.lit(1)).cast("long").alias("n_matched")
+        )
+        row = (
+            n_true.crossJoin(F.broadcast(n_cand))
+            .crossJoin(F.broadcast(n_match))
+            .select(
+                F.lit(nb).cast("long").alias("n_bands"),
+                F.lit(wid).cast("long").alias("band_width"),
+                "n_true_pairs",
+                "n_candidate_pairs",
+                "n_matched",
+                F.round(
+                    F.col("n_matched").cast("double")
+                    / F.col("n_true_pairs"),
+                    6,
+                ).alias("recall_r6"),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("band_width")
+
+
+def _lsh_band_tradeoff_sql() -> str:
+    cfg_sqls = []
+    for nb, wid in _LSH_CONFIGS:
+        band_exprs = []
+        for b in range(nb):
+            parts = " || '_' || ".join(
+                f"CAST(mh[{b * wid + j + 1}] AS VARCHAR)"
+                for j in range(wid)
+            )
+            band_exprs.append(f"({b}, md5({parts}))")
+        cfg_sqls.append(
+            f"""
+SELECT CAST({nb} AS BIGINT) AS n_bands,
+       CAST({wid} AS BIGINT) AS band_width,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact) AS n_true_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM (
+          SELECT DISTINCT least(c.doc_id, q.doc_id) AS a,
+                 greatest(c.doc_id, q.doc_id) AS b
+          FROM cfg_{nb}_{wid} c JOIN cfg_{nb}_{wid} q
+            ON c.band_idx = q.band_idx AND c.band_hash = q.band_hash
+          WHERE q.doc_id % {_DEDUP_QUERY_MOD} = 0
+            AND c.doc_id <> q.doc_id
+       )) AS n_candidate_pairs,
+       (SELECT CAST(count(*) AS BIGINT) FROM exact e JOIN (
+          SELECT DISTINCT least(c.doc_id, q.doc_id) AS a,
+                 greatest(c.doc_id, q.doc_id) AS b
+          FROM cfg_{nb}_{wid} c JOIN cfg_{nb}_{wid} q
+            ON c.band_idx = q.band_idx AND c.band_hash = q.band_hash
+          WHERE q.doc_id % {_DEDUP_QUERY_MOD} = 0
+            AND c.doc_id <> q.doc_id
+       ) cd USING (a, b)) AS n_matched,
+       round((SELECT CAST(count(*) AS DOUBLE) FROM exact e JOIN (
+          SELECT DISTINCT least(c.doc_id, q.doc_id) AS a,
+                 greatest(c.doc_id, q.doc_id) AS b
+          FROM cfg_{nb}_{wid} c JOIN cfg_{nb}_{wid} q
+            ON c.band_idx = q.band_idx AND c.band_hash = q.band_hash
+          WHERE q.doc_id % {_DEDUP_QUERY_MOD} = 0
+            AND c.doc_id <> q.doc_id
+       ) cd USING (a, b)) / (SELECT count(*) FROM exact), 6)
+         AS recall_r6"""
+        )
+    cfg_ctes = ",\n".join(
+        f"""cfg_{nb}_{wid} AS (
+  SELECT doc_id, t.i - 1 AS band_idx,
+         md5({" || '_' || ".join(
+             "CAST(mh[(t.i-1)*" + str(wid) + " + " + str(j + 1)
+             + "] AS VARCHAR)" for j in range(wid)
+         )}) AS band_hash
+  FROM sigs, unnest(generate_series(1, {nb})) t(i)
+)"""
+        for nb, wid in _LSH_CONFIGS
+    )
+    return (
+        _DOCS_CTE
+        + _MINHASH_SIG_SQL
+        + f"""
+, per_doc AS (
+  SELECT s.doc_id, d.sh FROM sigs s JOIN docs_n d USING (doc_id)
+),
+qset AS (
+  SELECT doc_id AS q_doc_id, sh AS q_sh FROM per_doc
+  WHERE doc_id % {_DEDUP_QUERY_MOD} = 0
+),
+exact AS (
+  SELECT DISTINCT least(p.doc_id, q.q_doc_id) AS a,
+         greatest(p.doc_id, q.q_doc_id) AS b
+  FROM per_doc p, qset q
+  WHERE p.doc_id <> q.q_doc_id
+    AND 3 * len(list_intersect(p.sh, q.q_sh)) >= len(p.sh) + len(q.q_sh)
+),
+{cfg_ctes}
+"""
+        + "\nUNION ALL\n".join(cfg_sqls)
+        + "\nORDER BY band_width"
+    )
+
+
+register(
+    QuerySpec(
+        "dedup_lsh_band_tradeoff",
+        _lsh_band_tradeoff,
+        _lsh_band_tradeoff_sql(),
+        doc="measured LSH banding S-curve: candidate volume + recall vs "
+        "exact Jaccard >= 0.5 truth for 16x1 / 8x2 / 4x4 / 2x8 splits "
+        "of one 16-value MinHash signature — the trade behind the "
+        "production 4x4 config (collision prob 1-(1-s^w)^b)",
+        tags=("extension", "dedup", "recall", "tuning"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # product quantization ADC search + recall (round 4)
 # ---------------------------------------------------------------------------
 

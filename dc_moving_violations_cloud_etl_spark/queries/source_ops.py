@@ -842,3 +842,86 @@ GROUP BY g.strategy, p.predicate ORDER BY g.strategy, p.predicate
         tags=("extension", "layout", "statistics"),
     )
 )
+
+
+# ---------------------------------------------------------------------------
+# binaryFile source: the multimodal raw-asset ingestion path (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _binaryfile_source_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark's built-in ``binaryFile`` source over a directory of raw
+    asset files — the first hop of every multimodal ingestion pipeline
+    (images/audio on an object store -> (path, length, content) rows ->
+    the mapInPandas decoders in operators/multimodal.py). One task per
+    file up to ``maxPartitionBytes``; at 100 TB the known caveat is the
+    small-files problem — millions of tiny objects want consolidation
+    into archive/sequence containers, which is why the report carries
+    the file-count x byte-size shape a compaction planner reads.
+
+    Staging (driver-side, once per fixture generation — file-fixture
+    setup, not operator cost): one ``.bin`` per sampled doc whose bytes
+    are the UTF-8 of the normalized text, so every output statistic is
+    analytically recomputable by the oracle from the ``documents``
+    table alone: a hash match proves the source read every byte of
+    every file exactly once."""
+    def _write(df: DataFrame, out: str) -> None:
+        os.makedirs(out, exist_ok=True)
+        for row in df.toLocalIterator():
+            with open(
+                os.path.join(out, f"doc_{row['doc_id']}.bin"), "wb"
+            ) as f:
+                f.write(row["norm"].encode("utf-8"))
+
+    d = _staged(
+        spark,
+        sf_dir,
+        "binfile",
+        _write,
+        build=lambda s, sd: catalog.base(s, sd, "documents")
+        .where(F.col("doc_id") % 10 == 0)
+        .select(
+            "doc_id",
+            F.lower(
+                F.regexp_replace(F.trim(F.col("text")), r"\s+", " ")
+            ).alias("norm"),
+        ),
+        ident_files=("documents.parquet",),
+    )
+    files = (
+        spark.read.format("binaryFile")
+        .option("pathGlobFilter", "*.bin")
+        .load(d)
+    )
+    return files.agg(
+        F.count(F.lit(1)).cast("long").alias("n_files"),
+        F.sum(F.length("content")).cast("long").alias("total_bytes"),
+        F.countDistinct(F.md5("content")).cast("long").alias("n_distinct"),
+        F.min(F.length("content")).cast("long").alias("min_bytes"),
+        F.max(F.length("content")).cast("long").alias("max_bytes"),
+    )
+
+
+register(
+    QuerySpec(
+        "binaryfile_source_stats",
+        _binaryfile_source_stats,
+        r"""
+WITH d AS (
+  SELECT lower(regexp_replace(trim(text), '\s+', ' ', 'g')) AS norm
+  FROM documents WHERE doc_id % 10 = 0
+)
+SELECT CAST(count(*) AS BIGINT) AS n_files,
+       CAST(sum(octet_length(encode(norm))) AS BIGINT) AS total_bytes,
+       CAST(count(DISTINCT md5(norm)) AS BIGINT) AS n_distinct,
+       CAST(min(octet_length(encode(norm))) AS BIGINT) AS min_bytes,
+       CAST(max(octet_length(encode(norm))) AS BIGINT) AS max_bytes
+FROM d
+""",
+        doc="binaryFile source over a staged raw-asset directory: "
+        "(path, length, content) rows, every statistic analytically "
+        "recomputable from documents — the multimodal ingestion first "
+        "hop, with the small-files caveat documented",
+        tags=("extension", "source", "multimodal", "binary"),
+    )
+)

@@ -113,6 +113,7 @@ _ALLOWED_BNLJ = {
     "mining_preference_pairs",     # same brute-force broadcast query set
     "retrieval_two_stage_rerank",  # tiny query set + 1-row count combines
     "layout_zorder_pruning_audit",  # 3-row constant predicate-box spine
+    "dedup_lsh_band_tradeoff",     # bounded query set + 1-row count combines
     "corpus_kneser_ney_bigram",    # 1-row bigram-type-count broadcast
     "curation_naive_bayes_langid",  # 5-row class table + 1-row vocab size
 }
