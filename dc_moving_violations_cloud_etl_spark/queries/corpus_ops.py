@@ -1206,6 +1206,363 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id
 
 
 # ---------------------------------------------------------------------------
+# unigram-LM tokenizer (SentencePiece-style): seed vocab + Viterbi encode
+# ---------------------------------------------------------------------------
+
+_UNI_MAX_PIECE = 6  # max candidate piece length (chars)
+_UNI_TOP_MULTI = 200  # multi-char pieces kept in the seed vocab
+_UNI_MAXPOS = 16  # DP horizon: words longer than this use char fallback
+_UNI_SEED_OUT = 30  # rows returned by the seed-vocab query
+
+
+def _uni_words(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distinct-word frequency table — the vocabulary-bounded state all
+    unigram-LM passes run on (same posture as ``_bpe_core``: one corpus
+    pass, then every downstream step touches only this table)."""
+    return (
+        _docs(spark, sf_dir)
+        .select(F.explode(tokens(normalized(F.col("text")))).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+
+
+def _uni_candidates(words: DataFrame) -> DataFrame:
+    """``(w, freq, s, e, piece)`` — every substring of each distinct
+    word with length 1..`_UNI_MAX_PIECE` (0-based start ``s``,
+    exclusive end ``e``). One flatten+explode over the word table; the
+    grid is |word|x6 per DISTINCT word, so candidate volume is
+    vocabulary-bounded, never corpus-sized."""
+    L = F.length("w")
+    grid = F.flatten(
+        F.transform(
+            F.sequence(F.lit(0), L - 1),
+            lambda s: F.transform(
+                F.sequence(F.lit(1), F.least(F.lit(_UNI_MAX_PIECE), L - s)),
+                lambda l: F.struct(s.alias("s"), l.alias("l")),
+            ),
+        )
+    )
+    ex = words.select("w", "freq", F.explode(grid).alias("g"))
+    return ex.select(
+        "w",
+        "freq",
+        F.col("g.s").cast("int").alias("s"),
+        (F.col("g.s") + F.col("g.l")).cast("int").alias("e"),
+        F.expr(f"substring(w, g.s + 1, g.l)").alias("piece"),
+    )
+
+
+def _uni_core(spark: SparkSession, sf_dir: str):
+    """Shared unigram-LM core → ``(words, vocab)``.
+
+    Seed vocabulary exactly as Kudo (2018) seeds unigram-LM training:
+    score every candidate substring by ``occurrence_freq x len`` (all
+    word-internal occurrences, weighted by word frequency), keep ALL
+    single characters (coverage guarantee) plus the top
+    `_UNI_TOP_MULTI` multi-char pieces by (score desc, piece asc).
+    Piece log-probs are integer 0.1-milli-nats:
+    ``round(ln(score/total) * 1e4)`` — exact BIGINT inputs to an exact
+    double division, libm ``ln`` agreeing to 1 ulp, coarse rounding so
+    a last-ulp divergence cannot flip a DP comparison (the
+    ``curation_naive_bayes_langid`` round-before-argmax pattern).
+
+    Scale posture: candidates/vocab/DP state are all
+    vocabulary-bounded; the corpus is touched exactly once (word
+    counts) plus once more at encode time (broadcast dictionary join).
+    """
+    words = caching.persist_tracked(_uni_words(spark, sf_dir))
+    cand = _uni_candidates(words)
+    scored = cand.groupBy("piece").agg(
+        F.sum("freq").cast("long").alias("pfreq")
+    )
+    scored = scored.select(
+        "piece",
+        "pfreq",
+        (F.col("pfreq") * F.length("piece")).cast("long").alias("score"),
+    )
+    chars = scored.where(F.length("piece") == 1)
+    multi = (
+        scored.where(F.length("piece") > 1)
+        .orderBy(F.col("score").desc(), F.col("piece").asc())
+        .limit(_UNI_TOP_MULTI)
+    )
+    vocab = caching.persist_tracked(chars.unionByName(multi))
+    total = vocab.agg(F.sum("score").alias("t"))
+    vocab = vocab.crossJoin(F.broadcast(total)).select(
+        "piece",
+        "pfreq",
+        "score",
+        F.round(
+            F.log(F.col("score").cast("double") / F.col("t").cast("double"))
+            * 10000.0,
+            0,
+        )
+        .cast("long")
+        .alias("lp"),
+    )
+    return words, caching.persist_tracked(vocab)
+
+
+def _uni_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top multi-char seed pieces with scores and integer log-probs —
+    the trained-state view of the seed step."""
+    _, vocab = _uni_core(spark, sf_dir)
+    w = Window.orderBy(F.col("score").desc(), F.col("piece").asc())
+    return (
+        vocab.where(F.length("piece") > 1)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .where(F.col("rank") <= _UNI_SEED_OUT)
+        .select("rank", "piece", "pfreq", "score", "lp")
+        .orderBy("rank")
+    )
+
+
+def _uni_viterbi_wordlens(spark: SparkSession, sf_dir: str):
+    """Viterbi-segment every distinct word under the seed vocab →
+    ``(words, wlen)`` where ``wlen`` is ``(w, n_pieces, best_lp)``.
+
+    The DP is bounded and relational: state ``(w, pos, best, np)``
+    grows one position per round for `_UNI_MAXPOS` rounds; each round
+    joins the (vocabulary-bounded) candidate pieces ending at that
+    position against the accumulated state and takes the per-word max
+    of ``(best + lp, -np)`` — struct-max = lexicographic, so score
+    ties break to FEWER pieces deterministically. Words longer than
+    the horizon fall back to char segmentation (``np = len``,
+    documented; none exist in the fixtures). No driver-side data, no
+    collect: the loop count is a constant, the state is
+    vocabulary-bounded, and lineage is truncated each round."""
+    words, vocab = _uni_core(spark, sf_dir)
+    dw = words.where(F.length("w") <= _UNI_MAXPOS)
+    matches = caching.persist_tracked(
+        _uni_candidates(dw.select("w", "freq"))
+        .join(
+            F.broadcast(vocab.select("piece", "lp")),
+            "piece",
+        )
+        .select("w", "s", "e", "lp")
+    )
+    state = dw.select(
+        "w",
+        F.lit(0).cast("int").alias("pos"),
+        F.lit(0).cast("long").alias("best"),
+        F.lit(0).cast("long").alias("np"),
+    )
+    for e in range(1, _UNI_MAXPOS + 1):
+        step = (
+            matches.where(F.col("e") == e)
+            .join(
+                state.select(
+                    "w", F.col("pos").alias("s"), "best", "np"
+                ),
+                ["w", "s"],
+            )
+            .groupBy("w")
+            .agg(
+                F.max(
+                    F.struct(
+                        (F.col("best") + F.col("lp")).alias("b"),
+                        (-F.col("np") - 1).alias("negnp"),
+                    )
+                ).alias("mx")
+            )
+            .select(
+                "w",
+                F.lit(e).cast("int").alias("pos"),
+                F.col("mx.b").alias("best"),
+                (-F.col("mx.negnp")).alias("np"),
+            )
+        )
+        state = state.unionByName(step)
+        if e % 4 == 0:
+            state = state.localCheckpoint()
+    final = state.join(
+        dw.select("w", F.length("w").cast("int").alias("pos")),
+        ["w", "pos"],
+    ).select("w", F.col("np").alias("n_pieces"), F.col("best").alias("best_lp"))
+    fallback = words.where(F.length("w") > _UNI_MAXPOS).select(
+        "w",
+        F.length("w").cast("long").alias("n_pieces"),
+        F.lit(None).cast("long").alias("best_lp"),
+    )
+    return words, final.unionByName(fallback)
+
+
+def _uni_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document encoded length under the unigram-LM tokenizer —
+    the ``corpus_bpe_encode_lengths`` twin for the Viterbi coder:
+    pieces are word-internal, so a doc's token count is one broadcast
+    dictionary join away from the vocabulary-bounded trained state."""
+    _, wlen = _uni_viterbi_wordlens(spark, sf_dir)
+    dw = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", F.explode(tokens(normalized(F.col("text")))).alias("w")
+        )
+        .where(F.length("w") >= 1)
+    )
+    return (
+        dw.join(F.broadcast(wlen), "w")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("n_pieces").cast("long").alias("n_uni_tokens"),
+            F.sum("best_lp").cast("long").alias("sum_lp"),
+            F.sum(F.length("w")).cast("long").alias("n_chars"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+_UNI_WORDS_SQL = r"""
+WITH words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(
+      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1 GROUP BY w
+),
+cand AS MATERIALIZED (
+  SELECT w, freq, s, s + l AS e, substring(w, s + 1, l) AS piece FROM (
+    SELECT w, freq, t.s AS s, u.l AS l
+    FROM words,
+         unnest(generate_series(0, length(w) - 1)) t(s),
+         unnest(generate_series(1, __MAXP__)) u(l)
+    WHERE t.s + u.l <= length(w)
+  )
+),
+scored AS MATERIALIZED (
+  SELECT piece, CAST(sum(freq) AS BIGINT) AS pfreq,
+         CAST(sum(freq) * length(piece) AS BIGINT) AS score
+  FROM cand GROUP BY piece
+),
+vocab0 AS MATERIALIZED (
+  SELECT piece, pfreq, score FROM scored WHERE length(piece) = 1
+  UNION ALL
+  SELECT piece, pfreq, score FROM (
+    SELECT *, row_number() OVER (ORDER BY score DESC, piece ASC) AS rn
+    FROM scored WHERE length(piece) > 1
+  ) WHERE rn <= __TOPM__
+),
+vocab AS MATERIALIZED (
+  SELECT piece, pfreq, score,
+         CAST(round(ln(CAST(score AS DOUBLE)
+               / (SELECT CAST(sum(score) AS DOUBLE) FROM vocab0)) * 10000)
+              AS BIGINT) AS lp
+  FROM vocab0
+)"""
+
+
+def _uni_seed_sql() -> str:
+    return (
+        _UNI_WORDS_SQL.replace("__MAXP__", str(_UNI_MAX_PIECE)).replace(
+            "__TOPM__", str(_UNI_TOP_MULTI)
+        )
+        + f"""
+SELECT CAST(rank AS BIGINT) AS rank, piece, pfreq, score, lp FROM (
+  SELECT piece, pfreq, score, lp,
+         row_number() OVER (ORDER BY score DESC, piece ASC) AS rank
+  FROM vocab WHERE length(piece) > 1
+) WHERE rank <= {_UNI_SEED_OUT} ORDER BY rank"""
+    )
+
+
+def _uni_encode_sql() -> str:
+    parts = [
+        _UNI_WORDS_SQL.replace("__MAXP__", str(_UNI_MAX_PIECE)).replace(
+            "__TOPM__", str(_UNI_TOP_MULTI)
+        ),
+        f""",
+matches AS MATERIALIZED (
+  SELECT c.w, c.s, c.e, v.lp
+  FROM cand c JOIN vocab v USING (piece)
+  WHERE length(c.w) <= {_UNI_MAXPOS}
+),
+a0 AS MATERIALIZED (
+  SELECT w, 0 AS pos, CAST(0 AS BIGINT) AS best, CAST(0 AS BIGINT) AS np
+  FROM words WHERE length(w) <= {_UNI_MAXPOS}
+)""",
+    ]
+    for e in range(1, _UNI_MAXPOS + 1):
+        parts.append(
+            f""",
+p{e} AS MATERIALIZED (
+  SELECT w, {e} AS pos, best, np FROM (
+    SELECT w, best, np, row_number() OVER (
+        PARTITION BY w ORDER BY best DESC, np ASC) AS rn
+    FROM (
+      SELECT m.w, a.best + m.lp AS best, a.np + 1 AS np
+      FROM matches m JOIN a{e - 1} a ON a.w = m.w AND a.pos = m.s
+      WHERE m.e = {e}
+    )
+  ) WHERE rn = 1
+),
+a{e} AS MATERIALIZED (
+  SELECT * FROM a{e - 1} UNION ALL SELECT * FROM p{e}
+)"""
+        )
+    parts.append(
+        f""",
+wlen AS (
+  SELECT a.w, a.np AS n_pieces, a.best AS best_lp
+  FROM a{_UNI_MAXPOS} a JOIN words ww ON ww.w = a.w
+  WHERE a.pos = length(a.w)
+  UNION ALL
+  SELECT w, CAST(length(w) AS BIGINT) AS n_pieces,
+         CAST(NULL AS BIGINT) AS best_lp
+  FROM words WHERE length(w) > {_UNI_MAXPOS}
+),
+dw AS (
+  SELECT doc_id, w FROM (
+    SELECT doc_id, unnest(string_split(
+      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+)
+SELECT dw.doc_id,
+       CAST(count(*) AS BIGINT) AS n_words,
+       CAST(sum(l.n_pieces) AS BIGINT) AS n_uni_tokens,
+       CAST(sum(l.best_lp) AS BIGINT) AS sum_lp,
+       CAST(sum(length(dw.w)) AS BIGINT) AS n_chars
+FROM dw JOIN wlen l ON l.w = dw.w
+GROUP BY dw.doc_id ORDER BY dw.doc_id"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "corpus_unigram_seed_vocab",
+        _uni_seed_vocab,
+        _uni_seed_sql(),
+        doc="unigram-LM (SentencePiece) SEED vocabulary: every word-"
+        "internal substring (len 1-6) scored freq x len over the "
+        "vocabulary-bounded word table; all single chars + top-200 "
+        "multi-char pieces, integer 0.1-milli-nat log-probs — the "
+        "seeding step of Kudo (2018) beside the BPE trainer",
+        tags=("extension", "corpus", "text", "tokenizer"),
+    )
+)
+
+
+register(
+    QuerySpec(
+        "corpus_unigram_viterbi_encode",
+        _uni_encode,
+        _uni_encode_sql(),
+        doc="Viterbi encoding under the unigram-LM seed vocab: exact "
+        "integer-log-prob DP per DISTINCT word (bounded horizon, "
+        "score ties break to fewer pieces), then per-doc token counts "
+        "via one broadcast dictionary join — max-likelihood "
+        "segmentation, the decode half of SentencePiece, beside "
+        "greedy-merge BPE",
+        tags=("extension", "corpus", "text", "tokenizer", "iterative"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # END-TO-END corpus pipeline: filter -> dedup -> split -> pack -> manifest
 # ---------------------------------------------------------------------------
 

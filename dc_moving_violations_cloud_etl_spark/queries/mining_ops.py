@@ -997,6 +997,214 @@ GROUP BY a2.cluster ORDER BY a2.cluster
 
 
 # ---------------------------------------------------------------------------
+# greedy k-center seeding (farthest-point traversal) — diversity selection
+# ---------------------------------------------------------------------------
+
+_KC_K = 5
+
+
+def _kc_quantized(emb: DataFrame) -> DataFrame:
+    """``(vec_id, qe: array<long>)`` — embeddings quantized to integer
+    milli-units (the repo's cross-engine-exact pattern; see
+    ``kmeans_assign``), kept as in-row arrays so per-center distances
+    are a single ``zip_with``+``aggregate`` fold, no explode needed."""
+    return emb.select(
+        "vec_id",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * 1000, 0).cast("long"),
+        ).alias("qe"),
+    )
+
+
+def _kc_d2(center: list[int]) -> F.Column:
+    """Exact BIGINT squared-L2 from the ``qe`` array to a literal
+    center — JVM-side higher-order functions, no UDF."""
+    lit_center = F.array(*[F.lit(int(c)) for c in center])
+    return F.aggregate(
+        F.zip_with("qe", lit_center, lambda x, c: (x - c) * (x - c)),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+
+
+def kcenter_seeds(emb: DataFrame):
+    """Greedy farthest-point traversal (Gonzalez' 2-approximation for
+    k-center): pick the lowest-id point, then repeatedly the point
+    farthest from every center chosen so far — the canonical
+    *diversity* selector for coreset construction / active-learning
+    seed sets, complementing k-means' density clustering.
+
+    Returns ``(qv, seeds)`` where ``seeds`` is a k-row python list of
+    ``(round, center_vec_id, d2_at_selection)`` — ``d2_at_selection``
+    is the covering radius BEFORE that center was added (the k-center
+    objective trace; 0 for the seed by convention).
+
+    Every step is exact integer arithmetic (milli-unit quantization,
+    BIGINT squared-L2) with deterministic tie-breaks (farthest ties →
+    lowest vec_id), so the discrete selection cannot diverge between
+    engines.
+
+    Scale posture: the running state is one ``min_d2`` column updated
+    per round by a map-only ``least(min_d2, d2(new_center))`` over the
+    persisted quantized corpus — O(n·k) total work, the algorithm's
+    lower bound. Each round's argmax is ``orderBy(...).limit(1)``
+    (TakeOrderedAndProject: per-partition top-1 then a k-row driver
+    merge — never a global sort) followed by a ONE-ROW collect, the
+    same bounded-collect shape as the BPE trainer's per-round argmax.
+    Centers are k constant-size literal arrays; nothing all-pairs,
+    nothing driver-side over data-sized inputs.
+    """
+    qv = caching.persist_tracked(_kc_quantized(emb))
+    first = qv.orderBy("vec_id").limit(1).collect()[0]
+    seeds = [(0, int(first["vec_id"]), 0)]
+    centers = [[int(c) for c in first["qe"]]]
+    state = qv.select("vec_id", "qe", _kc_d2(centers[0]).alias("min_d2"))
+    for rnd in range(1, _KC_K):
+        far = (
+            state.orderBy(F.desc("min_d2"), F.asc("vec_id"))
+            .limit(1)
+            .collect()[0]
+        )
+        seeds.append((rnd, int(far["vec_id"]), int(far["min_d2"])))
+        centers.append([int(c) for c in far["qe"]])
+        state = state.select(
+            "vec_id",
+            "qe",
+            F.least("min_d2", _kc_d2(centers[-1])).alias("min_d2"),
+        )
+    return qv, seeds, centers
+
+
+def _kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seed trace + coverage: each selected center with its selection
+    radius and the size of its nearest-center cell (ties → earliest
+    round, mirroring the oracle's ``row_number`` over ``(d2, round)``)."""
+    qv, seeds, centers = kcenter_seeds(
+        catalog.base(spark, sf_dir, "embeddings")
+    )
+    darr = F.array(*[_kc_d2(c) for c in centers])
+    assigned = qv.select(
+        "vec_id",
+        (F.array_position(darr, F.array_min(darr)) - 1)
+        .cast("int")
+        .alias("round"),
+    )
+    counts = assigned.groupBy("round").agg(
+        F.count(F.lit(1)).cast("long").alias("n_assigned")
+    )
+    seed_df = spark.createDataFrame(
+        [(r, v, d) for r, v, d in seeds],
+        "round int, center_vec_id long, d2_at_selection long",
+    )
+    return (
+        seed_df.join(counts, "round", "left")
+        .select(
+            F.col("round").cast("long").alias("round"),
+            "center_vec_id",
+            "d2_at_selection",
+            F.coalesce("n_assigned", F.lit(0).cast("long")).alias(
+                "n_assigned"
+            ),
+        )
+        .orderBy("round")
+    )
+
+
+def _kc_sql() -> str:
+    """Unrolled farthest-point chain (k=5) in DuckDB — same milli-unit
+    quantization/tie-breaks as the Spark path."""
+    parts = [
+        """
+WITH qt AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
+         CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
+  FROM embeddings
+),
+c0 AS (SELECT min(vec_id) AS cid FROM qt),
+d0 AS (
+  SELECT a.vec_id, sum((a.q - b.q) * (a.q - b.q)) AS min_d2
+  FROM qt a JOIN qt b ON a.pos = b.pos
+  WHERE b.vec_id = (SELECT cid FROM c0)
+  GROUP BY a.vec_id
+)"""
+    ]
+    for r in range(1, _KC_K):
+        parts.append(
+            f""",
+s{r} AS (
+  SELECT vec_id AS cid, min_d2 AS d2 FROM d{r - 1}
+  ORDER BY min_d2 DESC, vec_id ASC LIMIT 1
+),
+d{r} AS (
+  SELECT a.vec_id, least(p.min_d2, sum((a.q - b.q) * (a.q - b.q))) AS min_d2
+  FROM qt a JOIN qt b ON a.pos = b.pos
+  JOIN d{r - 1} p ON p.vec_id = a.vec_id
+  WHERE b.vec_id = (SELECT cid FROM s{r})
+  GROUP BY a.vec_id, p.min_d2
+)"""
+        )
+    union = "\n  UNION ALL\n  ".join(
+        f"SELECT {r}, cid, d2 FROM s{r}" for r in range(1, _KC_K)
+    )
+    parts.append(
+        f""",
+seeds AS (
+  SELECT 0 AS round, (SELECT cid FROM c0) AS center_vec_id,
+         CAST(0 AS BIGINT) AS d2_at_selection
+  UNION ALL
+  SELECT * FROM (
+  {union}
+  ) t(round, center_vec_id, d2_at_selection)
+),
+ct AS (
+  SELECT s.round, q.pos, q.q FROM seeds s
+  JOIN qt q ON q.vec_id = s.center_vec_id
+),
+alld AS (
+  SELECT a.vec_id, c.round, sum((a.q - c.q) * (a.q - c.q)) AS d2
+  FROM qt a JOIN ct c ON a.pos = c.pos
+  GROUP BY a.vec_id, c.round
+),
+assigned AS (
+  SELECT vec_id, round FROM (
+    SELECT vec_id, round,
+           row_number() OVER (PARTITION BY vec_id
+                              ORDER BY d2 ASC, round ASC) AS rn
+    FROM alld
+  ) WHERE rn = 1
+),
+counts AS (
+  SELECT round, CAST(count(*) AS BIGINT) AS n_assigned
+  FROM assigned GROUP BY round
+)
+SELECT CAST(s.round AS BIGINT) AS round,
+       CAST(s.center_vec_id AS BIGINT) AS center_vec_id,
+       s.d2_at_selection,
+       coalesce(c.n_assigned, 0) AS n_assigned
+FROM seeds s LEFT JOIN counts c ON s.round = c.round
+ORDER BY s.round"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "embedding_kcenter_seeds",
+        _kcenter_seeds,
+        _kc_sql(),
+        doc="greedy farthest-point traversal (Gonzalez k-center, k=5): "
+        "diversity/coreset seed selection over the embedding corpus — "
+        "per-round covering-radius trace + nearest-center cell sizes, "
+        "all in cross-engine-exact integer arithmetic (milli-unit "
+        "quantization, BIGINT squared-L2, lowest-id / earliest-round "
+        "tie-breaks)",
+        tags=("extension", "mining", "embedding", "iterative", "coreset"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # incremental connected-components maintenance (base contraction + delta)
 # ---------------------------------------------------------------------------
 
@@ -1838,5 +2046,119 @@ FROM agg
         "list, all sums exact integers - one degree table, two "
         "edge-degree equi-joins, constant-size aggregate",
         tags=("extension", "graph", "mining", "statistics"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling (round 6)
+# ---------------------------------------------------------------------------
+
+_KCORE_K = 6
+_KCORE_ROUNDS = 10
+
+
+def _kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Synchronous k-core peeling (k=6, 10 fixed rounds) over the
+    co-click graph: each round simultaneously removes every node whose
+    CURRENT degree is below k, the standard cascade that isolates the
+    graph's dense backbone (the community-detection / spam-filter
+    pre-pass beside label propagation). The round count is a CONSTANT,
+    not a convergence test, so both engines run the identical bounded
+    computation whether or not the peel has reached fixpoint — at
+    sf0.01 it converges in 4 rounds and the remaining rounds are
+    no-ops by construction.
+
+    Output: the peel trace — per round, how many nodes were removed
+    and how many edges survive; the final row is the k-core size.
+
+    Scale posture: per round one degree aggregate + two left-anti
+    joins on the (persisted, collapsed) edge table, each round's
+    survivor set ``localCheckpoint``-ed so lineage stays flat; the
+    trace rows are 1-row aggregates of checkpointed tables unioned
+    into a single 10-row action — no driver-side collect at all."""
+    cur = _coclick_edges(spark, sf_dir)
+    rows = None
+    for r in range(1, _KCORE_ROUNDS + 1):
+        deg = (
+            cur.select(F.col("u").alias("n"))
+            .unionByName(cur.select(F.col("v").alias("n")))
+            .groupBy("n")
+            .agg(F.count(F.lit(1)).alias("deg"))
+        )
+        low = caching.persist_tracked(
+            deg.where(F.col("deg") < _KCORE_K).select("n")
+        )
+        nxt = (
+            cur.join(low.withColumnRenamed("n", "u"), "u", "left_anti")
+            .join(low.withColumnRenamed("n", "v"), "v", "left_anti")
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        row = (
+            low.agg(F.count(F.lit(1)).cast("long").alias("n_removed"))
+            .crossJoin(
+                nxt.agg(F.count(F.lit(1)).cast("long").alias("n_edges"))
+            )
+            .select(
+                F.lit(r).cast("long").alias("round"),
+                "n_removed",
+                "n_edges",
+            )
+        )
+        rows = row if rows is None else rows.unionByName(row)
+        cur = nxt
+    return rows.orderBy("round")
+
+
+def _kcore_sql() -> str:
+    parts = [
+        """
+WITH uk AS (
+  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+         CAST(ts AS DATE) AS d, user_id
+  FROM events WHERE event_type = 'click'
+),
+e0 AS MATERIALIZED (
+  SELECT DISTINCT a.user_id AS u, b.user_id AS v
+  FROM uk a JOIN uk b ON a.k = b.k AND a.d = b.d
+  WHERE a.user_id < b.user_id
+)"""
+    ]
+    for r in range(1, _KCORE_ROUNDS + 1):
+        parts.append(
+            f""",
+low{r} AS MATERIALIZED (
+  SELECT n FROM (
+    SELECT u AS n FROM e{r - 1} UNION ALL SELECT v AS n FROM e{r - 1}
+  ) GROUP BY n HAVING count(*) < {_KCORE_K}
+),
+e{r} AS MATERIALIZED (
+  SELECT u, v FROM e{r - 1}
+  WHERE u NOT IN (SELECT n FROM low{r})
+    AND v NOT IN (SELECT n FROM low{r})
+)"""
+        )
+    trace = "\nUNION ALL\n".join(
+        f"SELECT CAST({r} AS BIGINT) AS round,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM low{r}) AS n_removed,"
+        f" (SELECT CAST(count(*) AS BIGINT) FROM e{r}) AS n_edges"
+        for r in range(1, _KCORE_ROUNDS + 1)
+    )
+    parts.append("\n" + trace + "\nORDER BY round")
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "graph_kcore_peel",
+        _kcore_peel,
+        _kcore_sql(),
+        doc="synchronous k-core peeling (k=6, 10 fixed rounds) over the "
+        "co-click graph: per-round removed-node / surviving-edge "
+        "trace down to the dense backbone — bounded deterministic "
+        "rounds of degree-aggregate + anti-join, lineage checkpointed "
+        "per round, no driver-side collect",
+        tags=("extension", "graph", "mining", "iterative"),
     )
 )

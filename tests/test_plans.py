@@ -88,6 +88,9 @@ _ALLOWED_BNLJ = {
     "events_decayed_leaderboard",  # 1-row reference-day broadcast
     "gdpr_forget_users_audit",     # per-table 1x1x1 audit-count combines
     "sql_ntile_price_deciles",     # 1-row total-count broadcast (ntile n)
+    "corpus_unigram_seed_vocab",   # 1-row vocab-score-total broadcast
+    "corpus_unigram_viterbi_encode",  # same 1-row total inside _uni_core
+    "graph_kcore_peel",            # per-round 1x1 trace-count combine
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
