@@ -959,3 +959,41 @@ ORDER BY window_start, event_type
         tags=("streaming", "hopping-window", "watermark"),
     )
 )
+
+
+from ..streaming.latedrop import LATE_BOUND, late_drop_audit  # noqa: E402
+
+register(
+    QuerySpec(
+        "stream_late_drop_audit",
+        late_drop_audit,
+        f"""
+WITH ontime AS (
+  SELECT ts FROM events WHERE ts >= TIMESTAMP '{LATE_BOUND} 00:00:00'
+),
+wm AS (SELECT max(ts) - INTERVAL 1 DAY AS w FROM ontime),
+sealed AS (
+  SELECT date_trunc('day', ts) AS d, count(*) AS n
+  FROM ontime
+  WHERE date_trunc('day', ts) + INTERVAL 1 DAY <= (SELECT w FROM wm)
+  GROUP BY 1
+)
+SELECT CAST((SELECT count(*) FROM sealed) AS BIGINT) AS n_sealed_days,
+       CAST((SELECT sum(n) FROM sealed) AS BIGINT) AS n_events_emitted,
+       (SELECT CAST(count(*) AS BIGINT) FROM events
+        WHERE ts < TIMESTAMP '{LATE_BOUND} 00:00:00') AS n_late_batch_rows,
+       TRUE AS drop_telemetry_nonzero
+""",
+        doc="watermark drop ACCOUNTING: ordered (bulk, mid, late) "
+        "backlog at maxFilesPerTrigger=1 — by the third batch the "
+        "operative watermark has propagated past every late row; the "
+        "sink then holds EXACTLY the on-time sealed windows (any "
+        "leaked late row would emit its long-sealed window and grow "
+        "n_sealed_days), the late batch's numInputRows equals the "
+        "late file, and numRowsDroppedByWatermark is a nonzero "
+        "tripwire (its unit is post-partial-agg state-input rows — an "
+        "engine grain no oracle should pin); the books an operator "
+        "reconciles when late data silently disappears at scale",
+        tags=("streaming", "watermark", "observability"),
+    )
+)

@@ -30,6 +30,7 @@ _EPOCH = "1970-01-01T00:00:00.000Z"
 # each must surface an advanced watermark and bounded state operators
 _WATERMARKED_STATEFUL = [
     "stream_hopping_window",
+    "stream_late_drop_audit",
     "stream_late_data_watermark",
     "stream_dedup_watermark",
     "stream_session_window",
