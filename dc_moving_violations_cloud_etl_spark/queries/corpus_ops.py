@@ -433,6 +433,210 @@ ORDER BY rank
 
 
 # ---------------------------------------------------------------------------
+# word2vec negative sampling (round 6)
+# ---------------------------------------------------------------------------
+
+_NEG_K = 5  # negatives per (center, context) pair
+_NEG_POW_SCALE = 1_000_000  # count^0.75 -> integer micro-weights
+_NEG_BUCKETS = 64  # inverse-CDF lookup buckets
+
+
+def _negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic word2vec negative sampling for the top skip-gram
+    pairs: K noise words per (center, context) pair drawn from the
+    smoothed unigram distribution P(w) ∝ count(w)^0.75 (Mikolov 2013)
+    — the third leg of the embedding-pretraining data path beside
+    ``corpus_skipgram_pairs`` and the contrastive-triple miner.
+
+    Everything is integer so both engines land on identical draws:
+    word weights are ``round(count^0.75 * 1e6)`` BIGINTs, the CDF is
+    an exact integer cumulative sum over the word-ordered vocabulary,
+    and each draw is a 60-bit md5 integer of ``(center, context, k)``
+    reduced mod the total weight. The inverse-CDF lookup is NOT a
+    per-draw scan of the vocabulary: each vocab interval is exploded
+    onto the fixed-width buckets it spans (B=64), draws equi-join on
+    ``bucket = u * B / total`` against that broadcast map, and a short
+    range filter picks the one covering interval — the relational
+    alias-table, O(1) candidates per draw at any vocabulary size. A
+    drawn negative may collide with the pair's own words (classic
+    word2vec resamples; a deterministic pipeline flags instead —
+    ``is_collision``)."""
+    words = caching.persist_tracked(_uni_words(spark, sf_dir))
+    w = Window.orderBy("w")
+    vocab = words.select(
+        "w",
+        F.round(
+            F.pow(F.col("freq").cast("double"), 0.75) * _NEG_POW_SCALE, 0
+        )
+        .cast("long")
+        .alias("wt"),
+    )
+    cdf = vocab.select(
+        "w",
+        "wt",
+        (F.sum("wt").over(w) - F.col("wt")).alias("lo"),
+        F.sum("wt").over(w).alias("hi"),
+    )
+    cdf = caching.persist_tracked(cdf)
+    total = cdf.agg(F.max("hi").alias("total"))
+    bmap = (
+        cdf.crossJoin(F.broadcast(total))
+        .select(
+            "w",
+            "lo",
+            "hi",
+            "total",
+            F.explode(
+                F.sequence(
+                    F.expr(f"(lo * {_NEG_BUCKETS}) div total"),
+                    F.expr(f"((hi - 1) * {_NEG_BUCKETS}) div total"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    pairs = _skipgram_pairs(spark, sf_dir).select("w1", "w2", "rank")
+    draws = pairs.select(
+        "w1",
+        "w2",
+        "rank",
+        F.explode(F.sequence(F.lit(1), F.lit(_NEG_K))).alias("k"),
+    ).select(
+        "w1",
+        "w2",
+        "rank",
+        "k",
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("|", "w1", "w2", F.col("k").cast("string"))),
+                1,
+                15,
+            ),
+            16,
+            10,
+        )
+        .cast("long")
+        .alias("h"),
+    )
+    out = (
+        draws.crossJoin(F.broadcast(total))
+        .select(
+            "w1",
+            "w2",
+            "rank",
+            "k",
+            (F.col("h") % F.col("total")).alias("u"),
+            F.expr(f"((h % total) * {_NEG_BUCKETS}) div total").alias(
+                "bucket"
+            ),
+        )
+        .join(
+            F.broadcast(bmap.select("w", "lo", "hi", "bucket")), "bucket"
+        )
+        .where((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
+        .select(
+            "w1",
+            "w2",
+            "rank",
+            F.col("k").cast("long").alias("k"),
+            F.col("w").alias("neg_word"),
+            (
+                (F.col("w") == F.col("w1")) | (F.col("w") == F.col("w2"))
+            ).alias("is_collision"),
+        )
+    )
+    return out.orderBy("rank", "k")
+
+
+register(
+    QuerySpec(
+        "corpus_negative_samples",
+        _negative_samples,
+        f"""
+WITH words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(
+      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1 GROUP BY w
+),
+cdf AS MATERIALIZED (
+  SELECT w, wt,
+         sum(wt) OVER (ORDER BY w
+            ROWS UNBOUNDED PRECEDING) - wt AS lo,
+         sum(wt) OVER (ORDER BY w ROWS UNBOUNDED PRECEDING) AS hi
+  FROM (
+    SELECT w,
+           CAST(round(pow(CAST(freq AS DOUBLE), 0.75)
+                      * {_NEG_POW_SCALE}) AS BIGINT) AS wt
+    FROM words
+  )
+),
+tot AS (SELECT max(hi) AS total FROM cdf),
+bmap AS MATERIALIZED (
+  SELECT c.w, c.lo, c.hi, t.b AS bucket
+  FROM cdf c, tot,
+       unnest(generate_series(
+         CAST((c.lo * {_NEG_BUCKETS}) // tot.total AS BIGINT),
+         CAST(((c.hi - 1) * {_NEG_BUCKETS}) // tot.total AS BIGINT))) t(b)
+),
+d AS (
+  SELECT doc_id,
+         string_split(lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')
+           AS toks
+  FROM documents
+),
+tok AS (
+  SELECT doc_id, i AS pos, toks[i + 1] AS w1
+  FROM d, unnest(generate_series(0, len(toks) - 1)) t(i)
+  WHERE length(toks[i + 1]) > 0
+),
+sgpairs AS (
+  SELECT w1, w2 FROM (
+    SELECT w1, lead(w1, 1) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok)
+  WHERE w2 IS NOT NULL AND length(w2) > 0
+  UNION ALL
+  SELECT w1, w2 FROM (
+    SELECT w1, lead(w1, 2) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+    FROM tok)
+  WHERE w2 IS NOT NULL AND length(w2) > 0
+),
+top_pairs AS (
+  SELECT w1, w2, rank FROM (
+    SELECT w1, w2,
+           CAST(row_number() OVER (
+             ORDER BY count(*) DESC, w1, w2) AS BIGINT) AS rank
+    FROM sgpairs GROUP BY w1, w2
+  ) WHERE rank <= {_SKIPGRAM_TOP}
+),
+draws AS (
+  SELECT p.w1, p.w2, p.rank, t.k,
+         CAST('0x' || substr(md5(p.w1 || '|' || p.w2 || '|'
+                   || CAST(t.k AS VARCHAR)), 1, 15) AS BIGINT)
+           % (SELECT total FROM tot) AS u
+  FROM top_pairs p, unnest(generate_series(1, {_NEG_K})) t(k)
+)
+SELECT d.w1, d.w2, d.rank, CAST(d.k AS BIGINT) AS k,
+       b.w AS neg_word,
+       (b.w = d.w1 OR b.w = d.w2) AS is_collision
+FROM draws d
+JOIN bmap b
+  ON b.bucket = CAST((d.u * {_NEG_BUCKETS}) // (SELECT total FROM tot)
+                     AS BIGINT)
+ AND d.u >= b.lo AND d.u < b.hi
+ORDER BY d.rank, d.k
+""",
+        doc="deterministic word2vec negative sampling: K=5 noise words "
+        "per top skip-gram pair from P(w) ∝ count^0.75 — exact integer "
+        "micro-weight CDF, 60-bit md5 draws, and a bucketed (B=64) "
+        "relational alias-table lookup so each draw touches O(1) vocab "
+        "intervals at any vocabulary size",
+        tags=("extension", "corpus", "training", "sampling"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # PII redaction
 # ---------------------------------------------------------------------------
 

@@ -91,6 +91,7 @@ _ALLOWED_BNLJ = {
     "corpus_unigram_seed_vocab",   # 1-row vocab-score-total broadcast
     "corpus_unigram_viterbi_encode",  # same 1-row total inside _uni_core
     "graph_kcore_peel",            # per-round 1x1 trace-count combine
+    "corpus_negative_samples",     # 1-row total-weight broadcast (CDF mod)
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",
