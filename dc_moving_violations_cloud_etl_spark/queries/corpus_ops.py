@@ -1619,14 +1619,18 @@ def _uni_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_UNI_WORDS_SQL = r"""
+_UNI_WORDS_HEAD = r"""
 WITH words AS MATERIALIZED (
   SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
     SELECT unnest(string_split(
       lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
     FROM documents
   ) WHERE length(w) >= 1 GROUP BY w
-),
+)"""
+
+# the seed-vocab chain, relative to an existing `words` CTE — appended
+# to either _UNI_WORDS_HEAD or the BPE oracle's head (same `words`)
+_UNI_VOCAB_CHAIN = r""",
 cand AS MATERIALIZED (
   SELECT w, freq, s, s + l AS e, substring(w, s + 1, l) AS piece FROM (
     SELECT w, freq, t.s AS s, u.l AS l
@@ -1657,6 +1661,8 @@ vocab AS MATERIALIZED (
   FROM vocab0
 )"""
 
+_UNI_WORDS_SQL = _UNI_WORDS_HEAD + _UNI_VOCAB_CHAIN
+
 
 def _uni_seed_sql() -> str:
     return (
@@ -1672,11 +1678,10 @@ SELECT CAST(rank AS BIGINT) AS rank, piece, pfreq, score, lp FROM (
     )
 
 
-def _uni_encode_sql() -> str:
+def _uni_dp_sql() -> str:
+    """The Viterbi DP chain (matches, a0, p1..aN, wlen), relative to
+    existing `cand` / `vocab` / `words` CTEs."""
     parts = [
-        _UNI_WORDS_SQL.replace("__MAXP__", str(_UNI_MAX_PIECE)).replace(
-            "__TOPM__", str(_UNI_TOP_MULTI)
-        ),
         f""",
 matches AS MATERIALIZED (
   SELECT c.w, c.s, c.e, v.lp
@@ -1716,11 +1721,22 @@ wlen AS (
   SELECT w, CAST(length(w) AS BIGINT) AS n_pieces,
          CAST(NULL AS BIGINT) AS best_lp
   FROM words WHERE length(w) > {_UNI_MAXPOS}
-),
+)"""
+    )
+    return "".join(parts)
+
+
+def _uni_encode_sql() -> str:
+    return (
+        _UNI_WORDS_SQL.replace("__MAXP__", str(_UNI_MAX_PIECE)).replace(
+            "__TOPM__", str(_UNI_TOP_MULTI)
+        )
+        + _uni_dp_sql()
+        + r""",
 dw AS (
   SELECT doc_id, w FROM (
     SELECT doc_id, unnest(string_split(
-      lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' ')) AS w
+      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
     FROM documents
   ) WHERE length(w) >= 1
 )
@@ -1732,7 +1748,6 @@ SELECT dw.doc_id,
 FROM dw JOIN wlen l ON l.w = dw.w
 GROUP BY dw.doc_id ORDER BY dw.doc_id"""
     )
-    return "".join(parts)
 
 
 register(
@@ -1762,6 +1777,121 @@ register(
         "segmentation, the decode half of SentencePiece, beside "
         "greedy-merge BPE",
         tags=("extension", "corpus", "text", "tokenizer", "iterative"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# tokenizer fertility comparison (round 6)
+# ---------------------------------------------------------------------------
+
+
+def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fertility (subword tokens per word) per language for BOTH
+    trained coders — greedy-merge BPE and unigram-LM Viterbi — the
+    standard tokenizer-evaluation metric (multilingual fertility skew
+    is how a tokenizer silently taxes some languages with more tokens
+    per word). Trained state from both cores is vocabulary-bounded;
+    the corpus is touched once for the (lang, word) stream, which
+    joins both per-word length tables broadcast."""
+    _, seq = _bpe_core(spark, sf_dir)
+    bpe_wlen = seq.select(
+        F.col("rid").alias("w"),
+        F.size(F.split("seq", " ")).cast("long").alias("bpe_tok"),
+    )
+    _, uni_wlen = _uni_viterbi_wordlens(spark, sf_dir)
+    dwl = (
+        _docs(spark, sf_dir)
+        .select("lang", F.explode(tokens(normalized(F.col("text")))).alias("w"))
+        .where(F.length("w") >= 1)
+    )
+    agg = (
+        dwl.join(F.broadcast(bpe_wlen), "w")
+        .join(F.broadcast(uni_wlen.select("w", "n_pieces")), "w")
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum("bpe_tok").cast("long").alias("bpe_tokens"),
+            F.sum("n_pieces").cast("long").alias("uni_tokens"),
+        )
+    )
+    out = agg.select(
+        "lang",
+        F.lit("bpe").alias("coder"),
+        "n_words",
+        F.col("bpe_tokens").alias("n_subword_tokens"),
+    ).unionByName(
+        agg.select(
+            "lang",
+            F.lit("unigram").alias("coder"),
+            "n_words",
+            F.col("uni_tokens").alias("n_subword_tokens"),
+        )
+    )
+    return out.select(
+        "lang",
+        "coder",
+        "n_words",
+        "n_subword_tokens",
+        F.round(
+            F.col("n_subword_tokens").cast("double")
+            / F.col("n_words").cast("double"),
+            6,
+        ).alias("fertility_r6"),
+    ).orderBy("lang", "coder")
+
+
+def _fertility_sql() -> str:
+    uni_chain = _UNI_VOCAB_CHAIN.replace(
+        "__MAXP__", str(_UNI_MAX_PIECE)
+    ).replace("__TOPM__", str(_UNI_TOP_MULTI))
+    return _bpe_oracle(
+        tail=uni_chain
+        + _uni_dp_sql()
+        + rf""",
+dwl AS (
+  SELECT lang, w FROM (
+    SELECT lang, unnest(string_split(
+      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1
+),
+bpe_wlen AS (
+  SELECT rid AS w, CAST(len(string_split(seq, ' ')) AS BIGINT) AS bpe_tok
+  FROM seq{_BPE_ROUNDS}
+),
+agg AS (
+  SELECT lang, CAST(count(*) AS BIGINT) AS n_words,
+         CAST(sum(b.bpe_tok) AS BIGINT) AS bpe_tokens,
+         CAST(sum(u.n_pieces) AS BIGINT) AS uni_tokens
+  FROM dwl JOIN bpe_wlen b ON b.w = dwl.w
+  JOIN wlen u ON u.w = dwl.w
+  GROUP BY lang
+),
+u AS (
+  SELECT lang, 'bpe' AS coder, n_words, bpe_tokens AS n_subword_tokens
+  FROM agg
+  UNION ALL
+  SELECT lang, 'unigram', n_words, uni_tokens FROM agg
+)
+SELECT lang, coder, n_words, n_subword_tokens,
+       round(CAST(n_subword_tokens AS DOUBLE) / n_words, 6)
+         AS fertility_r6
+FROM u ORDER BY lang, coder"""
+    )
+
+
+register(
+    QuerySpec(
+        "corpus_tokenizer_fertility",
+        _tokenizer_fertility,
+        _fertility_sql(),
+        doc="tokenizer fertility (subword tokens per word) per language "
+        "for BOTH trained coders — BPE greedy merges vs unigram-LM "
+        "Viterbi — the multilingual tokenizer-eval metric; one corpus "
+        "pass over (lang, word), both per-word length tables broadcast "
+        "from vocabulary-bounded trained state",
+        tags=("extension", "corpus", "text", "tokenizer", "statistics"),
     )
 )
 
