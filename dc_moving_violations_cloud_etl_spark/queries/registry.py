@@ -111,9 +111,14 @@ def _load_all() -> None:
 #   privacy_k_anonymity_audit, dp_noisy_histogram_release,
 #   basket_type_lift, events_zscore_outliers, events_value_drift_audit,
 #   events_value_k_corr_direction, events_mad_outliers
-# — plus anything in THIS window that comes back red, plus any round-6
-# additions (official-row-less by construction; ledgered as `queued` in
-# QUERIES.md).
+# — plus anything in THIS window that comes back red, plus the 15
+# round-6 additions (official-row-less by construction; ledgered as
+# `queued` in QUERIES.md): the LSH band-tradeoff audit, Gopher rules,
+# binaryFile source, DSIR weights, Kneser-Ney, NB lang-ID, HITS,
+# seqlen histogram, k-center seeds, the unigram-LM pair, k-core peel,
+# the late-drop stream, negative sampling, and tokenizer fertility —
+# 35 queued total — all fit in r7's 50-slot window (remaining slots
+# refresh already-official rows), closing the catalog at r7.
 DRIVER_WINDOW = [
     "similarity_int8_topk",
     "similarity_int8_recall",
