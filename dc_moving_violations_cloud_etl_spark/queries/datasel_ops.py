@@ -304,24 +304,12 @@ LIMIT {_KN_TOPK}
 _NB_TEST_MOD = 5  # doc_id % 5 == 0 -> held-out test set
 
 
-def _naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TRAINED language identification: multinomial Naive Bayes with
-    add-one smoothing, fit on the 80% train split (doc_id % 5 != 0) and
-    evaluated as a confusion matrix on the held-out 20% — the
-    model-based classifier beside the marker-stopword heuristic
-    (``lang_id_confusion``). NB over token counts is the standard
-    fastText-adjacent baseline for corpus language routing.
-
-    Relational form (no UDFs): the model is (class priors, per-class
-    token totals, per-(class, token) counts) — three hash-aggregates of
-    the train split, each vocabulary-bounded. Scoring joins every test
-    token occurrence against the 5-row class table and the
-    (class, token) count table (both broadcast; at web scale the count
-    table is vocab x classes — storage-resident and shuffle-joinable,
-    still never corpus-sized), sums log-probabilities per (doc, class),
-    and takes the per-doc argmax with a 5-row window. Scores are
-    rounded to 4dp before the argmax so the cross-engine float-sum
-    jitter (~1e-12) cannot flip a prediction; ties break on class name.
+def nb_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Held-out Naive-Bayes class scores ``(doc_id, actual, c, s)`` —
+    the shared scoring table behind the confusion matrix
+    (``curation_naive_bayes_langid``) and the calibration audit
+    (``eval_ops.curation_calibration_ece``). See
+    ``_naive_bayes_langid`` for the model/scoring shape discussion.
     """
     d = _docs(spark, sf_dir).select(
         "doc_id",
@@ -350,7 +338,7 @@ def _naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     vocab = train.agg(F.countDistinct("w").cast("double").alias("v"))
 
-    scored = (
+    return (
         test.crossJoin(F.broadcast(cls.select("c", "ln_prior", "tot_c")))
         .join(F.broadcast(cw), ["c", "w"], "left")
         .crossJoin(F.broadcast(vocab))
@@ -367,6 +355,28 @@ def _naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("s")
         )
     )
+
+
+def _naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED language identification: multinomial Naive Bayes with
+    add-one smoothing, fit on the 80% train split (doc_id % 5 != 0) and
+    evaluated as a confusion matrix on the held-out 20% — the
+    model-based classifier beside the marker-stopword heuristic
+    (``lang_id_confusion``). NB over token counts is the standard
+    fastText-adjacent baseline for corpus language routing.
+
+    Relational form (no UDFs): the model is (class priors, per-class
+    token totals, per-(class, token) counts) — three hash-aggregates of
+    the train split, each vocabulary-bounded. Scoring joins every test
+    token occurrence against the 5-row class table and the
+    (class, token) count table (both broadcast; at web scale the count
+    table is vocab x classes — storage-resident and shuffle-joinable,
+    still never corpus-sized), sums log-probabilities per (doc, class),
+    and takes the per-doc argmax with a 5-row window. Scores are
+    rounded to 4dp before the argmax so the cross-engine float-sum
+    jitter (~1e-12) cannot flip a prediction; ties break on class name.
+    """
+    scored = nb_scored(spark, sf_dir)
     w_doc = Window.partitionBy("doc_id").orderBy(
         F.desc(F.round(F.col("s"), 4)), F.asc("c")
     )
@@ -383,11 +393,9 @@ def _naive_bayes_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-register(
-    QuerySpec(
-        "curation_naive_bayes_langid",
-        _naive_bayes_langid,
-        rf"""
+# the shared scored-table CTE prefix (through ``scored``) — reused by the
+# calibration audit oracle in eval_ops.py
+NB_SCORED_CTE = rf"""
 WITH d AS (
   SELECT doc_id, lang, unnest(
     string_split(lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')
@@ -412,8 +420,16 @@ scored AS (
   FROM test CROSS JOIN cls
   LEFT JOIN cw ON cw.c = cls.c AND cw.w = test.w
   GROUP BY test.doc_id, test.lang, cls.c
-),
-pred AS (
+)
+"""
+
+register(
+    QuerySpec(
+        "curation_naive_bayes_langid",
+        _naive_bayes_langid,
+        NB_SCORED_CTE
+        + """
+, pred AS (
   SELECT doc_id, actual, c,
          row_number() OVER (PARTITION BY doc_id
                             ORDER BY round(s, 4) DESC, c) AS rn

@@ -1180,7 +1180,7 @@ counts AS (
 )
 SELECT CAST(s.round AS BIGINT) AS round,
        CAST(s.center_vec_id AS BIGINT) AS center_vec_id,
-       s.d2_at_selection,
+       CAST(s.d2_at_selection AS BIGINT) AS d2_at_selection,
        coalesce(c.n_assigned, 0) AS n_assigned
 FROM seeds s LEFT JOIN counts c ON s.round = c.round
 ORDER BY s.round"""

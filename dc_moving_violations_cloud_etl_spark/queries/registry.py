@@ -57,6 +57,7 @@ def _load_all() -> None:
         "modern_sql",
         "mining_ops",
         "datasel_ops",
+        "eval_ops",
         "tpch",
         "streaming_ops",
         "sql_text",
