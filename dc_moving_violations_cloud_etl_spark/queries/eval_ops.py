@@ -489,3 +489,385 @@ FROM bins ORDER BY bin
         tags=("extension", "eval", "curation", "classifier", "audit"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# Distributed PCA: top principal component by power iteration
+# ---------------------------------------------------------------------------
+
+_PCA_ITERS = 8
+_PCA_TOPD = 8
+_PCA_Q = 1000  # milli-unit embedding quantization
+_PCA_V = 1_000_000  # micro-unit eigenvector components
+
+
+def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal component of the embedding covariance by power
+    iteration — distributed PCA in the shape it actually takes on a
+    data engine: ONE Arrow-batched corpus pass accumulates the exact
+    integer second-moment matrix (the classic treeAggregate X'X), then
+    8 fixed matrix-vector rounds run entirely on the d x d = 4096-row
+    bounded table. Covariance is recovered moment-wise
+    (n*S_jk - m_j*m_k) so no centering pass touches the corpus.
+
+    Cross-engine exactness: embeddings quantize to milli-units
+    (floor(x*1000+0.5), engine-round-safe); per-batch partial Gram
+    products are int64 (numpy X'X), merged with DECIMAL(38,0) sums, so
+    S, m, and C are aggregation-order-independent integers. The
+    iterate stays an INTEGER micro-unit vector: each round computes
+    u = C.v in exact decimal, renormalizes v' = floor(u/max|u|*1e6+.5)
+    through one deterministic double division — both engines run the
+    bit-identical schedule, no accumulated float drift. The final
+    report is the Rayleigh quotient share lambda/trace(C) (scale
+    factors cancel) + the top-|loading| dims in integer micro-units.
+
+    100 TB shape: the corpus is touched once (map-only, Arrow batches,
+    constant memory); everything after is bounded by d^2. The oracle
+    unrolls the identical 8 rounds as chained CTEs over a MATERIALIZED
+    covariance (DuckDB would otherwise inline C once per round).
+    """
+    emb = _emb(spark, sf_dir).select("embedding")
+
+    def gram_batches(batches):
+        import numpy as np
+        import pyarrow as pa
+
+        for batch in batches:
+            la = batch.column(0)
+            if len(la) == 0:
+                continue
+            flat = la.flatten().to_numpy(zero_copy_only=False)
+            arr = flat.astype(np.float64).reshape(len(la), -1)
+            q = np.floor(arr * float(_PCA_Q) + 0.5).astype(np.int64)
+            d = q.shape[1]
+            s = q.T @ q  # exact int64 within a batch
+            m = q.sum(axis=0)
+            idx = np.arange(d, dtype=np.int32)
+            jj, kk = np.meshgrid(idx, idx, indexing="ij")
+            yield pa.RecordBatch.from_arrays(
+                [
+                    pa.array(
+                        np.concatenate([jj.ravel(), idx, [-1]]), pa.int32()
+                    ),
+                    pa.array(
+                        np.concatenate(
+                            [kk.ravel(), np.full(d, -1, np.int32), [-1]]
+                        ),
+                        pa.int32(),
+                    ),
+                    pa.array(
+                        np.concatenate([s.ravel(), m, [q.shape[0]]]),
+                        pa.int64(),
+                    ),
+                ],
+                names=["j", "k", "v"],
+            )
+
+    stats = caching.persist_tracked(
+        emb.mapInArrow(gram_batches, "j int, k int, v long")
+        .groupBy("j", "k")
+        .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
+    )
+    s_tab = stats.where((F.col("j") >= 0) & (F.col("k") >= 0))
+    m_tab = stats.where(F.col("k") == -1).select(
+        F.col("j").alias("dim"), F.col("v").alias("m")
+    )
+    n_tab = stats.where(F.col("j") == -1).select(
+        F.col("v").cast("decimal(38,0)").alias("n")
+    )
+    cov = caching.persist_tracked(
+        s_tab.join(
+            F.broadcast(m_tab.select(F.col("dim").alias("j"), F.col("m").alias("mj"))),
+            "j",
+        )
+        .join(
+            F.broadcast(m_tab.select(F.col("dim").alias("k"), F.col("m").alias("mk"))),
+            "k",
+        )
+        .crossJoin(F.broadcast(n_tab))
+        .select(
+            "j",
+            "k",
+            (F.col("n") * F.col("v") - F.col("mj") * F.col("mk")).alias("c"),
+        )
+    )
+
+    v = m_tab.select("dim", F.lit(_PCA_V).cast("long").alias("v"))
+    for _ in range(_PCA_ITERS):
+        u = (
+            cov.join(
+                F.broadcast(
+                    v.select(F.col("dim").alias("k"), F.col("v").alias("vk"))
+                ),
+                "k",
+            )
+            .groupBy("j")
+            .agg(
+                F.sum(F.col("c") * F.col("vk").cast("decimal(38,0)")).alias("u")
+            )
+        )
+        umax = u.agg(F.max(F.abs(F.col("u"))).alias("um"))
+        v = (
+            u.crossJoin(F.broadcast(umax))
+            .select(
+                F.col("j").alias("dim"),
+                F.floor(
+                    F.col("u").cast("double")
+                    / F.col("um").cast("double")
+                    * F.lit(float(_PCA_V))
+                    + F.lit(0.5)
+                ).cast("long")
+                .alias("v"),
+            )
+            .localCheckpoint()
+        )
+
+    uf = (
+        cov.join(
+            F.broadcast(v.select(F.col("dim").alias("k"), F.col("v").alias("vk"))),
+            "k",
+        )
+        .groupBy("j")
+        .agg(F.sum(F.col("c") * F.col("vk").cast("decimal(38,0)")).alias("u"))
+    )
+    num = uf.join(
+        F.broadcast(v.select(F.col("dim").alias("j"), F.col("v").alias("vj"))),
+        "j",
+    ).agg(F.sum(F.col("u") * F.col("vj").cast("decimal(38,0)")).alias("num"))
+    den = v.agg(
+        F.sum((F.col("v") * F.col("v")).cast("decimal(38,0)")).alias("den")
+    )
+    trace = cov.where(F.col("j") == F.col("k")).agg(
+        F.sum("c").alias("tr")
+    )
+    share = (
+        num.crossJoin(F.broadcast(den))
+        .crossJoin(F.broadcast(trace))
+        .select(
+            F.round(
+                F.col("num").cast("double")
+                / F.col("den").cast("double")
+                / F.col("tr").cast("double"),
+                6,
+            ).alias("var_explained_top1")
+        )
+    )
+    w_load = Window.orderBy(
+        F.desc(F.abs(F.col("v"))), F.asc("dim")
+    )  # 64-row aggregate-derived table: bounded, unpartitioned is safe
+    return (
+        v.withColumn("rank", F.row_number().over(w_load).cast("long"))
+        .where(F.col("rank") <= _PCA_TOPD)
+        .crossJoin(F.broadcast(share))
+        .select(
+            "rank",
+            F.col("dim").cast("int").alias("dim"),
+            F.col("v").alias("loading_micro"),
+            "var_explained_top1",
+        )
+        .orderBy("rank")
+    )
+
+
+def _pca_sql() -> str:
+    parts = [
+        f"""
+WITH q AS (
+  SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS dim,
+         CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_PCA_Q} + 0.5)
+              AS BIGINT) AS q
+  FROM embeddings
+),
+m AS (SELECT dim, sum(q) AS m FROM q GROUP BY dim),
+n AS (SELECT count(*) AS n FROM embeddings),
+s AS (
+  SELECT a.dim AS j, b.dim AS k, sum(a.q * b.q) AS s
+  FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2
+),
+cov AS MATERIALIZED (
+  SELECT s.j, s.k, n.n * s.s - mj.m * mk.m AS c
+  FROM s CROSS JOIN n
+  JOIN m mj ON mj.dim = s.j JOIN m mk ON mk.dim = s.k
+),
+v0 AS (SELECT dim, CAST({_PCA_V} AS BIGINT) AS v FROM m)"""
+    ]
+    for t in range(1, _PCA_ITERS + 1):
+        parts.append(
+            f""",
+u{t} AS MATERIALIZED (
+  SELECT cov.j AS dim, sum(cov.c * v.v) AS u
+  FROM cov JOIN v{t - 1} v ON v.dim = cov.k GROUP BY cov.j
+),
+v{t} AS MATERIALIZED (
+  SELECT dim,
+         CAST(floor(CAST(u AS DOUBLE)
+              / (SELECT max(abs(CAST(u AS DOUBLE))) FROM u{t})
+              * {_PCA_V}.0 + 0.5) AS BIGINT) AS v
+  FROM u{t}
+)"""
+        )
+    last = f"v{_PCA_ITERS}"
+    parts.append(
+        f""",
+uf AS (
+  SELECT cov.j AS dim, sum(cov.c * v.v) AS u
+  FROM cov JOIN {last} v ON v.dim = cov.k GROUP BY cov.j
+),
+rq AS (
+  SELECT (SELECT sum(uf.u * v.v) FROM uf JOIN {last} v USING (dim)) AS num,
+         (SELECT sum(v * v) FROM {last}) AS den,
+         (SELECT sum(c) FROM cov WHERE j = k) AS tr
+)
+SELECT CAST(row_number() OVER (ORDER BY abs(v.v) DESC, v.dim)
+            AS BIGINT) AS rank,
+       CAST(v.dim AS INT) AS dim, v.v AS loading_micro,
+       round(CAST(rq.num AS DOUBLE) / CAST(rq.den AS DOUBLE)
+             / CAST(rq.tr AS DOUBLE), 6) AS var_explained_top1
+FROM {last} v CROSS JOIN rq
+ORDER BY abs(v.v) DESC, v.dim
+LIMIT {_PCA_TOPD}"""
+    )
+    return "".join(parts)
+
+
+register(
+    QuerySpec(
+        "embedding_pca_power_iteration",
+        _pca_power,
+        _pca_sql(),
+        doc="distributed PCA: exact integer second moments in ONE "
+        "Arrow-batched corpus pass (treeAggregate X'X), covariance "
+        "recovered moment-wise, then 8 fixed power-iteration rounds on "
+        "the bounded d^2 table with an integer micro-unit iterate — "
+        "top-|loading| dims + Rayleigh variance-explained share",
+        tags=("extension", "embedding", "iterative", "arrow", "training"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
+# Suffix-array construction by prefix doubling -> repeated-substring groups
+# ---------------------------------------------------------------------------
+
+_SA_WIN = 48  # per-doc window (chars of normalized text)
+_SA_MINLEN = 12  # report suffixes at least this long
+_SA_TOPK = 10
+
+
+def _suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suffix-array ranks by PREFIX DOUBLING (Manber-Myers; the
+    distributed suffix-sort shape behind Lee et al. exact substring
+    dedup): every character position of the (48-char-windowed,
+    normalized) corpus gets an integer rank; round k upgrades
+    rank_k -> rank_2k by densely re-ranking the pair
+    (rank_k(p), rank_k(p+k)) — 6 rounds (1,2,4,8,16,32) cover the
+    window, after which rank equality IS equality of the suffix to the
+    window end. The report groups positions by final rank: the top
+    repeated suffixes (>= 12 chars, >= 2 occurrences) with position
+    and document counts — repeated-substring detection without ever
+    joining strings against strings.
+
+    100 TB shape: each round is ONE doc-keyed ``lead`` window (bounded
+    partitions), ONE distinct over rank pairs, and ONE ``global_rank``
+    over the distinct pairs (range-repartition + constant-size offset
+    ledger — never an unpartitioned data-sized sort), joined back on
+    the pair. O(log window) rounds, every stage partition-parallel;
+    per-round ``localCheckpoint`` flattens lineage exactly like the
+    connected-components loop (operators/dedup.py:541). Suffix STRINGS
+    materialize only in the final top-k report; the working set is
+    (doc_id, pos, rank) integers — the reason this scales where the
+    oracle's group-by-substring (fine at sf0.01) would shuffle corpus
+    text at every suffix length.
+    """
+    from ..operators.ranking import global_rank
+
+    d = caching.persist_tracked(
+        _docs(spark, sf_dir).select(
+            "doc_id",
+            F.substring(normalized(F.col("text")), 1, _SA_WIN).alias("s"),
+        )
+    )
+    pos_tab = d.select(
+        "doc_id", F.posexplode(F.split("s", r"(?!^)")).alias("pos", "ch")
+    )
+    alphabet = global_rank(
+        pos_tab.select("ch").distinct(), F.asc("ch"), alias="r"
+    )
+    cur = (
+        pos_tab.join(F.broadcast(alphabet), "ch")
+        .select("doc_id", "pos", "r")
+        .localCheckpoint()
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    k = 1
+    while k < _SA_WIN:
+        paired = cur.withColumn(
+            "nr",
+            F.coalesce(F.lead("r", k).over(w_doc), F.lit(-1).cast("long")),
+        )
+        pairs = paired.select("r", "nr").distinct()
+        ranked = global_rank(pairs, F.asc("r"), F.asc("nr"), alias="r2")
+        cur = (
+            paired.join(ranked, ["r", "nr"])
+            .select("doc_id", "pos", F.col("r2").alias("r"))
+            .localCheckpoint()
+        )
+        k *= 2
+
+    suf = cur.join(d, "doc_id").select(
+        "r",
+        "doc_id",
+        F.expr(f"substring(s, pos + 1, {_SA_WIN})").alias("suffix"),
+        (F.length("s") - F.col("pos")).alias("sl"),
+    )
+    groups = (
+        suf.where(F.col("sl") >= _SA_MINLEN)
+        .groupBy("r")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_positions"),
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.min("suffix").alias("suffix"),
+        )
+        .where(F.col("n_positions") >= 2)
+    )
+    return global_topk(
+        groups, _SA_TOPK, F.desc("n_positions"), F.asc("suffix")
+    ).select("rank", "suffix", "n_positions", "n_docs").orderBy("rank")
+
+
+register(
+    QuerySpec(
+        "corpus_suffix_array_doubling",
+        _suffix_doubling,
+        rf"""
+WITH d AS (
+  SELECT doc_id,
+         substr(lower(regexp_replace(trim(text), '\s+', ' ', 'g')),
+                1, {_SA_WIN}) AS s
+  FROM documents
+),
+pos AS (
+  SELECT doc_id, substr(s, CAST(t.i AS INT)) AS suffix,
+         length(s) - t.i + 1 AS sl
+  FROM d, unnest(generate_series(1, CAST(length(s) AS BIGINT))) AS t(i)
+),
+groups AS (
+  SELECT suffix, CAST(count(*) AS BIGINT) AS n_positions,
+         CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs
+  FROM pos WHERE sl >= {_SA_MINLEN}
+  GROUP BY suffix HAVING count(*) >= 2
+)
+SELECT CAST(row_number() OVER (ORDER BY n_positions DESC, suffix)
+            AS BIGINT) AS rank,
+       suffix, n_positions, n_docs
+FROM groups
+ORDER BY n_positions DESC, suffix
+LIMIT {_SA_TOPK}
+""",
+        doc="suffix-array ranks by prefix doubling (6 rounds of "
+        "lead-window pairing + distributed dense re-rank): top "
+        "repeated >=12-char suffixes with position/doc counts — the "
+        "suffix-sort primitive behind exact substring dedup, working "
+        "set all-integer until the final report",
+        tags=("extension", "dedup", "iterative", "text", "suffix-array"),
+    )
+)

@@ -120,6 +120,8 @@ _ALLOWED_BNLJ = {
     "dedup_lsh_band_tradeoff",     # bounded query set + 1-row count combines
     "corpus_kneser_ney_bigram",    # 1-row bigram-type-count broadcast
     "curation_naive_bayes_langid",  # 5-row class table + 1-row vocab size
+    "curation_calibration_ece",    # same NB scoring pass (1-row vocab size)
+    "embedding_pca_power_iteration",  # 1-row n / max|u| / Rayleigh combines
 }
 
 
