@@ -766,44 +766,80 @@ def _suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     and document counts — repeated-substring detection without ever
     joining strings against strings.
 
-    100 TB shape: each round is ONE doc-keyed ``lead`` window (bounded
-    partitions), ONE distinct over rank pairs, and ONE ``global_rank``
-    over the distinct pairs (range-repartition + constant-size offset
-    ledger — never an unpartitioned data-sized sort), joined back on
-    the pair. O(log window) rounds, every stage partition-parallel;
-    per-round ``localCheckpoint`` flattens lineage exactly like the
-    connected-components loop (operators/dedup.py:541). Suffix STRINGS
-    materialize only in the final top-k report; the working set is
-    (doc_id, pos, rank) integers — the reason this scales where the
-    oracle's group-by-substring (fine at sf0.01) would shuffle corpus
-    text at every suffix length.
+    100 TB shape: each doubling is ONE doc-keyed ``lead`` window
+    (bounded partitions) plus, where a dense re-rank is needed, ONE
+    distinct over rank pairs and ONE ``global_rank`` over the distinct
+    pairs (range-repartition + constant-size offset ledger — never an
+    unpartitioned data-sized sort), joined back on the pair. O(log
+    window) rounds, every stage partition-parallel; per-round
+    ``localCheckpoint`` flattens lineage exactly like the
+    connected-components loop (operators/dedup.py:541). Three classic
+    SA accelerations keep the constant small: (1) ranks SEED from the
+    4-char prefix (dense rank of ``substring(pos, 4)`` — lexicographic
+    string order equals suffix order at this depth, collapsing two
+    doubling rounds); (2) the FIRST doubling uses a COMPOSITE rank
+    ``r*(M+2) + (nr+1)`` instead of a dense re-rank — order-exact
+    because pair order equals composite numeric order, and overflow-
+    safe because M is the seed-rank count, bounded by the alphabet^4
+    (never the corpus), so no sort touches the data until ranks are
+    genuinely data-sized; (3) the LAST level never re-ranks at all —
+    the final grouping keys directly on the (rank, continuation-rank)
+    pair, which already identifies the full-window suffix. Net: two
+    data-sized ranking passes for a 48-char window instead of six.
+    Suffix STRINGS materialize only in the final top-k report; the
+    working set is (doc_id, pos, rank) integers — the reason this
+    scales where the oracle's group-by-substring (fine at sf0.01)
+    would shuffle corpus text at every suffix length.
     """
     from ..operators.ranking import global_rank
 
+    _SA_SEED = 4  # initial ranks from the 4-char prefix
     d = caching.persist_tracked(
         _docs(spark, sf_dir).select(
             "doc_id",
             F.substring(normalized(F.col("text")), 1, _SA_WIN).alias("s"),
         )
     )
+    # positions + seed key: one pass — the zero-width-lookahead regex
+    # emits the (up to) 4-gram at EVERY offset in position order (the
+    # shingles_raw construction; greedy {{1,4}} keeps the short tails)
     pos_tab = d.select(
-        "doc_id", F.posexplode(F.split("s", r"(?!^)")).alias("pos", "ch")
+        "doc_id",
+        F.posexplode(
+            F.regexp_extract_all(
+                "s", F.lit(f"(?=(.{{1,{_SA_SEED}}}))"), F.lit(1)
+            )
+        ).alias("pos", "g"),
     )
-    alphabet = global_rank(
-        pos_tab.select("ch").distinct(), F.asc("ch"), alias="r"
-    )
+    seeds = global_rank(pos_tab.select("g").distinct(), F.asc("g"), alias="r")
     cur = (
-        pos_tab.join(F.broadcast(alphabet), "ch")
+        pos_tab.join(seeds, "g")
         .select("doc_id", "pos", "r")
         .localCheckpoint()
     )
     w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    k = 1
-    while k < _SA_WIN:
-        paired = cur.withColumn(
+
+    def next_rank(df: DataFrame, k: int) -> DataFrame:
+        return df.withColumn(
             "nr",
             F.coalesce(F.lead("r", k).over(w_doc), F.lit(-1).cast("long")),
         )
+
+    # r4 -> r8 by COMPOSITE rank: M bounded by |alphabet|^4, the one
+    # constant-size scalar sync of the build
+    m_seed = cur.agg(F.max("r")).collect()[0][0] or 0
+    cur = next_rank(cur, _SA_SEED).select(
+        "doc_id",
+        "pos",
+        (
+            F.col("r") * F.lit(int(m_seed) + 2)
+            + (F.col("nr") + F.lit(1))
+        ).alias("r"),
+    ).localCheckpoint()
+
+    # r8 -> r16 -> r32 by dense re-rank (ranks are data-sized now)
+    for k in (2 * _SA_SEED, 4 * _SA_SEED):
+        paired = next_rank(cur, k)
         pairs = paired.select("r", "nr").distinct()
         ranked = global_rank(pairs, F.asc("r"), F.asc("nr"), alias="r2")
         cur = (
@@ -811,17 +847,20 @@ def _suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select("doc_id", "pos", F.col("r2").alias("r"))
             .localCheckpoint()
         )
-        k *= 2
 
-    suf = cur.join(d, "doc_id").select(
+    # r32 + continuation at 32 covers the 48-char window: group on the
+    # PAIR — identity is all the report needs, no final re-rank
+    final = next_rank(cur, 8 * _SA_SEED)
+    suf = final.join(d, "doc_id").select(
         "r",
+        "nr",
         "doc_id",
         F.expr(f"substring(s, pos + 1, {_SA_WIN})").alias("suffix"),
         (F.length("s") - F.col("pos")).alias("sl"),
     )
     groups = (
         suf.where(F.col("sl") >= _SA_MINLEN)
-        .groupBy("r")
+        .groupBy("r", "nr")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_positions"),
             F.countDistinct("doc_id").cast("long").alias("n_docs"),
