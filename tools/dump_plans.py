@@ -298,6 +298,32 @@ AUDITED = [
         "list against the label table + a key-partitioned mode "
         "election window; no cross join, no global window",
     ),
+    (
+        "embedding_pca_power_iteration",
+        "one ArrowEvalPython-free mapInArrow Gram pass over the corpus; "
+        "every later stage joins/aggregates the bounded d^2 table; the "
+        "only cross joins are 1-row scalar broadcasts (n, max|u|, "
+        "Rayleigh terms)",
+    ),
+    (
+        "corpus_suffix_array_doubling",
+        "doc-keyed lead windows; two data-sized ranking passes, each a "
+        "range-repartition + per-partition rank + constant-size offset "
+        "ledger; final grouping keys on the integer (rank, next) pair "
+        "— suffix strings appear only in the top-k report",
+    ),
+    (
+        "eval_rouge2_pairs",
+        "bigram sets built per-row inside the scan; pair scoring is "
+        "array_intersect in codegen — the only shuffles are the "
+        "lang-keyed pairing window and the final per-lang aggregate",
+    ),
+    (
+        "curation_calibration_ece",
+        "NB scoring pass shared with the confusion matrix; softmax and "
+        "binning are doc-keyed 5-row aggregates; the ECE window runs "
+        "over the 10-row bin table",
+    ),
 ]
 
 
