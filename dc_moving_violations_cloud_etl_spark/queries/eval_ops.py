@@ -910,3 +910,205 @@ LIMIT {_SA_TOPK}
         tags=("extension", "dedup", "iterative", "text", "suffix-array"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# Ranking-quality metrics: Mann-Whitney AUC and Spearman rank correlation
+# ---------------------------------------------------------------------------
+
+
+def _auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AUC of the stopword-ratio signal as an is-English detector,
+    computed as the Mann-Whitney rank-sum statistic with PROPER tied
+    midranks: AUC = (sum of positive midranks - n_pos(n_pos+1)/2) /
+    (n_pos * n_neg). The classifier-free ranking-quality number a data
+    pipeline reports for any candidate quality gate before picking a
+    threshold (the calibration audit's companion).
+
+    100 TB shape: one corpus pass reduces to a per-DISTINCT-SCORE
+    histogram (n_pos_s, n_neg_s); midranks come from a cumulative
+    window over that aggregate (allowed: its input is the reduced
+    histogram, not the corpus), and the statistic is one exact sum —
+    no per-row ranking, no corpus-sized window. Midranks are exact
+    half-integers; sums route through DECIMAL so both engines agree
+    bit-for-bit before the single final division.
+    """
+    d = _docs(spark, sf_dir).select(
+        "lang", tokens(normalized(F.col("text"))).alias("t")
+    )
+    scored = d.select(
+        (F.col("lang") == "en").cast("int").alias("y"),
+        (
+            F.size(F.filter("t", lambda t: t.isin(*STOPWORDS))).cast("double")
+            / F.size("t").cast("double")
+        ).alias("s"),
+    )
+    hist = scored.groupBy("s").agg(
+        F.sum("y").cast("long").alias("np_s"),
+        F.sum(1 - F.col("y")).cast("long").alias("nn_s"),
+    )
+    w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
+    mid = hist.withColumn(
+        "below", F.coalesce(F.sum(F.col("np_s") + F.col("nn_s")).over(w_cum), F.lit(0))
+    ).withColumn(
+        # midrank in half-units to stay integer-exact: 2*midrank
+        "mid2",
+        2 * F.col("below") + F.col("np_s") + F.col("nn_s") + 1,
+    )
+    return mid.agg(
+        F.sum("np_s").cast("long").alias("n_pos"),
+        F.sum("nn_s").cast("long").alias("n_neg"),
+        F.round(
+            (
+                (
+                    F.sum((F.col("np_s") * F.col("mid2")).cast("decimal(38,0)"))
+                    .cast("double")
+                    / 2.0
+                )
+                - (
+                    F.sum("np_s").cast("double")
+                    * (F.sum("np_s").cast("double") + 1.0)
+                    / 2.0
+                )
+            )
+            / (F.sum("np_s").cast("double") * F.sum("nn_s").cast("double")),
+            6,
+        ).alias("auc"),
+    )
+
+
+register(
+    QuerySpec(
+        "eval_auc_quality_gate",
+        _auc_quality_gate,
+        _TOKS_CTE
+        + f"""
+, scored AS (
+  SELECT CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS y,
+         len(list_filter(t, x -> x IN
+           ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+           / CAST(len(t) AS DOUBLE) AS s
+  FROM toks
+),
+hist AS (
+  SELECT s, CAST(sum(y) AS BIGINT) AS np_s,
+         CAST(sum(1 - y) AS BIGINT) AS nn_s
+  FROM scored GROUP BY s
+),
+mid AS (
+  SELECT np_s, nn_s,
+         2 * coalesce(sum(np_s + nn_s) OVER (ORDER BY s
+             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+         + np_s + nn_s + 1 AS mid2
+  FROM hist
+)
+SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
+       CAST(sum(nn_s) AS BIGINT) AS n_neg,
+       round(((CAST(sum(np_s * mid2) AS DOUBLE) / 2.0)
+              - (CAST(sum(np_s) AS DOUBLE) * (CAST(sum(np_s) AS DOUBLE) + 1.0)
+                 / 2.0))
+             / (CAST(sum(np_s) AS DOUBLE) * CAST(sum(nn_s) AS DOUBLE)),
+             6) AS auc
+FROM mid
+""",
+        doc="Mann-Whitney AUC with exact tied midranks for the "
+        "stopword-ratio is-English gate: one corpus pass to a "
+        "distinct-score histogram, cumulative midranks over the "
+        "reduced table, a single exact rank-sum — threshold-free "
+        "ranking quality for any candidate filter signal",
+        tags=("extension", "eval", "metric", "quality"),
+    )
+)
+
+
+def _spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation between two per-doc quality signals
+    (type-token ratio vs stopword ratio) under a deterministic
+    tie-broken total order: rho = 1 - 6*sum(d^2) / (n(n^2-1)) — do two
+    cheap heuristics actually agree on document ordering, the question
+    that decides whether a second gate adds signal or just noise.
+
+    Ranks come from TWO ``global_rank`` passes (range-repartition +
+    offset ledger — never an unpartitioned data-sized sort); d^2 sums
+    are exact integers through DECIMAL. Tie-broken (doc_id) Spearman,
+    not midrank Spearman: both engines apply the identical total
+    order, so the statistic is bit-reproducible.
+    """
+    from ..operators.ranking import global_rank
+
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(normalized(F.col("text"))).alias("t")
+    )
+    scored = d.select(
+        "doc_id",
+        (
+            F.size(F.array_distinct("t")).cast("double")
+            / F.size("t").cast("double")
+        ).alias("a"),
+        (
+            F.size(F.filter("t", lambda t: t.isin(*STOPWORDS))).cast("double")
+            / F.size("t").cast("double")
+        ).alias("b"),
+    )
+    ra = global_rank(scored, F.asc("a"), F.asc("doc_id"), alias="ra").select(
+        "doc_id", "ra"
+    )
+    rb = global_rank(scored, F.asc("b"), F.asc("doc_id"), alias="rb").select(
+        "doc_id", "rb"
+    )
+    return ra.join(rb, "doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.round(
+            F.lit(1.0)
+            - 6.0
+            * F.sum(
+                ((F.col("ra") - F.col("rb")) * (F.col("ra") - F.col("rb"))).cast(
+                    "decimal(38,0)"
+                )
+            ).cast("double")
+            / (
+                F.count(F.lit(1)).cast("double")
+                * (
+                    F.count(F.lit(1)).cast("double")
+                    * F.count(F.lit(1)).cast("double")
+                    - 1.0
+                )
+            ),
+            6,
+        ).alias("spearman_rho"),
+    )
+
+
+register(
+    QuerySpec(
+        "eval_spearman_signals",
+        _spearman_signals,
+        _TOKS_CTE
+        + f"""
+, scored AS (
+  SELECT doc_id,
+         len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS a,
+         len(list_filter(t, x -> x IN
+           ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+           / CAST(len(t) AS DOUBLE) AS b
+  FROM toks
+),
+ranked AS (
+  SELECT doc_id,
+         row_number() OVER (ORDER BY a, doc_id) AS ra,
+         row_number() OVER (ORDER BY b, doc_id) AS rb
+  FROM scored
+)
+SELECT CAST(count(*) AS BIGINT) AS n_docs,
+       round(1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE)
+             / (CAST(count(*) AS DOUBLE)
+                * (CAST(count(*) AS DOUBLE) * CAST(count(*) AS DOUBLE) - 1.0)),
+             6) AS spearman_rho
+FROM ranked
+""",
+        doc="tie-broken Spearman rank correlation between the "
+        "type-token-ratio and stopword-ratio quality signals via two "
+        "distributed global-rank passes and an exact integer d^2 sum "
+        "— the do-two-gates-agree audit",
+        tags=("extension", "eval", "metric", "statistics"),
+    )
+)

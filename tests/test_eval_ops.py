@@ -222,3 +222,75 @@ def test_rouge2_matches_python_replay(spark, sf_dir):
         )
         assert row.rouge2_recall == pytest.approx(sum(rs) / len(rs), abs=2e-6)
         assert row.rouge2_f1 == pytest.approx(sum(f1s) / len(f1s), abs=2e-6)
+
+# ---------------------------------------------------------------------------
+# AUC and Spearman replays
+# ---------------------------------------------------------------------------
+
+
+def _doc_signals(sf_dir):
+    import duckdb
+    import re
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, lang, text FROM"
+            f" read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        )
+        .fetchall()
+    )
+    stop = {"the", "a", "of", "and", "to", "is"}
+    out = []
+    for doc_id, lang, text in rows:
+        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        ttr = len(set(toks)) / len(toks)
+        sr = sum(1 for t in toks if t in stop) / len(toks)
+        out.append((doc_id, lang, ttr, sr))
+    return out
+
+
+def test_auc_matches_python_midrank_replay(spark, sf_dir):
+    sig = _doc_signals(sf_dir)
+    pairs = sorted((sr, 1 if lang == "en" else 0) for _, lang, _, sr in sig)
+    # midranks per tied score group
+    from collections import defaultdict
+
+    groups = defaultdict(lambda: [0, 0])
+    for s, y in pairs:
+        groups[s][y] += 1
+    below, rank_sum_pos, n_pos, n_neg = 0, 0.0, 0, 0
+    for s in sorted(groups):
+        nn, np_ = groups[s]
+        cnt = nn + np_
+        mid = below + (cnt + 1) / 2.0
+        rank_sum_pos += np_ * mid
+        n_pos += np_
+        n_neg += nn
+        below += cnt
+    want = (rank_sum_pos - n_pos * (n_pos + 1) / 2.0) / (n_pos * n_neg)
+    got = _run(spark, sf_dir, "eval_auc_quality_gate").iloc[0]
+    assert int(got.n_pos) == n_pos and int(got.n_neg) == n_neg
+    assert got.auc == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_spearman_matches_python_replay(spark, sf_dir):
+    sig = _doc_signals(sf_dir)
+    ra = {
+        doc: i + 1
+        for i, (doc, *_rest) in enumerate(
+            sorted(sig, key=lambda r: (r[2], r[0]))
+        )
+    }
+    rb = {
+        doc: i + 1
+        for i, (doc, *_rest) in enumerate(
+            sorted(sig, key=lambda r: (r[3], r[0]))
+        )
+    }
+    n = len(sig)
+    d2 = sum((ra[doc] - rb[doc]) ** 2 for doc, *_ in sig)
+    want = 1.0 - 6.0 * d2 / (n * (n * n - 1.0))
+    got = _run(spark, sf_dir, "eval_spearman_signals").iloc[0]
+    assert int(got.n_docs) == n
+    assert got.spearman_rho == pytest.approx(round(want, 6), abs=2e-6)
