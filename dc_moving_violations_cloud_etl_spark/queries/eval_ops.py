@@ -525,7 +525,18 @@ def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical 8 rounds as chained CTEs over a MATERIALIZED
     covariance (DuckDB would otherwise inline C once per round).
     """
-    emb = _emb(spark, sf_dir).select("embedding")
+    return pca_top_component(_emb(spark, sf_dir).select("embedding"))
+
+
+def pca_top_component(
+    emb: DataFrame, iters: int = _PCA_ITERS, topd: int = _PCA_TOPD
+) -> DataFrame:
+    """Core of ``embedding_pca_power_iteration`` over any one-column
+    DataFrame of equal-length float arrays — factored so property tests
+    can feed synthetic corpora (tests/test_eval_property.py). A
+    zero-variance corpus (max|u| = 0) degrades gracefully: the iterate
+    collapses to the zero vector and the variance share reports NULL
+    (guarded divisions on both engines)."""
 
     def gram_batches(batches):
         import numpy as np
@@ -592,7 +603,7 @@ def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     v = m_tab.select("dim", F.lit(_PCA_V).cast("long").alias("v"))
-    for _ in range(_PCA_ITERS):
+    for _ in range(iters):
         u = (
             cov.join(
                 F.broadcast(
@@ -610,12 +621,15 @@ def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
             u.crossJoin(F.broadcast(umax))
             .select(
                 F.col("j").alias("dim"),
-                F.floor(
-                    F.col("u").cast("double")
-                    / F.col("um").cast("double")
-                    * F.lit(float(_PCA_V))
-                    + F.lit(0.5)
-                ).cast("long")
+                F.when(F.col("um") == 0, F.lit(0).cast("long"))
+                .otherwise(
+                    F.floor(
+                        F.col("u").cast("double")
+                        / F.col("um").cast("double")
+                        * F.lit(float(_PCA_V))
+                        + F.lit(0.5)
+                    ).cast("long")
+                )
                 .alias("v"),
             )
             .localCheckpoint()
@@ -643,12 +657,18 @@ def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         num.crossJoin(F.broadcast(den))
         .crossJoin(F.broadcast(trace))
         .select(
-            F.round(
-                F.col("num").cast("double")
-                / F.col("den").cast("double")
-                / F.col("tr").cast("double"),
-                6,
-            ).alias("var_explained_top1")
+            F.when(
+                (F.col("den") == 0) | (F.col("tr") == 0), F.lit(None)
+            )
+            .otherwise(
+                F.round(
+                    F.col("num").cast("double")
+                    / F.col("den").cast("double")
+                    / F.col("tr").cast("double"),
+                    6,
+                )
+            )
+            .alias("var_explained_top1")
         )
     )
     w_load = Window.orderBy(
@@ -656,7 +676,7 @@ def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     )  # 64-row aggregate-derived table: bounded, unpartitioned is safe
     return (
         v.withColumn("rank", F.row_number().over(w_load).cast("long"))
-        .where(F.col("rank") <= _PCA_TOPD)
+        .where(F.col("rank") <= topd)
         .crossJoin(F.broadcast(share))
         .select(
             "rank",
@@ -699,9 +719,11 @@ u{t} AS MATERIALIZED (
 ),
 v{t} AS MATERIALIZED (
   SELECT dim,
-         CAST(floor(CAST(u AS DOUBLE)
-              / (SELECT max(abs(CAST(u AS DOUBLE))) FROM u{t})
-              * {_PCA_V}.0 + 0.5) AS BIGINT) AS v
+         CASE WHEN (SELECT max(abs(u)) FROM u{t}) = 0
+              THEN CAST(0 AS BIGINT)
+              ELSE CAST(floor(CAST(u AS DOUBLE)
+                   / (SELECT max(abs(CAST(u AS DOUBLE))) FROM u{t})
+                   * {_PCA_V}.0 + 0.5) AS BIGINT) END AS v
   FROM u{t}
 )"""
         )
@@ -720,8 +742,10 @@ rq AS (
 SELECT CAST(row_number() OVER (ORDER BY abs(v.v) DESC, v.dim)
             AS BIGINT) AS rank,
        CAST(v.dim AS INT) AS dim, v.v AS loading_micro,
-       round(CAST(rq.num AS DOUBLE) / CAST(rq.den AS DOUBLE)
-             / CAST(rq.tr AS DOUBLE), 6) AS var_explained_top1
+       CASE WHEN rq.den = 0 OR rq.tr = 0 THEN NULL
+            ELSE round(CAST(rq.num AS DOUBLE) / CAST(rq.den AS DOUBLE)
+                       / CAST(rq.tr AS DOUBLE), 6) END
+         AS var_explained_top1
 FROM {last} v CROSS JOIN rq
 ORDER BY abs(v.v) DESC, v.dim
 LIMIT {_PCA_TOPD}"""
@@ -791,15 +815,22 @@ def _suffix_doubling(spark: SparkSession, sf_dir: str) -> DataFrame:
     scales where the oracle's group-by-substring (fine at sf0.01)
     would shuffle corpus text at every suffix length.
     """
-    from ..operators.ranking import global_rank
-
-    _SA_SEED = 4  # initial ranks from the 4-char prefix
-    d = caching.persist_tracked(
+    return suffix_repeat_groups(
         _docs(spark, sf_dir).select(
             "doc_id",
             F.substring(normalized(F.col("text")), 1, _SA_WIN).alias("s"),
         )
     )
+
+
+def suffix_repeat_groups(docs: DataFrame) -> DataFrame:
+    """Core of ``corpus_suffix_array_doubling`` over any (doc_id, s)
+    DataFrame of pre-windowed strings — factored so property tests can
+    feed synthetic corpora (tests/test_eval_property.py)."""
+    from ..operators.ranking import global_rank
+
+    _SA_SEED = 4  # initial ranks from the 4-char prefix
+    d = caching.persist_tracked(docs)
     # positions + seed key: one pass — the zero-width-lookahead regex
     # emits the (up to) 4-gram at EVERY offset in position order (the
     # shingles_raw construction; greedy {{1,4}} keeps the short tails)
