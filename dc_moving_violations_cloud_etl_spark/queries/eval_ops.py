@@ -1143,3 +1143,150 @@ FROM ranked
         tags=("extension", "eval", "metric", "statistics"),
     )
 )
+
+# ---------------------------------------------------------------------------
+# nDCG@10 + MRR@10: graded retrieval-ranking quality
+# ---------------------------------------------------------------------------
+
+_NDCG_BUCKETS = 32
+_NDCG_K = 10
+
+
+def _ndcg_mrr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """nDCG@10 and MRR@10 of the type-token-ratio ranker against the
+    graded quality label (high=2 / medium=1 / low=0 — the engine's own
+    heuristic quality classes as relevance): per md5 "query" bucket,
+    rank candidates by the model score, score the top-10 with
+    DCG = sum (2^rel - 1)/log2(rank+1), normalize by the ideal DCG of
+    the same bucket, and take the reciprocal rank of the first
+    highly-relevant hit — the two standard graded retrieval metrics,
+    completing the ranking-eval family beside AUC and Spearman.
+
+    One bucket-keyed window ranks by score, a second ranks by
+    relevance for the ideal DCG — both windows share the bucket key
+    and the bucket-grain aggregate that follows; nothing after the
+    two windows is data-sized. nDCG of a bucket with no relevant docs
+    is defined 0 (guarded on both engines).
+    """
+    d = _docs(spark, sf_dir).select(
+        "doc_id", tokens(normalized(F.col("text"))).alias("t")
+    )
+    scored = d.select(
+        "doc_id",
+        F.pmod(
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit("q:"), F.col("doc_id").cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long"),
+            F.lit(_NDCG_BUCKETS),
+        ).alias("q"),
+        (
+            F.size(F.array_distinct("t")).cast("double")
+            / F.size("t").cast("double")
+        ).alias("s"),
+        F.when(F.size("t") < 20, F.lit(0))
+        .when(
+            (
+                F.size(F.filter("t", lambda x: x.isin(*STOPWORDS))).cast(
+                    "double"
+                )
+                / F.size("t").cast("double")
+                >= 0.02
+            )
+            & (F.size("t") >= 40),
+            F.lit(2),
+        )
+        .otherwise(F.lit(1))
+        .alias("rel"),
+    )
+    w_score = Window.partitionBy("q").orderBy(F.desc("s"), F.asc("doc_id"))
+    w_ideal = Window.partitionBy("q").orderBy(F.desc("rel"), F.asc("doc_id"))
+    ranked = scored.withColumn("rk", F.row_number().over(w_score)).withColumn(
+        "irk", F.row_number().over(w_ideal)
+    )
+    gain = F.pow(F.lit(2.0), F.col("rel")) - F.lit(1.0)
+    per_q = ranked.groupBy("q").agg(
+        F.sum(
+            F.when(F.col("rk") <= _NDCG_K, gain / F.log2(F.col("rk") + 1.0))
+        ).alias("dcg"),
+        F.sum(
+            F.when(F.col("irk") <= _NDCG_K, gain / F.log2(F.col("irk") + 1.0))
+        ).alias("idcg"),
+        F.min(F.when((F.col("rel") == 2) & (F.col("rk") <= _NDCG_K), F.col("rk"))).alias(
+            "first_rel"
+        ),
+    )
+    return per_q.agg(
+        F.count(F.lit(1)).cast("long").alias("n_queries"),
+        F.round(
+            F.avg(
+                F.when(F.col("idcg") > 0.0, F.col("dcg") / F.col("idcg")).otherwise(
+                    F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("mean_ndcg_at10"),
+        F.round(
+            F.avg(
+                F.coalesce(
+                    F.lit(1.0) / F.col("first_rel").cast("double"), F.lit(0.0)
+                )
+            ),
+            6,
+        ).alias("mean_mrr_at10"),
+    )
+
+
+register(
+    QuerySpec(
+        "eval_ndcg_mrr",
+        _ndcg_mrr,
+        _TOKS_CTE
+        + f"""
+, scored AS (
+  SELECT doc_id,
+         CAST('0x' || substr(md5('q:' || CAST(doc_id AS VARCHAR)), 1, 8)
+              AS BIGINT) % {_NDCG_BUCKETS} AS q,
+         len(list_distinct(t)) / CAST(len(t) AS DOUBLE) AS s,
+         CASE WHEN len(t) < 20 THEN 0
+              WHEN len(list_filter(t, x -> x IN
+                     ({", ".join("'" + s + "'" for s in STOPWORDS)})))
+                   / CAST(len(t) AS DOUBLE) >= 0.02 AND len(t) >= 40
+              THEN 2 ELSE 1 END AS rel
+  FROM toks
+),
+ranked AS (
+  SELECT q, rel,
+         row_number() OVER (PARTITION BY q ORDER BY s DESC, doc_id) AS rk,
+         row_number() OVER (PARTITION BY q ORDER BY rel DESC, doc_id) AS irk
+  FROM scored
+),
+per_q AS (
+  SELECT q,
+         sum(CASE WHEN rk <= {_NDCG_K}
+                  THEN (power(2.0, rel) - 1.0) / log2(rk + 1.0) END) AS dcg,
+         sum(CASE WHEN irk <= {_NDCG_K}
+                  THEN (power(2.0, rel) - 1.0) / log2(irk + 1.0) END) AS idcg,
+         min(CASE WHEN rel = 2 AND rk <= {_NDCG_K} THEN rk END) AS first_rel
+  FROM ranked GROUP BY q
+)
+SELECT CAST(count(*) AS BIGINT) AS n_queries,
+       round(avg(CASE WHEN idcg > 0.0 THEN dcg / idcg ELSE 0.0 END), 6)
+         AS mean_ndcg_at10,
+       round(avg(coalesce(1.0 / CAST(first_rel AS DOUBLE), 0.0)), 6)
+         AS mean_mrr_at10
+FROM per_q
+""",
+        doc="graded retrieval metrics nDCG@10 + MRR@10 for the "
+        "type-token-ratio ranker against the heuristic quality grades "
+        "(high/medium/low as relevance 2/1/0): two bucket-keyed rank "
+        "windows + one bucket-grain aggregate — completes the "
+        "ranking-eval family beside AUC and Spearman",
+        tags=("extension", "eval", "metric", "retrieval"),
+    )
+)

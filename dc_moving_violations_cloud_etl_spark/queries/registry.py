@@ -112,7 +112,7 @@ def _load_all() -> None:
 #   privacy_k_anonymity_audit, dp_noisy_histogram_release,
 #   basket_type_lift, events_zscore_outliers, events_value_drift_audit,
 #   events_value_k_corr_direction, events_mad_outliers
-# — plus anything in THIS window that comes back red, plus the 23
+# — plus anything in THIS window that comes back red, plus the 24
 # round-6 additions (official-row-less by construction; ledgered as
 # `queued` in QUERIES.md): the LSH band-tradeoff audit, Gopher rules,
 # binaryFile source, DSIR weights, Kneser-Ney, NB lang-ID, HITS,
@@ -120,8 +120,8 @@ def _load_all() -> None:
 # the late-drop stream, negative sampling, tokenizer fertility, and
 # the eval_ops batch (ROUGE-2, pass@k, best-of-n, calibration/ECE,
 # PCA power iteration, suffix-array doubling, Mann-Whitney AUC,
-# Spearman signal agreement) —
-# 43 queued total — all fit in r7's 50-slot window (remaining slots
+# Spearman signal agreement, nDCG/MRR) —
+# 44 queued total — all fit in r7's 50-slot window (remaining slots
 # refresh already-official rows), closing the catalog at r7.
 DRIVER_WINDOW = [
     "similarity_int8_topk",

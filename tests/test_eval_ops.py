@@ -294,3 +294,53 @@ def test_spearman_matches_python_replay(spark, sf_dir):
     got = _run(spark, sf_dir, "eval_spearman_signals").iloc[0]
     assert int(got.n_docs) == n
     assert got.spearman_rho == pytest.approx(round(want, 6), abs=2e-6)
+
+
+def test_ndcg_mrr_matches_python_replay(spark, sf_dir):
+    import duckdb
+    import hashlib
+    import math as m
+    import re
+    from collections import defaultdict
+
+    rows = (
+        duckdb.connect()
+        .execute(
+            f"SELECT doc_id, text FROM"
+            f" read_parquet('{sf_dir}/documents.parquet') ORDER BY doc_id"
+        )
+        .fetchall()
+    )
+    stop = {"the", "a", "of", "and", "to", "is"}
+    buckets = defaultdict(list)
+    for doc_id, text in rows:
+        toks = re.sub(r"\s+", " ", text.strip()).lower().split(" ")
+        q = int(hashlib.md5(f"q:{doc_id}".encode()).hexdigest()[:8], 16) % 32
+        s = len(set(toks)) / len(toks)
+        sr = sum(1 for t in toks if t in stop) / len(toks)
+        rel = 0 if len(toks) < 20 else (2 if sr >= 0.02 and len(toks) >= 40 else 1)
+        buckets[q].append((doc_id, s, rel))
+    ndcgs, mrrs = [], []
+    for q, cands in buckets.items():
+        by_score = sorted(cands, key=lambda c: (-c[1], c[0]))
+        by_rel = sorted(cands, key=lambda c: (-c[2], c[0]))
+        dcg = sum(
+            (2.0 ** r - 1.0) / m.log2(i + 2)
+            for i, (_, _, r) in enumerate(by_score[:10])
+        )
+        idcg = sum(
+            (2.0 ** r - 1.0) / m.log2(i + 2)
+            for i, (_, _, r) in enumerate(by_rel[:10])
+        )
+        ndcgs.append(dcg / idcg if idcg > 0 else 0.0)
+        first = next(
+            (i + 1 for i, (_, _, r) in enumerate(by_score[:10]) if r == 2),
+            None,
+        )
+        mrrs.append(1.0 / first if first else 0.0)
+    got = _run(spark, sf_dir, "eval_ndcg_mrr").iloc[0]
+    assert int(got.n_queries) == len(buckets)
+    assert got.mean_ndcg_at10 == pytest.approx(
+        sum(ndcgs) / len(ndcgs), abs=2e-6
+    )
+    assert got.mean_mrr_at10 == pytest.approx(sum(mrrs) / len(mrrs), abs=2e-6)
