@@ -1210,55 +1210,60 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
         )
         merges.append((r, best["pair"], int(best["cnt"])))
         a, b = best["pair"].split(" ")
-        # Join-free greedy merge: candidate ordinal -> run id (islands)
-        # -> every-other keep flag, all as windows over ONE pass of tok
-        # (a join back against a same-lineage candidate table is both a
-        # self-join ambiguity trap and an extra shuffle).
-        w = Window.partitionBy("rid").orderBy("pos")
-        cand = (F.col("sym") == a) & (F.col("nxt") == b)
-        t = (
-            tok.withColumn(
-                "cidx", F.sum(cand.cast("int")).over(w)
-            )
-            .withColumn("grp", F.when(cand, F.col("pos") - F.col("cidx")))
-            .withColumn(
-                "runmin",
-                F.min(F.when(cand, F.col("pos"))).over(
-                    Window.partitionBy("rid", "grp")
-                ),
-            )
-            .withColumn(
-                "keep",
-                cand & ((F.col("pos") - F.col("runmin")) % 2 == 0),
-            )
-            .withColumn(
-                "out",
-                F.when(F.col("keep"), F.concat("sym", "nxt")).otherwise(
-                    F.col("sym")
-                ),
-            )
-            .withColumn(
-                "consumed",
-                F.coalesce(F.lag("keep").over(w), F.lit(False)),
-            )
-            .where(~F.col("consumed"))
-        )
-        seq = (
-            t.groupBy("rid", "freq")
-            .agg(
-                F.concat_ws(
-                    " ",
-                    F.transform(
-                        F.array_sort(
-                            F.collect_list(F.struct("pos", "out"))
-                        ),
-                        lambda s: s["out"],
-                    ),
-                ).alias("seq")
-            )
-            .localCheckpoint()
-        )
+        seq = _greedy_merge(tok, a, b).localCheckpoint()
     return merges, seq
+
+
+def _greedy_merge(tok: DataFrame, a: str, b: str) -> DataFrame:
+    """Apply ONE merge of adjacent pair ``(a, b)`` to a tokenized word
+    table ``tok(rid, freq, pos, sym, nxt)`` under the reference greedy
+    left-to-right non-overlap rule, returning the re-agged
+    ``(rid, freq, seq)`` table. Shared by the BPE and WordPiece
+    trainers — the merge MECHANICS are identical; only the pair
+    selection rule differs.
+
+    Join-free greedy merge: candidate ordinal -> run id (islands)
+    -> every-other keep flag, all as windows over ONE pass of tok
+    (a join back against a same-lineage candidate table is both a
+    self-join ambiguity trap and an extra shuffle)."""
+    w = Window.partitionBy("rid").orderBy("pos")
+    cand = (F.col("sym") == a) & (F.col("nxt") == b)
+    t = (
+        tok.withColumn(
+            "cidx", F.sum(cand.cast("int")).over(w)
+        )
+        .withColumn("grp", F.when(cand, F.col("pos") - F.col("cidx")))
+        .withColumn(
+            "runmin",
+            F.min(F.when(cand, F.col("pos"))).over(
+                Window.partitionBy("rid", "grp")
+            ),
+        )
+        .withColumn(
+            "keep",
+            cand & ((F.col("pos") - F.col("runmin")) % 2 == 0),
+        )
+        .withColumn(
+            "out",
+            F.when(F.col("keep"), F.concat("sym", "nxt")).otherwise(
+                F.col("sym")
+            ),
+        )
+        .withColumn(
+            "consumed",
+            F.coalesce(F.lag("keep").over(w), F.lit(False)),
+        )
+        .where(~F.col("consumed"))
+    )
+    return t.groupBy("rid", "freq").agg(
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "out"))),
+                lambda s: s["out"],
+            ),
+        ).alias("seq")
+    )
 
 
 def _bpe_train(spark: SparkSession, sf_dir: str) -> DataFrame:
