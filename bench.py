@@ -5,10 +5,10 @@
     {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
 
 ``value`` is the total wall-clock over all headline queries, each the
-MIN of two timed passes (after a warm-up of the flagship query to
+MEDIAN of three timed passes (after a warm-up of the flagship query to
 exclude JVM/session startup, which a long-running cluster amortizes
-away; min-of-2 suppresses host-load noise, which swings sub-second
-queries 2-3x between runs). The full
+away; median-of-3 discards both one-off load spikes and one-off lucky
+passes, which swung sub-second queries 2-3x between runs). The full
 per-query record (all ~130 extension timings) is printed first and
 written to ``$SPARK_GRAFT_BENCH_DETAIL`` (default
 /tmp/bench_detail.json); the FINAL line carries only the headline +
@@ -160,15 +160,22 @@ def main() -> None:
             queries[name](spark, sf_dir).collect()
             dt = time.perf_counter() - t0
             if name in names:
-                # headline queries: best of TWO timed passes — host-load
-                # noise swings a 0.3 s query by 2-3x between runs
-                # (measured across rounds), and min-of-2 reports the
-                # query's actual cost rather than the scheduler's mood;
-                # extension/streaming timings stay single-pass (they only
-                # feed the informational totals)
-                t1 = time.perf_counter()
-                queries[name](spark, sf_dir).collect()
-                dt = min(dt, time.perf_counter() - t1)
+                # headline queries: MEDIAN of THREE timed passes — the
+                # r6 record showed Qf/Qg/Qh drifting up 1.34-1.41x
+                # together with unchanged plans, i.e. session-load noise
+                # is the dominant term in a ~4 s headline (VERDICT r6
+                # rec #3). min-of-2 still let one loaded pass pair with
+                # one quiet pass; the median of three discards BOTH the
+                # one-off spike and the one-off lucky pass, making the
+                # headline reproducible across rounds for ~8 s extra
+                # bench cost. Extension/streaming timings stay
+                # single-pass (they only feed informational totals).
+                passes = [dt]
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    queries[name](spark, sf_dir).collect()
+                    passes.append(time.perf_counter() - t1)
+                dt = sorted(passes)[1]
                 total += dt
             elif name in streaming:
                 streaming_total += dt

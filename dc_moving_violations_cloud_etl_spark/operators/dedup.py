@@ -153,7 +153,14 @@ def _jaccard(a: F.Column, b: F.Column) -> F.Column:
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
     """Near-dup pairs: block on the prefix fingerprint (equi-join — no
     cross join), verify char-3-gram Jaccard ≥ threshold."""
-    d = norm_docs(documents).select("doc_id", "fp40", "sh")
+    # both sides carry the shingle array — the payload shape whose
+    # ~20x shuffle-stat compression let AQE broadcast-demote a
+    # corpus-sized side in the r6 100x smoke (driver OOM). A
+    # corpus-vs-corpus self-join is never broadcastable: pin the
+    # strategy (same fix as the MinHash verify join below).
+    d = norm_docs(documents).select("doc_id", "fp40", "sh").hint(
+        "shuffle_hash"
+    )
     a = d.alias("a")
     b = d.alias("b")
     pairs = a.join(b, F.col("a.fp40") == F.col("b.fp40")).where(
@@ -351,7 +358,11 @@ def embedding_cosine_pairs(
         )
         .distinct()
     )
-    n = corpus.select("vec_id", "e", "norm")
+    # embedding-array payload side of a corpus-vs-corpus verify join:
+    # in-memory double arrays run ~3-4x the compressed shuffle stats,
+    # so AQE can broadcast-demote it exactly like the shingle payload
+    # in the r6 100x smoke — pin the strategy (dedup.py:283 pattern).
+    n = corpus.select("vec_id", "e", "norm").hint("shuffle_hash")
     return (
         cand.join(
             n.select(

@@ -462,6 +462,16 @@ def _negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
     word2vec resamples; a deterministic pipeline flags instead —
     ``is_collision``)."""
     words = caching.persist_tracked(_uni_words(spark, sf_dir))
+    pairs = _skipgram_pairs(spark, sf_dir).select("w1", "w2", "rank")
+    return negative_samples_core(words, pairs)
+
+
+def negative_samples_core(words: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Core of ``corpus_negative_samples`` over any ``(w, freq)`` word
+    table and ``(w1, w2, rank)`` pair table — factored so property
+    tests can feed synthetic vocabularies and verify the integer CDF /
+    bucketed alias-table lookup against a brute-force interval scan
+    (tests/test_corpus_property.py)."""
     w = Window.orderBy("w")
     vocab = words.select(
         "w",
@@ -494,7 +504,6 @@ def _negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("bucket"),
         )
     )
-    pairs = _skipgram_pairs(spark, sf_dir).select("w1", "w2", "rank")
     draws = pairs.select(
         "w1",
         "w2",
@@ -1218,9 +1227,10 @@ def _greedy_merge(tok: DataFrame, a: str, b: str) -> DataFrame:
     """Apply ONE merge of adjacent pair ``(a, b)`` to a tokenized word
     table ``tok(rid, freq, pos, sym, nxt)`` under the reference greedy
     left-to-right non-overlap rule, returning the re-agged
-    ``(rid, freq, seq)`` table. Shared by the BPE and WordPiece
-    trainers — the merge MECHANICS are identical; only the pair
-    selection rule differs.
+    ``(rid, freq, seq)`` table. Used by the BPE trainer (its single
+    caller, ``_bpe_core``); the merge mechanics are selection-rule
+    agnostic, so a future WordPiece trainer could reuse it by swapping
+    the pair-scoring step.
 
     Join-free greedy merge: candidate ordinal -> run id (islands)
     -> every-other keep flag, all as windows over ONE pass of tok
@@ -1482,6 +1492,15 @@ def _uni_core(spark: SparkSession, sf_dir: str):
     counts) plus once more at encode time (broadcast dictionary join).
     """
     words = caching.persist_tracked(_uni_words(spark, sf_dir))
+    return words, unigram_vocab_core(words)
+
+
+def unigram_vocab_core(words: DataFrame) -> DataFrame:
+    """Seed-vocabulary scoring of ``_uni_core`` over any ``(w, freq)``
+    word table — factored so property tests can feed synthetic
+    vocabularies and verify the freq x len scoring, the
+    all-chars + top-multi selection, and the integer 0.1-milli-nat
+    log-probs against a Python replay (tests/test_corpus_property.py)."""
     cand = _uni_candidates(words)
     scored = cand.groupBy("piece").agg(
         F.sum("freq").cast("long").alias("pfreq")
@@ -1511,7 +1530,7 @@ def _uni_core(spark: SparkSession, sf_dir: str):
         .cast("long")
         .alias("lp"),
     )
-    return words, caching.persist_tracked(vocab)
+    return caching.persist_tracked(vocab)
 
 
 def _uni_seed_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1543,6 +1562,16 @@ def _uni_viterbi_wordlens(spark: SparkSession, sf_dir: str):
     collect: the loop count is a constant, the state is
     vocabulary-bounded, and lineage is truncated each round."""
     words, vocab = _uni_core(spark, sf_dir)
+    return words, viterbi_wordlens_core(words, vocab)
+
+
+def viterbi_wordlens_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
+    """The bounded relational Viterbi DP of ``_uni_viterbi_wordlens``
+    over any ``(w, freq)`` word table and ``(piece, lp)`` vocabulary —
+    factored so property tests can feed synthetic vocabularies and
+    verify the max-likelihood segmentation (score ties -> fewer
+    pieces) against an exhaustive Python enumeration
+    (tests/test_corpus_property.py)."""
     dw = words.where(F.length("w") <= _UNI_MAXPOS)
     matches = caching.persist_tracked(
         _uni_candidates(dw.select("w", "freq"))
@@ -1595,7 +1624,7 @@ def _uni_viterbi_wordlens(spark: SparkSession, sf_dir: str):
         F.length("w").cast("long").alias("n_pieces"),
         F.lit(None).cast("long").alias("best_lp"),
     )
-    return words, final.unionByName(fallback)
+    return final.unionByName(fallback)
 
 
 def _uni_encode(spark: SparkSession, sf_dir: str) -> DataFrame:

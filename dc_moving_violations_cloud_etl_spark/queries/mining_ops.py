@@ -1461,7 +1461,14 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     normed = emb.select(
         "vec_id", "e", F.sqrt(_dot(F.col("e"), F.col("e"))).alias("nrm")
     )
-    memb = caching.persist_tracked(normed.join(a2, "vec_id"))
+    # within-cluster self-join with the embedding array on BOTH sides:
+    # the corpus-vs-corpus payload shape whose compressed shuffle stats
+    # under-read in-memory size ~3-20x and let AQE broadcast-demote a
+    # corpus-sized side (r6 100x smoke, driver OOM) — pin the strategy
+    # like every other corpus x corpus join (operators/dedup.py:283).
+    memb = caching.persist_tracked(normed.join(a2, "vec_id")).hint(
+        "shuffle_hash"
+    )
     a = memb.alias("a")
     b = memb.alias("b")
     pairs = (

@@ -100,80 +100,70 @@ def _load_all() -> None:
 # sim-green under tools/driver_sim.py with the driver-aligned
 # canonicalizer.
 #
-# Round-7 rotation: the final 20 never-official queries, enumerated so
-# the next window is mechanical (also ledgered as `queued` in QUERIES.md;
-# this closes the catalog at 257/257 official):
-#   corpus_dataset_datasheet, compaction_bin_packing,
-#   events_local_day_rollup, user_activity_streaks,
-#   events_grouping_sets_matrix, funnel_conversion_window_24h,
-#   geo_radius_join_hotspots, events_decayed_leaderboard,
-#   phrase_search_positional, table_fingerprint_audit, rollup_serving_qa,
-#   gdpr_forget_users_audit, fk_cardinality_profile,
-#   privacy_k_anonymity_audit, dp_noisy_histogram_release,
-#   basket_type_lift, events_zscore_outliers, events_value_drift_audit,
-#   events_value_k_corr_direction, events_mad_outliers
-# — plus anything in THIS window that comes back red, plus the 24
-# round-6 additions (official-row-less by construction; ledgered as
-# `queued` in QUERIES.md): the LSH band-tradeoff audit, Gopher rules,
-# binaryFile source, DSIR weights, Kneser-Ney, NB lang-ID, HITS,
-# seqlen histogram, k-center seeds, the unigram-LM pair, k-core peel,
-# the late-drop stream, negative sampling, tokenizer fertility, and
-# the eval_ops batch (ROUGE-2, pass@k, best-of-n, calibration/ECE,
-# PCA power iteration, suffix-array doubling, Mann-Whitney AUC,
-# Spearman signal agreement, nDCG/MRR) —
-# 44 queued total — all fit in r7's 50-slot window (remaining slots
-# refresh already-official rows), closing the catalog at r7.
+# Round-7 rotation (VERDICT r6 rec #1): the final 44 never-official
+# queries — every round-5 leftover and every round-6 addition — in one
+# window, closing the catalog at 281/281 official. The 6 remaining slots
+# refresh already-official flagship rows (the README flagship Q0, the
+# Qa/Qd reference pair, the MinHash LSH banded join, the watermark
+# incremental read, and the state-store reader whose r5 perf flag was
+# cleared in r6) so the latest-green record on the headline surface
+# stays fresh. All 44 first-official entries are sim-green under
+# tools/driver_sim.py with the driver-aligned canonicalizer.
 DRIVER_WINDOW = [
-    "similarity_int8_topk",
-    "similarity_int8_recall",
-    "similarity_binary_hamming_topk",
-    "similarity_binary_recall",
-    "retrieval_two_stage_rerank",
-    "mining_preference_pairs",
-    "curation_decontaminate_neardup",
-    "curation_split_leakage_audit",
-    "corpus_shuffle_mix_audit",
-    "corpus_skipgram_pairs",
-    "corpus_span_corruption_plan",
-    "corpus_weighted_sample",
-    "corpus_mix_temperature",
-    "corpus_pipeline_end2end",
-    "dedup_substring_span_coverage",
-    "dedup_sorted_neighborhood",
-    "incremental_agg_maintenance",
-    "events_touch_attribution",
-    "events_bot_user_audit",
-    "graph_label_propagation",
-    "graph_degree_assortativity",
-    "layout_zorder_pruning_audit",
-    "orc_source_roundtrip_agg",
-    "xml_source_roundtrip_agg",
-    "py_sink_roundtrip_agg",
-    "partitioned_month_layer_agg",
-    "metadata_agg_pushdown",
-    "timeseries_gapfill_interpolate",
-    "timeseries_seasonal_decompose",
-    "embedding_kmeans_exact",
-    "semdedup_cluster_pairs",
-    "logreg_gd_train",
-    "udtf_partitioned_gap_stats",
-    "udaf_grouped_median",
-    "nested_hof_order_amounts",
-    "sql_recursive_month_spine",
-    "sql_lateral_topk_days",
-    "sql_pipe_syntax_daily",
-    "sql_ntile_price_deciles",
-    "execute_immediate_profile",
-    "sql_udf_weather_flags",
-    "sql_collated_group_by",
-    "sql_ansi_try_functions",
-    "stream_state_metadata_read",
-    "stream_outer_join_sealed",
-    "stream_full_outer_sealed",
-    "stream_semi_join_matched",
-    "stream_right_outer_sealed",
-    "stream_chained_pipeline",
-    "stream_hopping_window",
+    # ── round-6 eval-metrics family, first official rows ──
+    "eval_auc_quality_gate",
+    "eval_ndcg_mrr",
+    "eval_spearman_signals",
+    "eval_rouge2_pairs",
+    "eval_pass_at_k",
+    "mining_best_of_n_gains",
+    "curation_calibration_ece",
+    # ── round-6 iterative/training flagships ──
+    "embedding_pca_power_iteration",
+    "corpus_suffix_array_doubling",
+    "corpus_unigram_seed_vocab",
+    "corpus_unigram_viterbi_encode",
+    "corpus_tokenizer_fertility",
+    "corpus_negative_samples",
+    "corpus_dsir_importance_weights",
+    "corpus_kneser_ney_bigram",
+    "curation_naive_bayes_langid",
+    "curation_gopher_rules",
+    "corpus_seqlen_histogram",
+    "dedup_lsh_band_tradeoff",
+    "graph_hits_bipartite",
+    "graph_kcore_peel",
+    "embedding_kcenter_seeds",
+    "binaryfile_source_stats",
+    "stream_late_drop_audit",
+    # ── round-5 leftovers, first official rows ──
+    "corpus_dataset_datasheet",
+    "compaction_bin_packing",
+    "events_local_day_rollup",
+    "user_activity_streaks",
+    "events_grouping_sets_matrix",
+    "funnel_conversion_window_24h",
+    "geo_radius_join_hotspots",
+    "events_decayed_leaderboard",
+    "phrase_search_positional",
+    "table_fingerprint_audit",
+    "rollup_serving_qa",
+    "gdpr_forget_users_audit",
+    "fk_cardinality_profile",
+    "privacy_k_anonymity_audit",
+    "dp_noisy_histogram_release",
+    "basket_type_lift",
+    "events_zscore_outliers",
+    "events_value_drift_audit",
+    "events_value_k_corr_direction",
+    "events_mad_outliers",
+    # ── refresh slots: already-official flagship rows ──
+    "q0_flagship_rainy_count",
+    "qa_monthly_agency_tickets",
+    "qd_rainy_day_tickets",
+    "dedup_minhash_lsh_pairs",
+    "watermark_incremental",
+    "stream_statestore_read",
 ]
 
 

@@ -22,20 +22,20 @@ def test_window_is_front_loaded_and_fits():
     assert len(DRIVER_WINDOW) <= 50, "window exceeds the driver's check cap"
 
 
-def test_window_holds_only_never_official_queries():
-    """Pin the round-6 rotation intent (VERDICT r5 rec #1): with 70
-    queries still lacking ANY official driver row after r5 (and every
-    ever-checked query latest-green through r5), every one of the 50
-    slots is spent on a never-officially-checked query — zero slots
-    wasted on already-green rows."""
+def test_window_closes_the_ledger():
+    """Pin the round-7 rotation intent (VERDICT r6 rec #1): every query
+    that still lacks ANY official driver row after r6 is IN the window
+    (closing the catalog at 281/281 official), and only the slots left
+    over once no never-official query remains may refresh
+    already-green rows."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
     green: set[str] = set()
-    # only the rounds that informed this rotation — r6+ artifacts land
+    # only the rounds that informed this rotation — r7+ artifacts land
     # AFTER the window was chosen and must not retro-fail the pin
-    for rn in ("r01", "r02", "r03", "r04", "r05"):
+    for rn in ("r01", "r02", "r03", "r04", "r05", "r06"):
         p = root / f"CORRECTNESS_{rn}.json"
         if not p.exists():
             continue
@@ -44,8 +44,9 @@ def test_window_holds_only_never_official_queries():
                 green.add(name)
     if not green:  # driver artifacts absent (fresh checkout)
         return
-    wasted = [n for n in DRIVER_WINDOW if n in green]
-    assert not wasted, wasted
+    never_official = set(get_queries()) - green
+    left_out = [n for n in never_official if n not in DRIVER_WINDOW]
+    assert not left_out, f"never-official queries missing: {left_out}"
 
 
 def test_every_query_has_oracle():
