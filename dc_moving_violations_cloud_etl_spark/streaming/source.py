@@ -70,6 +70,14 @@ def make_daily_ingest_source():
             return self._rows(start["day_idx"], end["day_idx"])
 
         def _rows(self, i, j):
+            # Yield pyarrow RecordBatches, NOT python tuples: the
+            # runner's records_to_arrow_batches passes batches through
+            # verbatim, so the day slice never round-trips through
+            # per-row python objects (measured solo at sf0.1: ~5.6 s
+            # warm with tuple-zip rows, ~3.7 s with batches — the
+            # rest is the 3-micro-batch lifecycle itself). Must stay
+            # a list-backed iterator — getCache copy.copy()s it for
+            # replay.
             if i >= j:
                 return iter([])
             import datetime
@@ -88,16 +96,18 @@ def make_daily_ingest_source():
             t = t.filter(
                 pc.and_(pc.greater_equal(d, lo), pc.less_equal(d, hi))
             )
-            us = pc.cast(pc.cast(t["ts"], pa.timestamp("us")), pa.int64())
-            return iter(
-                zip(
-                    t["event_id"].to_pylist(),
-                    us.to_pylist(),
-                    t["user_id"].to_pylist(),
-                    t["event_type"].to_pylist(),
-                    t["value"].to_pylist(),
-                )
+            out = pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "ts_us": pc.cast(
+                        pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                    ),
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "event_type": pc.cast(t["event_type"], pa.string()),
+                    "value": pc.cast(t["value"], pa.float64()),
+                }
             )
+            return iter(out.to_batches(max_chunksize=65536))
 
     class DailyIngestDataSource(DataSource):
         @classmethod

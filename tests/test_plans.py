@@ -412,3 +412,19 @@ def test_analyze_table_feeds_cbo_statistics(spark, sf_dir):
             spark.conf.unset("spark.sql.cbo.enabled")
         else:
             spark.conf.set("spark.sql.cbo.enabled", saved)
+
+
+def test_corpus_joins_pin_shuffled_hash(spark, sf_dir):
+    """The corpus-vs-corpus joins whose shuffled payloads are
+    text-derived or embedding arrays must plan ShuffledHashJoin, never
+    a broadcast: compressed shuffle stats under-read such payloads
+    3-20x, and AQE broadcast-demoting a corpus-sized side OOMs the
+    driver (caught live by the r6 100x smoke; SCALING.md
+    "Corpus x corpus join-strategy audit")."""
+    for name in (
+        "dedup_ngram_jaccard_pairs",
+        "dedup_embedding_cosine_pairs",
+        "semdedup_cluster_pairs",
+    ):
+        plan = _plan(QUERIES[name].build(spark, sf_dir))
+        assert "ShuffledHashJoin" in plan, f"{name} lost its pin:\n{plan}"

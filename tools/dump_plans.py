@@ -99,6 +99,18 @@ AUDITED = [
         "self-join, no pair explosion beyond W*n",
     ),
     (
+        "dedup_ngram_jaccard_pairs",
+        "fp40-blocked verify self-join pinned ShuffledHashJoin — the "
+        "shingle-array payload is never broadcast (r6 100x AQE "
+        "demotion OOM class; SCALING.md join-strategy audit)",
+    ),
+    (
+        "semdedup_cluster_pairs",
+        "within-cluster self-join pinned ShuffledHashJoin — the "
+        "embedding-array payload is never broadcast (same demotion "
+        "class); k-means state broadcast separately as bounded",
+    ),
+    (
         "corpus_vocab_encode",
         "tiny vocabulary broadcast-hash dictionary join over the token "
         "stream; per-doc reassembly via in-array sort, no global sort",
