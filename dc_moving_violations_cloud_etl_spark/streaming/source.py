@@ -126,6 +126,122 @@ def make_daily_ingest_source():
     return DailyIngestDataSource
 
 
+STREAM_SOURCE_PARTITIONED_NAME = "daily_ingest_source_partitioned"
+
+
+def make_daily_ingest_source_partitioned():
+    """Build (by value) the PARTITION-BASED streaming DataSource — the
+    high-throughput sibling of ``make_daily_ingest_source`` and the
+    documented 100 TB upgrade path (SCALING.md): offsets are still the
+    day cursor, but ``partitions(start, end)`` emits ONE InputPartition
+    PER DAY in the planned range and ``read(partition)`` runs on the
+    EXECUTORS, streaming each day's slice as pyarrow RecordBatches with
+    the day predicate pushed into the parquet read. The driver touches
+    only the day list; data never crosses the driver — the shape a
+    1000-executor backfill needs, vs the simple reader's driver-side
+    prefetch (right for low-throughput control-plane feeds).
+
+    Pacing: ``latestOffset`` advances an internal cursor ~a third of
+    the day range per trigger so a drained run provably commits
+    multiple batches (same pacing as the simple reader). The cursor is
+    process-local: a checkpoint restart re-walks it from 0 and catches
+    up to the committed offset harmlessly (callers here always start
+    from a fresh checkpoint).
+    """
+    from pyspark.sql.datasource import (
+        DataSource,
+        DataSourceStreamReader,
+        InputPartition,
+    )
+
+    source_name = STREAM_SOURCE_PARTITIONED_NAME
+
+    class _DayPartition(InputPartition):
+        def __init__(self, path: str, day: str):
+            self.path = path
+            self.day = day
+
+    class _PartitionedDailyReader(DataSourceStreamReader):
+        def __init__(self, options):
+            self.path = options["path"]
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            t = pq.read_table(self.path, columns=["ts"])
+            days = pc.unique(pc.cast(t["ts"], "date32")).to_pylist()
+            self.days = sorted(str(d) for d in days)
+            self.days_per_batch = max(1, -(-len(self.days) // 3))
+            self._cursor = 0
+
+        def initialOffset(self):
+            return {"day_idx": 0}
+
+        def latestOffset(self):
+            self._cursor = min(
+                self._cursor + self.days_per_batch, len(self.days)
+            )
+            return {"day_idx": self._cursor}
+
+        def partitions(self, start, end):
+            # one executor task per day: the fan-out the simple reader
+            # cannot express
+            return [
+                _DayPartition(self.path, d)
+                for d in self.days[start["day_idx"] : end["day_idx"]]
+            ]
+
+        def read(self, partition):
+            # EXECUTOR-side: one day slice, day predicate pushed to the
+            # parquet scan, streamed as arrow batches (never python rows)
+            import datetime
+
+            import pyarrow as pa
+            import pyarrow.compute as pc
+            import pyarrow.parquet as pq
+
+            lo = datetime.datetime.combine(
+                datetime.date.fromisoformat(partition.day),
+                datetime.time.min,
+            )
+            hi = lo + datetime.timedelta(days=1)
+            t = pq.read_table(
+                partition.path,
+                columns=["event_id", "ts", "user_id", "event_type", "value"],
+                filters=[("ts", ">=", lo), ("ts", "<", hi)],
+            )
+            out = pa.table(
+                {
+                    "event_id": pc.cast(t["event_id"], pa.int64()),
+                    "ts_us": pc.cast(
+                        pc.cast(t["ts"], pa.timestamp("us")), pa.int64()
+                    ),
+                    "user_id": pc.cast(t["user_id"], pa.int64()),
+                    "event_type": pc.cast(t["event_type"], pa.string()),
+                    "value": pc.cast(t["value"], pa.float64()),
+                }
+            )
+            return iter(out.to_batches(max_chunksize=65536))
+
+        def commit(self, end):
+            pass
+
+    class DailyIngestPartitionedDataSource(DataSource):
+        @classmethod
+        def name(cls):
+            return source_name
+
+        def schema(self):
+            return (
+                "event_id long, ts_us long, user_id long, "
+                "event_type string, value double"
+            )
+
+        def streamReader(self, schema):
+            return _PartitionedDailyReader(self.options)
+
+    return DailyIngestPartitionedDataSource
+
+
 def custom_source_ingest_streaming(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:

@@ -157,6 +157,11 @@ class TestDailyIngestStreamSource:
         ds = cls(options={"path": f"{sf_dir}/events.parquet"})
         return ds.simpleStreamReader("ignored")
 
+    @staticmethod
+    def _n_rows(batches) -> int:
+        # read() yields pyarrow RecordBatches (arrow transfer), not rows
+        return sum(b.num_rows for b in batches)
+
     def test_offsets_advance_to_exhaustion_in_multiple_batches(self, sf_dir):
         r = self._reader(sf_dir)
         off = r.initialOffset()
@@ -165,7 +170,7 @@ class TestDailyIngestStreamSource:
         total = 0
         while True:
             rows, nxt = r.read(off)
-            n = sum(1 for _ in rows)
+            n = self._n_rows(rows)
             if nxt == off:
                 assert n == 0
                 break
@@ -177,12 +182,137 @@ class TestDailyIngestStreamSource:
         assert total > 0
 
     def test_replay_committed_range_is_deterministic(self, sf_dir):
+        import pyarrow as pa
+
         r = self._reader(sf_dir)
         start = r.initialOffset()
-        rows1, end = r.read(start)
-        first = sorted(rows1)
-        replay = sorted(r.readBetweenOffsets(start, end))
-        assert replay == first, "readBetweenOffsets must replay exactly"
+        first = pa.Table.from_batches(list(r.read(start)[0]))
+        end = r.read(start)[1]
+        replay = pa.Table.from_batches(
+            list(r.readBetweenOffsets(start, end))
+        )
+        assert replay.equals(first), "readBetweenOffsets must replay exactly"
+
+
+class TestPartitionedDailyIngestStreamSource:
+    """The partition-based sibling of the simple daily-ingest reader
+    (streaming/source.py::make_daily_ingest_source_partitioned — the
+    100 TB upgrade path, SCALING.md): one InputPartition per day read
+    on the EXECUTORS, data never crossing the driver."""
+
+    def _reader(self, sf_dir):
+        from dc_moving_violations_cloud_etl_spark.streaming.source import (
+            make_daily_ingest_source_partitioned,
+        )
+
+        cls = make_daily_ingest_source_partitioned()
+        ds = cls(options={"path": f"{sf_dir}/events.parquet"})
+        return ds.streamReader("ignored")
+
+    def test_one_partition_per_day_fans_out(self, sf_dir):
+        r = self._reader(sf_dir)
+        start = r.initialOffset()
+        end = r.latestOffset()
+        parts = r.partitions(start, end)
+        # the fan-out the simple reader cannot express: every day in
+        # the planned range is its own executor task
+        assert len(parts) == end["day_idx"] - start["day_idx"] >= 1
+        assert [p.day for p in parts] == r.days[: end["day_idx"]]
+        # pacing: the full drain spans multiple planned batches
+        offs = [end["day_idx"]]
+        while offs[-1] < len(r.days):
+            offs.append(r.latestOffset()["day_idx"])
+        assert len(offs) >= 2, "drain must span multiple micro-batches"
+
+    def test_partition_read_matches_batch_slice(self, sf_dir):
+        import datetime
+
+        import pyarrow as pa
+        import pyarrow.compute as pc
+        import pyarrow.parquet as pq
+
+        r = self._reader(sf_dir)
+        parts = r.partitions(r.initialOffset(), r.latestOffset())
+        got = pa.Table.from_batches(
+            [b for p in parts for b in r.read(p)]
+        )
+        lo = datetime.datetime.combine(
+            datetime.date.fromisoformat(parts[0].day), datetime.time.min
+        )
+        hi = datetime.datetime.combine(
+            datetime.date.fromisoformat(parts[-1].day), datetime.time.min
+        ) + datetime.timedelta(days=1)
+        t = pq.read_table(f"{sf_dir}/events.parquet", columns=["ts"])
+        n_want = pc.sum(
+            pc.and_(
+                pc.greater_equal(t["ts"], lo), pc.less(t["ts"], hi)
+            ).cast("int64")
+        ).as_py()
+        assert got.num_rows == n_want
+        assert got.schema.names == [
+            "event_id", "ts_us", "user_id", "event_type", "value",
+        ]
+
+    def test_end_to_end_drain_equals_batch_aggregate(self, spark, sf_dir):
+        import hashlib
+        import shutil
+        import tempfile
+
+        from dc_moving_violations_cloud_etl_spark.streaming.source import (
+            STREAM_SOURCE_PARTITIONED_NAME,
+            make_daily_ingest_source_partitioned,
+        )
+
+        spark.dataSource.register(make_daily_ingest_source_partitioned())
+        path = f"{sf_dir}/events.parquet"
+        ckpt = tempfile.mkdtemp(prefix="part_ingest_ckpt_")
+        name = (
+            "part_ingest_"
+            + hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        )
+        ev = (
+            spark.readStream.format(STREAM_SOURCE_PARTITIONED_NAME)
+            .option("path", path)
+            .load()
+            .withColumn("ts", F.timestamp_micros("ts_us"))
+        )
+        agg = ev.groupBy(
+            F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+                "event_month"
+            )
+        ).agg(F.count(F.lit(1)).alias("n_events"))
+        try:
+            q = (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(processingTime="0 seconds")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+            try:
+                q.processAllAvailable()
+            finally:
+                q.stop()
+            got = {
+                (r.event_month, r.n_events)
+                for r in spark.table(name).collect()
+            }
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            spark.catalog.dropTempView(name)
+        want = {
+            (r.event_month, r.n_events)
+            for r in spark.read.parquet(path)
+            .groupBy(
+                F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+                    "event_month"
+                )
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        }
+        assert got == want
 
 
 class TestPagedApiPushdown:
