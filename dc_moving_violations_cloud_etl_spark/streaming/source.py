@@ -141,12 +141,19 @@ def make_daily_ingest_source_partitioned():
     1000-executor backfill needs, vs the simple reader's driver-side
     prefetch (right for low-throughput control-plane feeds).
 
-    Pacing: ``latestOffset`` advances an internal cursor ~a third of
-    the day range per trigger so a drained run provably commits
-    multiple batches (same pacing as the simple reader). The cursor is
-    process-local: a checkpoint restart re-walks it from 0 and catches
-    up to the committed offset harmlessly (callers here always start
-    from a fresh checkpoint).
+    Deliberately NO batch pacing: ``latestOffset`` always reports the
+    full available day range. The python streaming API has no
+    admission control (the engine never passes the committed offset to
+    ``latestOffset``), so any paced cursor is process-local state that
+    a checkpoint restart resets — measured here: after a mid-drain
+    restart the fresh cursor made offsets go BACKWARD in the log
+    (20 -> 10), the engine re-planned an already-applied range, and
+    the complete-mode aggregate double-counted 354 rows. A full-range
+    latestOffset is restart-safe by construction (replay of the one
+    in-flight batch is deterministic via partitions(start, end));
+    multi-batch pacing remains the SIMPLE reader's demonstration
+    property, where prefetch and offset advance are a single
+    driver-side step the engine itself journals.
     """
     from pyspark.sql.datasource import (
         DataSource,
@@ -170,17 +177,14 @@ def make_daily_ingest_source_partitioned():
             t = pq.read_table(self.path, columns=["ts"])
             days = pc.unique(pc.cast(t["ts"], "date32")).to_pylist()
             self.days = sorted(str(d) for d in days)
-            self.days_per_batch = max(1, -(-len(self.days) // 3))
-            self._cursor = 0
 
         def initialOffset(self):
             return {"day_idx": 0}
 
         def latestOffset(self):
-            self._cursor = min(
-                self._cursor + self.days_per_batch, len(self.days)
-            )
-            return {"day_idx": self._cursor}
+            # the FULL available range, never a paced cursor — see the
+            # restart-safety note in the factory docstring
+            return {"day_idx": len(self.days)}
 
         def partitions(self, start, end):
             # one executor task per day: the fan-out the simple reader

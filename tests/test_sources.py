@@ -216,13 +216,13 @@ class TestPartitionedDailyIngestStreamSource:
         parts = r.partitions(start, end)
         # the fan-out the simple reader cannot express: every day in
         # the planned range is its own executor task
-        assert len(parts) == end["day_idx"] - start["day_idx"] >= 1
-        assert [p.day for p in parts] == r.days[: end["day_idx"]]
-        # pacing: the full drain spans multiple planned batches
-        offs = [end["day_idx"]]
-        while offs[-1] < len(r.days):
-            offs.append(r.latestOffset()["day_idx"])
-        assert len(offs) >= 2, "drain must span multiple micro-batches"
+        assert len(parts) == end["day_idx"] - start["day_idx"] > 1
+        assert [p.day for p in parts] == r.days
+        # latestOffset is the FULL available range, never a paced
+        # process-local cursor: a paced cursor regresses after a
+        # checkpoint restart (offsets went backward in the log and the
+        # stateful agg double-counted — see the factory docstring)
+        assert r.latestOffset() == end
 
     def test_partition_read_matches_batch_slice(self, sf_dir):
         import datetime
@@ -301,6 +301,95 @@ class TestPartitionedDailyIngestStreamSource:
         finally:
             shutil.rmtree(ckpt, ignore_errors=True)
             spark.catalog.dropTempView(name)
+        want = {
+            (r.event_month, r.n_events)
+            for r in spark.read.parquet(path)
+            .groupBy(
+                F.date_format(F.date_trunc("month", "ts"), "yyyy-MM").alias(
+                    "event_month"
+                )
+            )
+            .agg(F.count(F.lit(1)).alias("n_events"))
+            .collect()
+        }
+        assert got == want
+
+    def test_restart_from_checkpoint_is_exactly_once(self, spark, sf_dir):
+        """Stop the stream mid-drain, restart a FRESH reader against
+        the SAME checkpoint, drain, and require the exact batch
+        aggregate — the restart scenario that exposed the paced-cursor
+        offset regression (offsets going backward re-planned an
+        applied range and double-counted rows in the stateful agg)."""
+        import hashlib
+        import shutil
+        import tempfile
+        import time
+
+        from dc_moving_violations_cloud_etl_spark.streaming.source import (
+            STREAM_SOURCE_PARTITIONED_NAME,
+            make_daily_ingest_source_partitioned,
+        )
+
+        spark.dataSource.register(make_daily_ingest_source_partitioned())
+        path = f"{sf_dir}/events.parquet"
+        ckpt = tempfile.mkdtemp(prefix="part_ingest_restart_")
+
+        def start(name):
+            ev = (
+                spark.readStream.format(STREAM_SOURCE_PARTITIONED_NAME)
+                .option("path", path)
+                .load()
+                .withColumn("ts", F.timestamp_micros("ts_us"))
+            )
+            agg = ev.groupBy(
+                F.date_format(
+                    F.date_trunc("month", "ts"), "yyyy-MM"
+                ).alias("event_month")
+            ).agg(F.count(F.lit(1)).alias("n_events"))
+            return (
+                agg.writeStream.outputMode("complete")
+                .format("memory")
+                .queryName(name)
+                .trigger(processingTime="0 seconds")
+                .option("checkpointLocation", ckpt)
+                .start()
+            )
+
+        tag = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        try:
+            q1 = start(f"pir_a_{tag}")
+            # stop as soon as the first trigger has made ANY progress:
+            # the in-flight batch may be journalled but uncommitted
+            deadline = time.time() + 60
+            while not q1.recentProgress and time.time() < deadline:
+                time.sleep(0.1)
+            q1.stop()
+            q2 = start(f"pir_b_{tag}")
+            try:
+                q2.processAllAvailable()
+            finally:
+                q2.stop()
+            # complete-mode memory sinks are written once per COMMITTED
+            # batch: if q1's only batch committed before the stop, q2
+            # finds no new data and its sink stays empty (exactly-once,
+            # nothing to replay); if the stop beat the commit, q2
+            # replays the journalled batch and its sink holds the full
+            # aggregate. Either way the LATEST non-empty sink must be
+            # the exact batch aggregate — never a double-counted one.
+            got = {
+                (r.event_month, r.n_events)
+                for r in spark.table(f"pir_b_{tag}").collect()
+            } or {
+                (r.event_month, r.n_events)
+                for r in spark.table(f"pir_a_{tag}").collect()
+            }
+        finally:
+            shutil.rmtree(ckpt, ignore_errors=True)
+            for v in (f"pir_a_{tag}", f"pir_b_{tag}"):
+                try:
+                    spark.catalog.dropTempView(v)
+                except Exception:  # noqa: BLE001
+                    pass
         want = {
             (r.event_month, r.n_events)
             for r in spark.read.parquet(path)
