@@ -2084,7 +2084,15 @@ def _kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     survivor set ``localCheckpoint``-ed so lineage stays flat; the
     trace rows are 1-row aggregates of checkpointed tables unioned
     into a single 10-row action — no driver-side collect at all."""
-    cur = _coclick_edges(spark, sf_dir)
+    return kcore_peel_core(_coclick_edges(spark, sf_dir))
+
+
+def kcore_peel_core(edges: DataFrame) -> DataFrame:
+    """The bounded synchronous peel of ``_kcore_peel`` over any
+    ``(u, v)`` edge DataFrame — factored so property tests can feed
+    synthetic graphs and verify the cascade against a Python replay
+    (tests/test_graph_property.py)."""
+    cur = edges
     rows = None
     for r in range(1, _KCORE_ROUNDS + 1):
         deg = (
