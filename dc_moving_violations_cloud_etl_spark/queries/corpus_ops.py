@@ -1573,6 +1573,16 @@ def viterbi_wordlens_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
     pieces) against an exhaustive Python enumeration
     (tests/test_corpus_property.py)."""
     dw = words.where(F.length("w") <= _UNI_MAXPOS)
+    # bounded collect (ONE scalar, the BPE-argmax shape): the longest
+    # in-horizon word caps the round count — every round past it is a
+    # structural no-op (matches has no end position beyond maxlen), yet
+    # still costs a scheduled join+union+checkpoint stage (~0.4 s each;
+    # the fixtures top out at 8-char words, so half the 16 rounds were
+    # dead weight). Results are identical by construction: the final
+    # join reads state at pos = len(w) <= maxlen, and the > horizon
+    # fallback below is untouched.
+    maxlen = dw.agg(F.max(F.length("w"))).collect()[0][0] or 0
+    rounds = min(int(maxlen), _UNI_MAXPOS)
     matches = caching.persist_tracked(
         _uni_candidates(dw.select("w", "freq"))
         .join(
@@ -1587,7 +1597,7 @@ def viterbi_wordlens_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
         F.lit(0).cast("long").alias("best"),
         F.lit(0).cast("long").alias("np"),
     )
-    for e in range(1, _UNI_MAXPOS + 1):
+    for e in range(1, rounds + 1):
         step = (
             matches.where(F.col("e") == e)
             .join(
