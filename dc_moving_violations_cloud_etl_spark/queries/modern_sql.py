@@ -688,10 +688,30 @@ def _ansi_try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     exercises the two classic traps over the violations fact:
     ``try_divide`` (paid/fine ratio where fine_amount is 0 or NULL) and
     ``try_cast`` (alphanumeric violation codes to int), and aggregates
-    how many rows each guard absorbed."""
+    how many rows each guard absorbed.
+
+    Cost caveat, measured at sf0.1: inline ``try_cast`` (a ``TryEval``
+    wrapper) evaluates ~18x slower than the equivalent guarded cast on
+    the same scan (5.0 s vs 0.28 s — even when every input string is
+    VALID, so it is the evaluation path, not exception cost).
+    ``try_divide`` shows no such penalty inline. So the 100 TB pattern
+    demonstrated here: evaluate the expensive try-expression once per
+    DISTINCT code (a vocabulary-bounded table where slow eval is free)
+    and broadcast it back over the fact — the fact-scan stage keeps
+    its fast path (query warm time 4.8 s -> 0.8 s), and the semantics
+    are genuine ``try_cast``, trim/overflow behavior included."""
     v = catalog.violations(spark, sf_dir)
     ratio = F.expr("try_divide(total_paid, fine_amount)")
-    code_num = F.expr("try_cast(violation_code AS int)")
+    codes = (
+        v.select("violation_code")
+        .distinct()
+        .select(
+            "violation_code",
+            F.expr("try_cast(violation_code AS int)").alias("code_num"),
+        )
+    )
+    v = v.join(F.broadcast(codes), "violation_code", "left")
+    code_num = F.col("code_num")
     return v.agg(
         F.count(F.lit(1)).cast("long").alias("n_rows"),
         F.sum(F.when(ratio.isNull(), 1).otherwise(0))
