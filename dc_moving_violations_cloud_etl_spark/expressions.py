@@ -77,7 +77,13 @@ def safe_double(c: Column) -> Column:
     ``cast``) because ANSI mode — Spark 4's default — makes a plain cast
     THROW on malformed input; the reference's contract is NULL
     (reference violation_etl_daily.py:201-210). NaN maps to NULL
-    explicitly."""
+    explicitly.
+
+    Cost note: TryEval-family expressions evaluate ~18x slower than a
+    guarded cast on a corpus-sized scan (measured; see
+    queries/modern_sql.py::_ansi_try_functions). Fine here — this shim
+    parses API payload fields at ingest grain — but on a fact-scan hot
+    path, evaluate it per DISTINCT value and broadcast back."""
     d = c.try_cast("double")
     return F.when(F.isnan(d), F.lit(None).cast("double")).otherwise(d)
 
