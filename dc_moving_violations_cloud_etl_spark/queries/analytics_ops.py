@@ -1228,31 +1228,28 @@ def _crossings(px: F.Column, py: F.Column, poly) -> F.Column:
     edge straddles py (half-open, so a shared vertex counts once) and
     the intersection lies right of px — the float intersection test
     ``px < x1 + (py-y1)(x2-x1)/(y2-y1)`` cross-multiplied to exact
-    64-bit integers with the sign of (y2-y1) flipping the inequality."""
-    edges = F.array(
-        *[
-            F.struct(
-                F.lit(x1).alias("x1"),
-                F.lit(y1).alias("y1"),
-                F.lit(x2).alias("x2"),
-                F.lit(y2).alias("y2"),
-            )
-            for x1, y1, x2, y2 in _poly_edges(poly)
-        ]
-    )
+    64-bit integers with the sign of (y2-y1) flipping the inequality.
 
-    def crossing(e):
-        d = e["y2"] - e["y1"]
-        straddle = (e["y1"] > py) != (e["y2"] > py)
-        lhs = (px - e["x1"]) * d
-        rhs = (py - e["y1"]) * (e["x2"] - e["x1"])
-        return F.when(
-            straddle
-            & (((d > 0) & (lhs < rhs)) | ((d < 0) & (lhs > rhs))),
-            1,
-        ).otherwise(0)
-
-    return F.aggregate(edges, F.lit(0), lambda acc, e: acc + crossing(e))
+    The per-edge tests are UNROLLED into a static when()-sum rather
+    than folded with F.aggregate: the polygons are plan-time literals,
+    and higher-order functions evaluate their lambdas interpreted (per
+    element, per row) — the unrolled tree stays in codegen and the
+    edge-direction branch resolves in Python (measured at sf0.1: the
+    HOF fold ran ~5.7 s, the unrolled sum ~1.1 s warm).
+    Horizontal edges (y2 == y1) can never straddle and are dropped at
+    build time."""
+    total: F.Column | None = None
+    for x1, y1, x2, y2 in _poly_edges(poly):
+        d = y2 - y1
+        if d == 0:
+            continue
+        straddle = (F.lit(y1) > py) != (F.lit(y2) > py)
+        lhs = (px - F.lit(x1)) * F.lit(d)
+        rhs = (py - F.lit(y1)) * F.lit(x2 - x1)
+        cond = straddle & ((lhs < rhs) if d > 0 else (lhs > rhs))
+        term = F.when(cond, 1).otherwise(0)
+        total = term if total is None else total + term
+    return F.coalesce(total, F.lit(0))
 
 
 def _ward_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
