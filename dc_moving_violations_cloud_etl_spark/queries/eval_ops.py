@@ -842,7 +842,17 @@ def suffix_repeat_groups(docs: DataFrame) -> DataFrame:
             )
         ).alias("pos", "g"),
     )
-    seeds = global_rank(pos_tab.select("g").distinct(), F.asc("g"), alias="r")
+    # every join below pins shuffle_hash: all sides are corpus-sized
+    # in general (position tables, dense-rank pair tables, the
+    # windowed-text doc table), and their repeated-content payloads
+    # compress so hard in shuffle stats that AQE broadcast-demotes a
+    # side and OOMs the driver — caught LIVE by the r7 100x smoke
+    # (the build died at the dense re-rank checkpoint with "Not enough
+    # memory to build and broadcast"); same class and fix as the r6
+    # dedup catch (SCALING.md join-strategy audit).
+    seeds = global_rank(
+        pos_tab.select("g").distinct(), F.asc("g"), alias="r"
+    ).hint("shuffle_hash")
     cur = (
         pos_tab.join(seeds, "g")
         .select("doc_id", "pos", "r")
@@ -872,7 +882,9 @@ def suffix_repeat_groups(docs: DataFrame) -> DataFrame:
     for k in (2 * _SA_SEED, 4 * _SA_SEED):
         paired = next_rank(cur, k)
         pairs = paired.select("r", "nr").distinct()
-        ranked = global_rank(pairs, F.asc("r"), F.asc("nr"), alias="r2")
+        ranked = global_rank(
+            pairs, F.asc("r"), F.asc("nr"), alias="r2"
+        ).hint("shuffle_hash")
         cur = (
             paired.join(ranked, ["r", "nr"])
             .select("doc_id", "pos", F.col("r2").alias("r"))
@@ -882,7 +894,7 @@ def suffix_repeat_groups(docs: DataFrame) -> DataFrame:
     # r32 + continuation at 32 covers the 48-char window: group on the
     # PAIR — identity is all the report needs, no final re-rank
     final = next_rank(cur, 8 * _SA_SEED)
-    suf = final.join(d, "doc_id").select(
+    suf = final.join(d.hint("shuffle_hash"), "doc_id").select(
         "r",
         "nr",
         "doc_id",
