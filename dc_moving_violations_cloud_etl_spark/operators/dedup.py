@@ -300,40 +300,33 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
 
 
 EMB_COSINE_THRESHOLD = 0.4
+# Constant per-band-bucket anchor count for the capped edge builder:
+# bounds candidate volume at cap·k per bucket (linear in duplication
+# factor) instead of k²/2. 8 anchors × 4 OR'd bands keeps clone floods
+# and ordinary near-dup clusters connected while surviving pathological
+# duplication — the r7 100x copy-blowup stress that killed the uncapped
+# all-pairs closure (SCALING.md).
+EMB_BUCKET_CAP = 8
 EMB_N_BANDS = 4  # 32 hyperplanes as 4 bands of 8 sign bits (banded LSH)
 EMB_N_PLANES = 32
 
 
-def embedding_cosine_pairs(
-    embeddings: DataFrame, threshold: float = EMB_COSINE_THRESHOLD
-) -> DataFrame:
-    """Embedding-cosine near-dup pairs, banded-hyperplane-LSH blocked.
-
-    Plan: 32 deterministic hyperplanes → per-vector 4 band signatures of
-    8 sign bits → posexplode → equi-join on (band_idx, band_sig) — never
-    a cross join — → distinct pair → exact cosine ≥ threshold. Banding
-    trades candidate volume for recall exactly like MinHash banding:
-    8-bit bands give ~256 buckets per band (bucket population n/256, so
-    candidate volume shrinks quadratically vs 4-bit bands) while
-    OR-amplification across 4 bands keeps near-dup recall high
-    (collision prob ≥ 1-(1-p^8)^4 ≈ 0.998 at cos 0.99). At 100 TB the
-    pair space is the within-band collision set on uniform keys, never
-    O(n²).
-    """
+def _embedding_banded(embeddings: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """Shared banded-hyperplane-LSH front half: (corpus with norms,
+    per-(vec_id, band_idx) band signatures). Plan shape: corpus ⋈
+    broadcast(32-row plane table) → one deterministic left-fold dot per
+    (vector, plane) row → integer bit/shift aggregation (exact int
+    arithmetic, order-insensitive). Hyperplanes live in a broadcast
+    TABLE, not 32×64 literal nodes baked into a projection — the literal
+    form costs seconds of driver-side plan compile and re-pays it per
+    plan branch, and a table is the only shape a real trained codebook
+    fits in."""
     from .similarity import _as_double, _dot, with_norm
 
-    # hyperplanes as a 32-row broadcast TABLE, not 32×64 literal nodes
-    # baked into one projection — the literal form costs seconds of
-    # driver-side plan compile/codegen and re-pays it per plan branch.
-    # This is also the only shape that works when the quantizer doesn't
-    # fit in an expression (a real trained codebook).
     planes = embeddings.where(F.col("vec_id").between(1, EMB_N_PLANES)).select(
         F.col("vec_id").alias("plane_id"), _as_double(F.col("embedding")).alias("pe")
     )
     width = EMB_N_PLANES // EMB_N_BANDS
-    # corpus ⋈ broadcast(planes) → one deterministic left-fold dot per
-    # (vector, plane) row; integer bit/shift aggregation builds the band
-    # signatures (order-insensitive — exact int arithmetic)
     corpus = persist_tracked(with_norm(embeddings))
     bits = corpus.join(F.broadcast(planes)).select(
         "vec_id",
@@ -344,24 +337,20 @@ def embedding_cosine_pairs(
     banded = bits.groupBy("vec_id", "band_idx").agg(
         F.sum(F.col("bit") * F.col("w")).cast("int").alias("band_sig")
     )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    cand = (
-        a.join(
-            b,
-            (F.col("a.band_idx") == F.col("b.band_idx"))
-            & (F.col("a.band_sig") == F.col("b.band_sig")),
-        )
-        .where(F.col("a.vec_id") < F.col("b.vec_id"))
-        .select(
-            F.col("a.vec_id").alias("a_vec_id"), F.col("b.vec_id").alias("b_vec_id")
-        )
-        .distinct()
-    )
-    # embedding-array payload side of a corpus-vs-corpus verify join:
-    # in-memory double arrays run ~3-4x the compressed shuffle stats,
-    # so AQE can broadcast-demote it exactly like the shingle payload
-    # in the r6 100x smoke — pin the strategy (dedup.py:283 pattern).
+    return corpus, banded
+
+
+def _verified_cosine(
+    cand: DataFrame, corpus: DataFrame, threshold: float
+) -> DataFrame:
+    """Verify candidate (a_vec_id, b_vec_id) pairs with the exact cosine.
+
+    The embedding-array payload side of a corpus-vs-corpus verify join:
+    in-memory double arrays run ~3-4x the compressed shuffle stats, so
+    AQE can broadcast-demote it exactly like the shingle payload in the
+    r6 100x smoke — pin the strategy (dedup.py:283 pattern)."""
+    from .similarity import _dot
+
     n = corpus.select("vec_id", "e", "norm").hint("shuffle_hash")
     return (
         cand.join(
@@ -383,12 +372,108 @@ def embedding_cosine_pairs(
         .select(
             "a_vec_id",
             "b_vec_id",
-            F.round(_dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6).alias(
-                "cos_sim"
-            ),
+            F.round(
+                _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+            ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))
-        .orderBy("a_vec_id", "b_vec_id")
+    )
+
+
+def embedding_capped_pair_edges(
+    embeddings: DataFrame,
+    threshold: float = EMB_COSINE_THRESHOLD,
+    cap: int = EMB_BUCKET_CAP,
+) -> tuple[DataFrame, DataFrame]:
+    """Near-dup EDGES with a constant per-band-bucket candidate cap —
+    the LSH-hygiene variant for downstream transitive closure.
+
+    The uncapped all-pairs builder (``embedding_cosine_pairs``) declares
+    quadratic output: a bucket of k clones yields k(k-1)/2 pairs, so a
+    100x copy-blowup (spam flood, boilerplate storm) turns each vector
+    into a 100-clone cluster and the edge list into ~5000x the base —
+    measured as a 75 GB spill death at the r7 100x stress point
+    (SCALING.md). For CONNECTIVITY, all-pairs edges are redundant: it is
+    enough that every bucket member reaches a bounded set of bucket
+    ANCHORS. So: rank members within each (band_idx, band_sig) bucket by
+    vec_id, take the ``cap`` smallest as anchors, and emit only
+    anchor-member candidate edges — ≤ cap·k per bucket, linear in
+    duplication factor. Clone floods stay connected (every clone pairs
+    with the same anchors at cosine 1.0); what the cap trades away is
+    recall on buckets whose members are near-dups of each other but not
+    of any anchor — standard LSH candidate-cap semantics, mirrored
+    exactly in the DuckDB oracle.
+
+    Returns ``(edges, overflow)``: verified cosine-≥-threshold edges,
+    plus a 1-row truncation-accounting frame (``overflow_buckets`` =
+    number of band buckets whose population exceeded the cap — the
+    buckets where candidate generation was truncated). The accounting
+    column is the honesty contract: a capped audit must SAY it capped.
+
+    The rank window partitions by the band-bucket key — bounded bucket
+    populations per partition, never an unpartitioned data-sized window.
+    """
+    corpus, banded = _embedding_banded(embeddings)
+    banded = persist_tracked(banded)
+    w = Window.partitionBy("band_idx", "band_sig").orderBy("vec_id")
+    ranked = banded.withColumn("rnk", F.row_number().over(w))
+    anchors = ranked.where(F.col("rnk") <= cap).select(
+        "band_idx", "band_sig", F.col("vec_id").alias("a_vec_id")
+    )
+    # anchor ⋈ bucket members: both sides are the (tiny, int-only) band
+    # table; ≤ cap rows per bucket on the anchor side bounds the output.
+    cand = (
+        anchors.join(banded.hint("shuffle_hash"), ["band_idx", "band_sig"])
+        .where(F.col("a_vec_id") < F.col("vec_id"))
+        .select("a_vec_id", F.col("vec_id").alias("b_vec_id"))
+        .distinct()
+    )
+    edges = _verified_cosine(cand, corpus, threshold)
+    overflow = (
+        banded.groupBy("band_idx", "band_sig")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+            .cast("long")
+            .alias("overflow_buckets")
+        )
+    )
+    return edges, overflow
+
+
+def embedding_cosine_pairs(
+    embeddings: DataFrame, threshold: float = EMB_COSINE_THRESHOLD
+) -> DataFrame:
+    """Embedding-cosine near-dup pairs, banded-hyperplane-LSH blocked.
+
+    Plan: 32 deterministic hyperplanes → per-vector 4 band signatures of
+    8 sign bits → posexplode → equi-join on (band_idx, band_sig) — never
+    a cross join — → distinct pair → exact cosine ≥ threshold. Banding
+    trades candidate volume for recall exactly like MinHash banding:
+    8-bit bands give ~256 buckets per band (bucket population n/256, so
+    candidate volume shrinks quadratically vs 4-bit bands) while
+    OR-amplification across 4 bands keeps near-dup recall high
+    (collision prob ≥ 1-(1-p^8)^4 ≈ 0.998 at cos 0.99). At 100 TB the
+    pair space is the within-band collision set on uniform keys, never
+    O(n²).
+    """
+    corpus, banded = _embedding_banded(embeddings)
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_sig") == F.col("b.band_sig")),
+        )
+        .where(F.col("a.vec_id") < F.col("b.vec_id"))
+        .select(
+            F.col("a.vec_id").alias("a_vec_id"), F.col("b.vec_id").alias("b_vec_id")
+        )
+        .distinct()
+    )
+    return _verified_cosine(cand, corpus, threshold).orderBy(
+        "a_vec_id", "b_vec_id"
     )
 
 

@@ -1223,19 +1223,23 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
     return merges, seq
 
 
-def _greedy_merge(tok: DataFrame, a: str, b: str) -> DataFrame:
+def _greedy_merge(
+    tok: DataFrame, a: str, b: str, merged: F.Column | None = None
+) -> DataFrame:
     """Apply ONE merge of adjacent pair ``(a, b)`` to a tokenized word
     table ``tok(rid, freq, pos, sym, nxt)`` under the reference greedy
     left-to-right non-overlap rule, returning the re-agged
-    ``(rid, freq, seq)`` table. Used by the BPE trainer (its single
-    caller, ``_bpe_core``); the merge mechanics are selection-rule
-    agnostic, so a future WordPiece trainer could reuse it by swapping
-    the pair-scoring step.
+    ``(rid, freq, seq)`` table. The merge mechanics are selection-rule
+    agnostic — shared by the BPE trainer (``_bpe_core``, plain symbol
+    concat) and the WordPiece trainer (``_wordpiece_core``, which passes
+    ``merged`` to strip the continuation prefix off the right symbol).
 
     Join-free greedy merge: candidate ordinal -> run id (islands)
     -> every-other keep flag, all as windows over ONE pass of tok
     (a join back against a same-lineage candidate table is both a
     self-join ambiguity trap and an extra shuffle)."""
+    if merged is None:
+        merged = F.concat("sym", "nxt")
     w = Window.partitionBy("rid").orderBy("pos")
     cand = (F.col("sym") == a) & (F.col("nxt") == b)
     t = (
@@ -1255,9 +1259,7 @@ def _greedy_merge(tok: DataFrame, a: str, b: str) -> DataFrame:
         )
         .withColumn(
             "out",
-            F.when(F.col("keep"), F.concat("sym", "nxt")).otherwise(
-                F.col("sym")
-            ),
+            F.when(F.col("keep"), merged).otherwise(F.col("sym")),
         )
         .withColumn(
             "consumed",

@@ -1142,23 +1142,28 @@ FROM comp GROUP BY component_id ORDER BY component_id
 
 
 def _embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Semantic (embedding-space) dup CLUSTERS: the verified hyperplane-
-    LSH near-dup pairs become an edge list, and the generic distributed
-    components operator (hook + pointer-jump, operators/dedup.py::
-    components_from_edges) finds the transitive clusters — the
-    embedding-space analog of the MinHash `dedup_components`, composed
-    from two independently-verified operators. Oracle recomputes the
-    same pairs in SQL and closes them with a RECURSIVE CTE."""
-    pairs = dedup.embedding_cosine_pairs(_emb(spark, sf_dir)).select(
-        F.col("a_vec_id").alias("a"), F.col("b_vec_id").alias("b")
+    """Semantic (embedding-space) dup CLUSTERS: CAPPED verified
+    hyperplane-LSH near-dup edges (≤ EMB_BUCKET_CAP anchors per band
+    bucket — linear in duplication factor, where the former all-pairs
+    edge list was quadratic and died at the r7 100x copy-blowup stress
+    point with 75 GB of spill) closed into transitive components by the
+    generic distributed hook+pointer-jump operator (operators/dedup.py::
+    components_from_edges). ``overflow_buckets`` is the truncation-
+    accounting column: how many band buckets exceeded the anchor cap —
+    the capped audit SAYS when and where it capped. Oracle mirrors the
+    cap: same per-bucket vec_id ranking, same anchor join, RECURSIVE CTE
+    closure."""
+    edges, overflow = dedup.embedding_capped_pair_edges(_emb(spark, sf_dir))
+    labels = dedup.components_from_edges(
+        edges.select(F.col("a_vec_id").alias("a"), F.col("b_vec_id").alias("b"))
     )
-    labels = dedup.components_from_edges(pairs)
     return (
         labels.groupBy(F.col("label").alias("component_id"))
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_members"),
             F.max("node").cast("long").alias("max_vec_id"),
         )
+        .crossJoin(F.broadcast(overflow))
         .orderBy("component_id")
     )
 
@@ -1192,11 +1197,24 @@ bands AS (
            AS band_sig
   FROM bits GROUP BY 1, 2
 ),
+ranked AS (
+  SELECT vec_id, band_idx, band_sig,
+         row_number() OVER (PARTITION BY band_idx, band_sig
+                            ORDER BY vec_id) AS rnk
+  FROM bands
+),
 cand AS (
-  SELECT DISTINCT a.vec_id AS a_vec_id, b.vec_id AS b_vec_id
-  FROM bands a JOIN bands b
-    ON a.band_idx = b.band_idx AND a.band_sig = b.band_sig
-   AND a.vec_id < b.vec_id
+  SELECT DISTINCT a.vec_id AS a_vec_id, m.vec_id AS b_vec_id
+  FROM ranked a JOIN ranked m
+    ON a.band_idx = m.band_idx AND a.band_sig = m.band_sig
+   AND a.vec_id < m.vec_id
+  WHERE a.rnk <= 8
+),
+overflow AS (
+  SELECT CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT)
+           AS overflow_buckets
+  FROM (SELECT band_idx, band_sig, count(*) AS n
+        FROM bands GROUP BY 1, 2)
 ),
 edges AS (
   SELECT a_vec_id AS a, b_vec_id AS b FROM (
@@ -1218,12 +1236,16 @@ reach AS (
 comp AS (SELECT x AS node, min(y) AS component_id FROM reach GROUP BY x)
 SELECT component_id,
        CAST(count(*) AS BIGINT) AS n_members,
-       CAST(max(node) AS BIGINT) AS max_vec_id
-FROM comp GROUP BY component_id ORDER BY component_id
+       CAST(max(node) AS BIGINT) AS max_vec_id,
+       o.overflow_buckets
+FROM comp, overflow o GROUP BY component_id, o.overflow_buckets
+ORDER BY component_id
 """,
-        doc="semantic dup clusters: hyperplane-LSH verified pairs closed "
-        "into transitive components by the distributed hook+pointer-jump "
-        "operator; oracle = SQL pair recompute + RECURSIVE CTE closure",
+        doc="semantic dup clusters: CAPPED hyperplane-LSH verified edges "
+        "(<=8 anchors per band bucket — linear in duplication factor) "
+        "closed into transitive components by the distributed "
+        "hook+pointer-jump operator, with an overflow_buckets truncation-"
+        "accounting column; oracle mirrors the cap + RECURSIVE CTE closure",
         tags=("extension", "dedup", "embedding", "iterative"),
     )
 )

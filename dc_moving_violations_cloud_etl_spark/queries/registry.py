@@ -109,61 +109,78 @@ def _load_all() -> None:
 # cleared in r6) so the latest-green record on the headline surface
 # stays fresh. All 44 first-official entries are sim-green under
 # tools/driver_sim.py with the driver-aligned canonicalizer.
+#
+# Round-8 rotation (VERDICT r7 rec #1): the ledger is closed (281/281
+# official), so the window becomes a REGRESSION rotation — re-certify the
+# stalest official rows, ordered by "implementation module changed since
+# the row was recorded" first. All 37 queries whose latest green row dates
+# to round 2 (their modules — operators/dedup.py, expressions.py,
+# operators/text.py, operators/sinks.py, operators/similarity.py — were
+# patched in r5–r7), plus the 13 stalest round-3 rows on churned code: the
+# un-refreshed reference surface (Qb/Qc/Qe–Qh, V1/V2 over the broadcast
+# hints reworked in r4), one verbatim-SQL twin (sql_compat churned in r7),
+# and the four stream-stream join cells whose lifecycle timings drifted in
+# BENCH_r07.
 DRIVER_WINDOW = [
-    # ── round-6 eval-metrics family, first official rows ──
-    "eval_auc_quality_gate",
-    "eval_ndcg_mrr",
-    "eval_spearman_signals",
-    "eval_rouge2_pairs",
-    "eval_pass_at_k",
-    "mining_best_of_n_gains",
-    "curation_calibration_ece",
-    # ── round-6 iterative/training flagships ──
-    "embedding_pca_power_iteration",
-    "corpus_suffix_array_doubling",
-    "corpus_unigram_seed_vocab",
-    "corpus_unigram_viterbi_encode",
-    "corpus_tokenizer_fertility",
-    "corpus_negative_samples",
-    "corpus_dsir_importance_weights",
-    "corpus_kneser_ney_bigram",
-    "curation_naive_bayes_langid",
-    "curation_gopher_rules",
-    "corpus_seqlen_histogram",
-    "dedup_lsh_band_tradeoff",
-    "graph_hits_bipartite",
-    "graph_kcore_peel",
-    "embedding_kcenter_seeds",
-    "binaryfile_source_stats",
-    "stream_late_drop_audit",
-    # ── round-5 leftovers, first official rows ──
-    "corpus_dataset_datasheet",
-    "compaction_bin_packing",
-    "events_local_day_rollup",
-    "user_activity_streaks",
-    "events_grouping_sets_matrix",
-    "funnel_conversion_window_24h",
-    "geo_radius_join_hotspots",
-    "events_decayed_leaderboard",
-    "phrase_search_positional",
-    "table_fingerprint_audit",
-    "rollup_serving_qa",
-    "gdpr_forget_users_audit",
-    "fk_cardinality_profile",
-    "privacy_k_anonymity_audit",
-    "dp_noisy_histogram_release",
-    "basket_type_lift",
-    "events_zscore_outliers",
-    "events_value_drift_audit",
-    "events_value_k_corr_direction",
-    "events_mad_outliers",
-    # ── refresh slots: already-official flagship rows ──
-    "q0_flagship_rainy_count",
-    "qa_monthly_agency_tickets",
-    "qd_rainy_day_tickets",
-    "dedup_minhash_lsh_pairs",
-    "watermark_incremental",
-    "stream_statestore_read",
+    # ── r2-stale: dedup family (operators/dedup.py pinned in r6+r7) ──
+    "dedup_exact_summary",
+    "dedup_fingerprint_groups",
+    "dedup_minhash_assign",
+    "dedup_simhash_fingerprints",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_embedding_cosine_pairs",
+    "dedup_components",
+    # ── r2-stale: text family (operators/text.py churned r5–r7) ──
+    "text_stats_quality",
+    "text_token_length_histogram",
+    "text_vocab_topk",
+    "text_bpe_token_stats",
+    "text_rolling_fingerprint",
+    "lang_id_confusion",
+    # ── r2-stale: ETL/expressions (expressions.py changed in r7) ──
+    "etl_violations_transform",
+    "etl_violations_checksum",
+    "etl_weather_transform",
+    "etl_weather_missing_sentinel",
+    "weather_is_rain_variants",
+    "gen_date_chunks",
+    "gen_page_plan",
+    # ── r2-stale: sinks (operators/sinks.py) ──
+    "sink_upsert_lww",
+    "sink_insert_ignore",
+    "sink_dedupe_by_key",
+    # ── r2-stale: similarity (operators/similarity.py reworked r5/r6) ──
+    "similarity_cosine_topk",
+    "similarity_lsh_topk",
+    "similarity_lsh_recall",
+    "similarity_ivf_topk",
+    # ── r2-stale: multimodal / curation / events remainders ──
+    "multimodal_decode_metadata",
+    "multimodal_resize_thumbnail",
+    "multimodal_frame_sample",
+    "curation_decisions",
+    "curation_stratified_sample",
+    "events_json_extract",
+    "events_value_percentiles",
+    "qa_rollup_totals",
+    "salted_join_summary",
+    "sessionize_gap30",
+    # ── r3-stale: un-refreshed reference surface (broadcast hints r4) ──
+    "qb_total_tickets_since",
+    "qc_avg_tickets_per_weekday",
+    "qe_monthly_precipitation",
+    "qf_monthly_speeding_fines",
+    "qg_avg_tickets_per_hour",
+    "qh_accidents_rain_vs_dry",
+    "v1_violations_verification",
+    "v2_weather_verification",
+    # ── r3-stale: verbatim-SQL twin (sql_compat churned in r7) ──
+    "sql_text_qf_ci_like",
+    # ── r3-stale: stream-stream join cells that drifted in BENCH_r07 ──
+    "stream_dedup_watermark",
+    "stream_session_window",
+    "stream_interval_join",
+    "stream_static_join",
 ]
 
 
