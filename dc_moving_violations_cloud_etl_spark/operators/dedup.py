@@ -406,9 +406,13 @@ def embedding_capped_pair_edges(
 
     Returns ``(edges, overflow)``: verified cosine-≥-threshold edges,
     plus a 1-row truncation-accounting frame (``overflow_buckets`` =
-    number of band buckets whose population exceeded the cap — the
-    buckets where candidate generation was truncated). The accounting
-    column is the honesty contract: a capped audit must SAY it capped.
+    number of band buckets where candidate generation actually LOST
+    pairs). That is population > cap + 1, not > cap: in a bucket of
+    exactly cap+1 members the single non-anchor still pairs with every
+    anchor, so every pair touches an anchor and nothing is truncated —
+    only a second non-anchor creates a non-anchor/non-anchor pair the
+    cap drops. The accounting column is the honesty contract: a capped
+    audit must SAY it capped.
 
     The rank window partitions by the band-bucket key — bounded bucket
     populations per partition, never an unpartitioned data-sized window.
@@ -433,7 +437,7 @@ def embedding_capped_pair_edges(
         banded.groupBy("band_idx", "band_sig")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.sum(F.when(F.col("n") > cap, 1).otherwise(0))
+            F.sum(F.when(F.col("n") > cap + 1, 1).otherwise(0))
             .cast("long")
             .alias("overflow_buckets")
         )

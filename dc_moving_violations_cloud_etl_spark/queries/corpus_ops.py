@@ -1427,6 +1427,226 @@ GROUP BY dw.doc_id ORDER BY dw.doc_id
 
 
 # ---------------------------------------------------------------------------
+# WordPiece tokenizer trainer (BERT-style): likelihood-ratio pair scoring
+# ---------------------------------------------------------------------------
+
+_WP_ROUNDS = 8
+
+
+def _wordpiece_core(spark: SparkSession, sf_dir: str):
+    """WordPiece trainer core: ``_WP_ROUNDS`` iterative merge rounds over
+    the vocabulary-bounded word-frequency table, returning the learned
+    merges ``[(round, pair, new_token, pair_count, score)]``.
+
+    WordPiece (Schuster & Nakajima 2012; the BERT tokenizer) differs
+    from BPE in exactly two places, and shares everything else:
+
+    1. **Continuation marking.** Each word is pre-split as
+       ``first-char  ##c2  ##c3 ...`` — a ``##`` prefix marks a
+       word-internal continuation piece. A merge concatenates the left
+       symbol with the right symbol's suffix (``##`` stripped), so the
+       merged piece keeps the left symbol's word-position marking.
+    2. **Likelihood-ratio selection.** Instead of the raw pair count,
+       each round merges the pair maximizing
+       ``count(ab) / (count(a) * count(b))`` — the pair whose merge most
+       increases corpus likelihood under a unigram LM, favoring strongly
+       associated pairs over merely frequent ones.
+
+    The merge MECHANICS (greedy left-to-right non-overlap, islands
+    window) are identical to BPE and shared via ``_greedy_merge`` — this
+    trainer passes the ``merged`` column that strips the continuation
+    prefix off the right symbol.
+
+    Determinism across engines: ``score`` is one IEEE double division of
+    two exactly-summed integers, so Spark and the DuckDB oracle compute
+    bit-identical doubles; ties break on the pair string. Scale posture
+    is the BPE one — every round touches only the vocab-bounded symbol
+    table; per-round argmax is the one legitimate driver scalar;
+    ``localCheckpoint`` truncates the growing lineage."""
+    docs = _docs(spark, sf_dir)
+    words = (
+        docs.select(
+            F.explode(tokens(normalized(F.col("text")))).alias("w")
+        )
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("long").alias("freq"))
+    )
+    seq = words.select(
+        F.col("w").alias("rid"),
+        "freq",
+        F.concat_ws(
+            " ",
+            F.transform(
+                F.split(F.col("w"), ""),
+                lambda c, i: F.when(i == F.lit(0), c).otherwise(
+                    F.concat(F.lit("##"), c)
+                ),
+            ),
+        ).alias("seq"),
+    ).localCheckpoint()
+
+    merges = []
+    for r in range(1, _WP_ROUNDS + 1):
+        tok = seq.select(
+            "rid",
+            "freq",
+            F.posexplode(F.split("seq", " ")).alias("pos", "sym"),
+        ).withColumn(
+            "nxt",
+            F.lead("sym").over(Window.partitionBy("rid").orderBy("pos")),
+        )
+        tok = tok.localCheckpoint()
+        syms = tok.groupBy("sym").agg(F.sum("freq").alias("scnt"))
+        pairs = (
+            tok.where(F.col("nxt").isNotNull())
+            .groupBy("sym", "nxt")
+            .agg(F.sum("freq").alias("pcnt"))
+        )
+        # symbol table is vocab-bounded (|alphabet| + merges) — broadcast
+        best = (
+            pairs.join(
+                F.broadcast(
+                    syms.select("sym", F.col("scnt").alias("cnt_a"))
+                ),
+                "sym",
+            )
+            .join(
+                F.broadcast(
+                    syms.select(
+                        F.col("sym").alias("nxt"),
+                        F.col("scnt").alias("cnt_b"),
+                    )
+                ),
+                "nxt",
+            )
+            .withColumn(
+                "score", F.col("pcnt") / (F.col("cnt_a") * F.col("cnt_b"))
+            )
+            .withColumn("pair", F.concat_ws(" ", "sym", "nxt"))
+            .orderBy(F.col("score").desc(), F.col("pair").asc())
+            .limit(1)
+            .collect()[0]
+        )
+        a, b = best["pair"].split(" ")
+        new_token = a + (b[2:] if b.startswith("##") else b)
+        merges.append(
+            (r, best["pair"], new_token, int(best["pcnt"]),
+             float(best["score"]))
+        )
+        seq = _greedy_merge(
+            tok,
+            a,
+            b,
+            merged=F.concat("sym", F.regexp_replace("nxt", "^##", "")),
+        ).localCheckpoint()
+    return merges, seq
+
+
+def _wordpiece_train(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The learned WordPiece merges (see ``_wordpiece_core``)."""
+    merges, _ = _wordpiece_core(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "round int, merged_pair string, new_token string, "
+        "pair_count long, score double",
+    ).orderBy("round")
+
+
+def _wordpiece_oracle() -> str:
+    head = r"""
+WITH RECURSIVE words AS MATERIALIZED (
+  SELECT w, CAST(count(*) AS BIGINT) AS freq FROM (
+    SELECT unnest(string_split(
+      lower(regexp_replace(trim(text), '\s+', ' ', 'g')), ' ')) AS w
+    FROM documents
+  ) WHERE length(w) >= 1 GROUP BY w
+),
+wseq0 AS MATERIALIZED (
+  SELECT w AS rid, freq,
+         CASE WHEN length(w) = 1 THEN w
+              ELSE substr(w, 1, 1) || ' ##'
+                   || array_to_string(split(substr(w, 2), ''), ' ##')
+         END AS seq
+  FROM words
+)"""
+    body = ""
+    for i in range(_WP_ROUNDS):
+        body += f"""
+, wtok{i} AS MATERIALIZED (
+  SELECT rid, freq, sym, pos,
+         lead(sym) OVER (PARTITION BY rid ORDER BY pos) AS nxt
+  FROM (
+    SELECT rid, freq, unnest(string_split(seq, ' ')) AS sym,
+           generate_subscripts(string_split(seq, ' '), 1) AS pos
+    FROM wseq{i}
+  )
+),
+wsym{i} AS MATERIALIZED (
+  SELECT sym, sum(freq) AS cnt FROM wtok{i} GROUP BY sym
+),
+wbest{i} AS MATERIALIZED (
+  SELECT p.sym, p.nxt, p.pair, p.cnt AS pair_cnt,
+         p.cnt * 1.0 / (sa.cnt * sb.cnt) AS score
+  FROM (SELECT sym, nxt, sym || ' ' || nxt AS pair, sum(freq) AS cnt
+        FROM wtok{i} WHERE nxt IS NOT NULL GROUP BY 1, 2, 3) p
+  JOIN wsym{i} sa ON sa.sym = p.sym
+  JOIN wsym{i} sb ON sb.sym = p.nxt
+  ORDER BY score DESC, pair ASC LIMIT 1
+),
+wkeep{i} AS MATERIALIZED (
+  SELECT rid, pos FROM (
+    SELECT rid, pos,
+           pos - row_number() OVER (PARTITION BY rid ORDER BY pos) AS grp
+    FROM wtok{i}
+    WHERE nxt IS NOT NULL
+      AND sym || ' ' || nxt = (SELECT pair FROM wbest{i})
+  ) c
+  QUALIFY (pos - min(pos) OVER (PARTITION BY rid, grp)) % 2 = 0
+),
+wseq{i + 1} AS MATERIALIZED (
+  SELECT t.rid, t.freq,
+         string_agg(
+           CASE WHEN k.pos IS NOT NULL THEN t.sym || substr(t.nxt, 3)
+                ELSE t.sym END, ' ' ORDER BY t.pos) AS seq
+  FROM wtok{i} t
+  LEFT JOIN wkeep{i} k ON k.rid = t.rid AND k.pos = t.pos
+  LEFT JOIN wkeep{i} k2 ON k2.rid = t.rid AND k2.pos = t.pos - 1
+  WHERE k2.pos IS NULL
+  GROUP BY t.rid, t.freq
+)"""
+    tail = (
+        "\nSELECT * FROM (\n"
+        + "\nUNION ALL\n".join(
+            f"SELECT {i + 1} AS round, pair AS merged_pair, "
+            f"sym || substr(nxt, 3) AS new_token, "
+            f"CAST(pair_cnt AS BIGINT) AS pair_count, "
+            f"CAST(score AS DOUBLE) AS score FROM wbest{i}"
+            for i in range(_WP_ROUNDS)
+        )
+        + "\n) ORDER BY round"
+    )
+    return head + body + tail
+
+
+register(
+    QuerySpec(
+        "corpus_wordpiece_train_merges",
+        _wordpiece_train,
+        _wordpiece_oracle(),
+        doc="WordPiece (BERT-style) tokenizer training: 8 merge rounds "
+        "over the vocab-bounded word-frequency table with ##-prefixed "
+        "continuation pieces and likelihood-ratio pair selection "
+        "count(ab)/(count(a)*count(b)); merge mechanics shared with the "
+        "BPE trainer via _greedy_merge(merged=...); oracle unrolls the "
+        "same rounds as materialized CTEs with the identical one-IEEE-"
+        "division score, completing the BPE/unigram/WordPiece trio",
+        tags=("extension", "corpus", "text", "iterative", "tokenizer"),
+    )
+)
+
+
+# ---------------------------------------------------------------------------
 # unigram-LM tokenizer (SentencePiece-style): seed vocab + Viterbi encode
 # ---------------------------------------------------------------------------
 

@@ -1149,10 +1149,11 @@ def _embedding_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     point with 75 GB of spill) closed into transitive components by the
     generic distributed hook+pointer-jump operator (operators/dedup.py::
     components_from_edges). ``overflow_buckets`` is the truncation-
-    accounting column: how many band buckets exceeded the anchor cap —
-    the capped audit SAYS when and where it capped. Oracle mirrors the
-    cap: same per-bucket vec_id ranking, same anchor join, RECURSIVE CTE
-    closure."""
+    accounting column: how many band buckets actually LOST candidate
+    pairs (population > cap + 1; at exactly cap+1 every pair still
+    touches an anchor) — the capped audit SAYS when and where it
+    capped. Oracle mirrors the cap: same per-bucket vec_id ranking,
+    same anchor join, same > cap+1 accounting, RECURSIVE CTE closure."""
     edges, overflow = dedup.embedding_capped_pair_edges(_emb(spark, sf_dir))
     labels = dedup.components_from_edges(
         edges.select(F.col("a_vec_id").alias("a"), F.col("b_vec_id").alias("b"))
@@ -1211,7 +1212,7 @@ cand AS (
   WHERE a.rnk <= 8
 ),
 overflow AS (
-  SELECT CAST(sum(CASE WHEN n > 8 THEN 1 ELSE 0 END) AS BIGINT)
+  SELECT CAST(sum(CASE WHEN n > 9 THEN 1 ELSE 0 END) AS BIGINT)
            AS overflow_buckets
   FROM (SELECT band_idx, band_sig, count(*) AS n
         FROM bands GROUP BY 1, 2)

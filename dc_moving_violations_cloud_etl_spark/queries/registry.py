@@ -110,6 +110,16 @@ def _load_all() -> None:
 # stays fresh. All 44 first-official entries are sim-green under
 # tools/driver_sim.py with the driver-aligned canonicalizer.
 #
+# Round-9 rotation (VERDICT r8 recs #2/#5): first slot re-certifies
+# embedding_dup_components, whose capped semantics + overflow_buckets
+# accounting changed in r8 AFTER its only official row (r4); second slot
+# is the new corpus_wordpiece_train_merges (never-official). Then all 33
+# remaining r3-vintage rows, the six r4-vintage verbatim-SQL twins
+# (sql_compat churned r7), the five r4-vintage stream rows, and the first
+# four of the r4-vintage TPC-H pack. After this round no official row is
+# older than r4, and the remaining r4 block (TPC-H tranche 2 + misc)
+# rotates in r10.
+#
 # Round-8 rotation (VERDICT r7 rec #1): the ledger is closed (281/281
 # official), so the window becomes a REGRESSION rotation — re-certify the
 # stalest official rows, ordered by "implementation module changed since
@@ -122,65 +132,64 @@ def _load_all() -> None:
 # and the four stream-stream join cells whose lifecycle timings drifted in
 # BENCH_r07.
 DRIVER_WINDOW = [
-    # ── r2-stale: dedup family (operators/dedup.py pinned in r6+r7) ──
-    "dedup_exact_summary",
-    "dedup_fingerprint_groups",
-    "dedup_minhash_assign",
-    "dedup_simhash_fingerprints",
-    "dedup_ngram_jaccard_pairs",
-    "dedup_embedding_cosine_pairs",
-    "dedup_components",
-    # ── r2-stale: text family (operators/text.py churned r5–r7) ──
-    "text_stats_quality",
-    "text_token_length_histogram",
-    "text_vocab_topk",
-    "text_bpe_token_stats",
-    "text_rolling_fingerprint",
-    "lang_id_confusion",
-    # ── r2-stale: ETL/expressions (expressions.py changed in r7) ──
-    "etl_violations_transform",
-    "etl_violations_checksum",
-    "etl_weather_transform",
-    "etl_weather_missing_sentinel",
-    "weather_is_rain_variants",
-    "gen_date_chunks",
-    "gen_page_plan",
-    # ── r2-stale: sinks (operators/sinks.py) ──
-    "sink_upsert_lww",
-    "sink_insert_ignore",
-    "sink_dedupe_by_key",
-    # ── r2-stale: similarity (operators/similarity.py reworked r5/r6) ──
-    "similarity_cosine_topk",
-    "similarity_lsh_topk",
-    "similarity_lsh_recall",
-    "similarity_ivf_topk",
-    # ── r2-stale: multimodal / curation / events remainders ──
-    "multimodal_decode_metadata",
-    "multimodal_resize_thumbnail",
-    "multimodal_frame_sample",
-    "curation_decisions",
-    "curation_stratified_sample",
-    "events_json_extract",
-    "events_value_percentiles",
-    "qa_rollup_totals",
-    "salted_join_summary",
-    "sessionize_gap30",
-    # ── r3-stale: un-refreshed reference surface (broadcast hints r4) ──
-    "qb_total_tickets_since",
-    "qc_avg_tickets_per_weekday",
-    "qe_monthly_precipitation",
-    "qf_monthly_speeding_fines",
-    "qg_avg_tickets_per_hour",
-    "qh_accidents_rain_vs_dry",
-    "v1_violations_verification",
-    "v2_weather_verification",
-    # ── r3-stale: verbatim-SQL twin (sql_compat churned in r7) ──
-    "sql_text_qf_ci_like",
-    # ── r3-stale: stream-stream join cells that drifted in BENCH_r07 ──
-    "stream_dedup_watermark",
-    "stream_session_window",
-    "stream_interval_join",
-    "stream_static_join",
+    # ── r8-changed semantics: MUST re-certify (only official row is r4,
+    #    which certified the deleted uncapped implementation) ──
+    "embedding_dup_components",
+    # ── new this round: never-official, completes the BPE/unigram/
+    #    WordPiece tokenizer-trainer trio ──
+    "corpus_wordpiece_train_merges",
+    # ── all 33 remaining r3-vintage rows (stalest first) ──
+    "asof_click_before_error",
+    "bpe_merge_pair_counts",
+    "cdc_last_state_compaction",
+    "cohort_weekly_retention",
+    "csv_source_roundtrip_agg",
+    "curation_pack_sequences",
+    "curation_shuffle_split",
+    "doc_length_quartile_assignment",
+    "dq_audit_violations",
+    "event_transition_matrix",
+    "events_cube_type_weekday",
+    "events_hopping_window_counts",
+    "events_orphan_user_audit",
+    "events_time_rollup",
+    "events_unpivot_daily_metrics",
+    "full_outer_reconciliation",
+    "funnel_view_click_purchase",
+    "json_source_roundtrip_agg",
+    "key_skew_gini_audit",
+    "parquet_schema_evolution_audit",
+    "range_click_before_error",
+    "scd2_user_attribute_history",
+    "set_ops_user_segments",
+    "skew_salted_join_agg",
+    "sql_text_qa_monthly_agency",
+    "sql_text_qe_precip",
+    "sql_text_qf_speeding_fines",
+    "stream_foreachbatch_upsert",
+    "text_redact_pii",
+    "text_tfidf_top_terms",
+    "topk_busiest_days_per_type",
+    "udtf_chunk_explode",
+    "zorder_layout_events",
+    # ── r4-vintage verbatim-SQL twins (sql_compat churned in r7) ──
+    "sql_text_monthly_tickets",
+    "sql_text_qb_since",
+    "sql_text_qc_weekday",
+    "sql_text_qd_rainy",
+    "sql_text_qg_hourly",
+    "sql_text_qh_accidents",
+    # ── r4-vintage stream rows (lifecycle timings drift round to round) ──
+    "stream_custom_source_ingest",
+    "stream_daily_rollup",
+    "stream_late_data_watermark",
+    "stream_stateful_sessions",
+    "stream_update_mode_counts",
+    # ── r4-vintage TPC-H pack, first tranche (rest rotate in r10) ──
+    "tpch_q1_pricing_summary",
+    "tpch_q3_shipping_priority",
+    "tpch_q6_forecast_revenue",
+    "tpch_q18_large_volume_customers",
 ]
 
 

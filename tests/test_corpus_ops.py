@@ -123,3 +123,74 @@ def test_stream_dedup_watermark_oracle_parity(spark, sf_dir, ddb):
         _oracle("stream_dedup_watermark"),
         "stream_dedup_watermark",
     )
+
+
+def _py_wordpiece(word_freq: dict[str, int], rounds: int):
+    """Pure-Python WordPiece reference: ##-continuation pre-split,
+    likelihood-ratio pair selection, greedy left-to-right non-overlap
+    merge — the independent third implementation the Spark trainer and
+    the DuckDB oracle are both validated against."""
+    seqs = {
+        w: [w[0]] + ["##" + c for c in w[1:]] for w in word_freq
+    }
+    merges = []
+    for r in range(1, rounds + 1):
+        sym_cnt: dict[str, int] = {}
+        pair_cnt: dict[tuple[str, str], int] = {}
+        for w, f in word_freq.items():
+            s = seqs[w]
+            for t in s:
+                sym_cnt[t] = sym_cnt.get(t, 0) + f
+            for x, y in zip(s, s[1:]):
+                pair_cnt[(x, y)] = pair_cnt.get((x, y), 0) + f
+        best = max(
+            pair_cnt.items(),
+            # max(score) with lexicographically-SMALLEST pair tiebreak
+            key=lambda kv: (
+                kv[1] / (sym_cnt[kv[0][0]] * sym_cnt[kv[0][1]]),
+                [-ord(c) for c in " ".join(kv[0])],
+            ),
+        )
+        (a, b), cnt = best
+        score = cnt / (sym_cnt[a] * sym_cnt[b])
+        new_token = a + b[2:]
+        merges.append((r, f"{a} {b}", new_token, cnt, score))
+        for w in seqs:
+            s, out, i = seqs[w], [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(new_token)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    return merges
+
+
+def test_wordpiece_matches_pure_python_reference(spark, sf_dir):
+    from dc_moving_violations_cloud_etl_spark.operators.text import (
+        normalized,
+        tokens,
+    )
+    from dc_moving_violations_cloud_etl_spark.queries.corpus_ops import (
+        _WP_ROUNDS,
+        _wordpiece_core,
+    )
+    from dc_moving_violations_cloud_etl_spark.queries.extensions import _docs
+
+    wf = {
+        r["w"]: r["cnt"]
+        for r in _docs(spark, sf_dir)
+        .select(F.explode(tokens(normalized(F.col("text")))).alias("w"))
+        .where(F.length("w") >= 1)
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    }
+    expected = _py_wordpiece(wf, _WP_ROUNDS)
+    got, _ = _wordpiece_core(spark, sf_dir)
+    assert len(got) == len(expected)
+    for g, e in zip(got, expected):
+        assert g[:4] == e[:4], (g, e)
+        assert abs(g[4] - e[4]) < 1e-15, (g, e)

@@ -92,6 +92,7 @@ _ALLOWED_BNLJ = {
     "corpus_unigram_viterbi_encode",  # same 1-row total inside _uni_core
     "graph_kcore_peel",            # per-round 1x1 trace-count combine
     "corpus_negative_samples",     # 1-row total-weight broadcast (CDF mod)
+    "embedding_dup_components",    # 1-row overflow_buckets scalar-combine
     # tiny broadcast query set (|Q| ~ 100 vectors), deliberate
     # brute-force baseline and its LSH/IVF comparators
     "dedup_embedding_cosine_pairs",

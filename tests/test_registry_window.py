@@ -23,22 +23,18 @@ def test_window_is_front_loaded_and_fits():
 
 
 def test_window_closes_the_ledger():
-    """Pin the round-7 rotation intent (VERDICT r6 rec #1): every query
-    that still lacks ANY official driver row after r6 is IN the window
-    (closing the catalog at 281/281 official), and only the slots left
-    over once no never-official query remains may refresh
-    already-green rows."""
+    """Pin the regression-rotation policy (r8+): once every query has at
+    least one official driver row (the ledger closed in r7 at 281/281),
+    the window's job is FRESHNESS — any query that still lacks an
+    official row in the rounds that informed the current rotation must
+    be in the window; remaining slots refresh the stalest green rows."""
     import json
     from pathlib import Path
 
     root = Path(__file__).resolve().parents[1]
     green: set[str] = set()
-    # only the rounds that informed this rotation — r7+ artifacts land
-    # AFTER the window was chosen and must not retro-fail the pin
-    for rn in ("r01", "r02", "r03", "r04", "r05", "r06"):
-        p = root / f"CORRECTNESS_{rn}.json"
-        if not p.exists():
-            continue
+    # every driver artifact present on disk informs the current rotation
+    for p in sorted(root.glob("CORRECTNESS_r*.json")):
         for name, rec in json.loads(p.read_text()).items():
             if rec.get("hash_match"):
                 green.add(name)
