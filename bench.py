@@ -45,6 +45,25 @@ HEADLINE = [
 ]
 
 
+def load_calibration(iters: int = 1_500_000) -> float:
+    """Fixed single-thread CPU probe: a sha256 chain of ``iters`` fixed
+    32-byte hashes — deterministic work whose wall-clock varies ONLY
+    with host load. Run at bench start and end and recorded in the
+    summary (``calib_start_sec`` / ``calib_end_sec``): this box carries
+    external load spikes that swing whole-session timings 2-4x with
+    zero code changes (observed both directions: r7 +28%, r8 -39%), so
+    round-over-round deltas are only interpretable next to a probe that
+    says how loaded THIS session was. Calibrated baseline on an idle
+    box: ~0.5-0.7 s (SCALING.md 'timing noise')."""
+    import hashlib
+
+    t0 = time.perf_counter()
+    h = b"spark-graft-load-calibration"
+    for _ in range(iters):
+        h = hashlib.sha256(h).digest()
+    return round(time.perf_counter() - t0, 4)
+
+
 def build_summary(
     out: dict,
     names: list[str],
@@ -54,8 +73,9 @@ def build_summary(
     """The short headline record that must end stdout: everything the
     official record needs, guaranteed to fit the driver's ~2000-byte
     stdout tail (metric/value/unit, the reference per-query times,
-    streaming + extension totals, error count). Pure function so the
-    size/shape contract is unit-testable without a Spark session."""
+    streaming + extension totals, load-calibration probes, error
+    count). Pure function so the size/shape contract is unit-testable
+    without a Spark session."""
     per_query = out["queries"]
     extras_set = set(extras)
     return {
@@ -69,6 +89,8 @@ def build_summary(
         ),
         "n_queries_timed": len(per_query),
         "n_errors": len(out.get("errors", {})),
+        "calib_start_sec": out.get("calib_start_sec"),
+        "calib_end_sec": out.get("calib_end_sec"),
         "sf": out["sf"],
         "detail": detail_path,
     }
@@ -79,6 +101,7 @@ def main() -> None:
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
+    calib_start = load_calibration()
     spark = get_spark(app_name="bench")
     queries = get_queries()
     names = [n for n in HEADLINE if n in queries]
@@ -168,8 +191,9 @@ def main() -> None:
                 # one quiet pass; the median of three discards BOTH the
                 # one-off spike and the one-off lucky pass, making the
                 # headline reproducible across rounds for ~8 s extra
-                # bench cost. Extension/streaming timings stay
-                # single-pass (they only feed informational totals).
+                # bench cost. Extension timings stay single-pass (they
+                # only feed an informational total); streaming timings
+                # are median-of-3 since r9 (see the streaming branch).
                 passes = [dt]
                 for _ in range(2):
                     t1 = time.perf_counter()
@@ -178,6 +202,21 @@ def main() -> None:
                 dt = sorted(passes)[1]
                 total += dt
             elif name in streaming:
+                # streaming lifecycle timings: ALSO median-of-3. Each
+                # drives a real micro-batch lifecycle (checkpoint dir +
+                # sink setup), whose wall time proved the single
+                # noisiest block on the official record — r7 +28% and
+                # r8 -39% with zero streaming code changes (VERDICT r7
+                # rec #3 / r8 rec #4). The ~2x extra bench cost buys a
+                # streaming_total that moves with code, not with host
+                # load; residual session drift is visible in the
+                # calib_start/end probes.
+                passes = [dt]
+                for _ in range(2):
+                    t1 = time.perf_counter()
+                    queries[name](spark, sf_dir).collect()
+                    passes.append(time.perf_counter() - t1)
+                dt = sorted(passes)[1]
                 streaming_total += dt
             per_query[name] = round(dt, 4)
         except Exception as exc:  # noqa: BLE001 - record, keep measuring
@@ -210,6 +249,8 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "streaming_total": round(streaming_total, 4),
+        "calib_start_sec": calib_start,
+        "calib_end_sec": load_calibration(),
         "sf": sf,
     }
     if errors:

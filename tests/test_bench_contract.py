@@ -25,6 +25,8 @@ def _fake_out(n_extras: int = 200) -> tuple[dict, list[str]]:
         "unit": "sec",
         "queries": per_query,
         "streaming_total": 22.4413,
+        "calib_start_sec": 0.61,
+        "calib_end_sec": 0.64,
         "sf": 0.1,
         "errors": {"some_query": "RuntimeError: boom"},
     }
@@ -53,6 +55,16 @@ def test_summary_carries_the_official_record():
     assert s["extensions_total"] == round(1.2345 * len(extras), 4)
     assert s["n_errors"] == 1
     assert s["n_queries_timed"] == len(out["queries"])
+    # the load-calibration probes ride along so round-over-round deltas
+    # are interpretable against host load (VERDICT r8 rec #4)
+    assert s["calib_start_sec"] == 0.61 and s["calib_end_sec"] == 0.64
+
+
+def test_load_calibration_is_fast_and_positive():
+    from bench import load_calibration
+
+    dt = load_calibration(iters=10_000)
+    assert 0 < dt < 5.0
 
 
 def test_summary_tolerates_missing_headline_times():
