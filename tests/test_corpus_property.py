@@ -178,3 +178,70 @@ def test_negative_sampling_matches_interval_scan(spark, words_pairs):
     # covering interval (the alias-table join emits one row per draw)
     assert len(rows) == len(pairs) * 5
     assert got == want
+
+
+@settings(**_SETTINGS)
+@given(_WORDS)
+def test_negative_sampling_bucket_map_covers_cdf_exactly(spark, words):
+    """The alias-table BUCKETING invariant on its own (VERDICT r8 rec
+    #8): every vocab interval must land in exactly the fixed-width
+    buckets it overlaps — so for EVERY point u in [0, total), the
+    bucket-filtered candidate set contains the covering interval
+    (lookup completeness) and the range filter leaves exactly one row
+    (lookup uniqueness). Replays the integer bucket arithmetic in
+    Python against the DataFrame-built bucket map."""
+    from dc_moving_violations_cloud_etl_spark.queries.corpus_ops import (
+        _NEG_BUCKETS,
+        _NEG_POW_SCALE,
+    )
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    wd = spark.createDataFrame(list(words.items()), "w string, freq long")
+    w = Window.orderBy("w")
+    vocab = wd.select(
+        "w",
+        F.round(F.pow(F.col("freq").cast("double"), 0.75) * _NEG_POW_SCALE, 0)
+        .cast("long")
+        .alias("wt"),
+    )
+    cdf = vocab.select(
+        "w",
+        (F.sum("wt").over(w) - F.col("wt")).alias("lo"),
+        F.sum("wt").over(w).alias("hi"),
+    )
+    total = cdf.agg(F.max("hi")).collect()[0][0]
+    bmap = cdf.select(
+        "w",
+        "lo",
+        "hi",
+        F.explode(
+            F.sequence(
+                F.expr(f"(lo * {_NEG_BUCKETS}) div {total}"),
+                F.expr(f"((hi - 1) * {_NEG_BUCKETS}) div {total}"),
+            )
+        ).alias("bucket"),
+    ).collect()
+    by_bucket: dict[int, list] = {}
+    for r in bmap:
+        by_bucket.setdefault(int(r.bucket), []).append(r)
+        # an interval appears ONLY in buckets it genuinely overlaps
+        b_lo = int(r.bucket) * total // _NEG_BUCKETS
+        b_hi = (int(r.bucket) + 1) * total // _NEG_BUCKETS
+        assert r.lo < max(b_hi, b_lo + 1) and r.hi > b_lo
+    # probe every interval boundary (first/last unit of each interval)
+    # plus the bucket boundaries — the off-by-one hot spots
+    probes = set()
+    ivs = sorted((r.lo, r.hi, r.w) for r in bmap)
+    for lo, hi, _ in ivs:
+        probes.update((lo, hi - 1))
+    for b in range(_NEG_BUCKETS):
+        probes.add(b * total // _NEG_BUCKETS)
+    for u in probes:
+        if not (0 <= u < total):
+            continue
+        bucket = u * _NEG_BUCKETS // total
+        hits = [
+            r for r in by_bucket.get(bucket, []) if r.lo <= u < r.hi
+        ]
+        assert len(hits) == 1, (u, bucket, hits)
