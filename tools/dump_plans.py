@@ -19,6 +19,11 @@ AUDITED = [
     ("qa_monthly_agency_tickets", "partial+final hash aggregate, codegen spans"),
     ("qf_monthly_speeding_fines", "LIKE filters evaluated pre-shuffle in codegen"),
     ("dedup_minhash_assign", "persisted signature scan; band equi-join; no cross join"),
+    (
+        "embedding_dup_components",
+        "anchored candidate equi-join + shuffle_hash-pinned verify; the "
+        "only BNLJ is the 1-row overflow_buckets broadcast combine",
+    ),
     ("similarity_cosine_topk", "broadcast nested loop over the tiny query set only"),
     ("asof_click_before_error", "union + single windowed carry; zero join nodes"),
     ("range_click_before_error", "hash equi-join on (key, bucket); no nested loop"),
