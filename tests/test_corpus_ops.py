@@ -143,12 +143,12 @@ def _py_wordpiece(word_freq: dict[str, int], rounds: int):
                 sym_cnt[t] = sym_cnt.get(t, 0) + f
             for x, y in zip(s, s[1:]):
                 pair_cnt[(x, y)] = pair_cnt.get((x, y), 0) + f
-        best = max(
+        # max(score) with lexicographically-SMALLEST pair tiebreak
+        best = min(
             pair_cnt.items(),
-            # max(score) with lexicographically-SMALLEST pair tiebreak
             key=lambda kv: (
-                kv[1] / (sym_cnt[kv[0][0]] * sym_cnt[kv[0][1]]),
-                [-ord(c) for c in " ".join(kv[0])],
+                -(kv[1] / (sym_cnt[kv[0][0]] * sym_cnt[kv[0][1]])),
+                " ".join(kv[0]),
             ),
         )
         (a, b), cnt = best
