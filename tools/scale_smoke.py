@@ -46,6 +46,8 @@ DEFAULT_QUERIES = [
     "events_touch_attribution",      # bucketed range join
     "similarity_binary_recall",      # compressed-scan ANN + baseline
     "graph_label_propagation",       # iterative edge-label rounds
+    "embedding_dup_components",      # capped anchor edges + CC closure
+    "corpus_wordpiece_train_merges", # vocab-bounded iterative trainer
 ]
 
 OFFSET = 1 << 33  # id offset per copy: far above any fixture key
