@@ -9,11 +9,21 @@ MEDIAN of three timed passes (after a warm-up of the flagship query to
 exclude JVM/session startup, which a long-running cluster amortizes
 away; median-of-3 discards both one-off load spikes and one-off lucky
 passes, which swung sub-second queries 2-3x between runs). The full
-per-query record (all ~130 extension timings) is printed first and
-written to ``$SPARK_GRAFT_BENCH_DETAIL`` (default
-/tmp/bench_detail.json); the FINAL line carries only the headline +
+per-query record (all ~280 extension timings) is printed first and
+written DURABLY to ``$SPARK_GRAFT_BENCH_DETAIL`` (default
+``BENCH_DETAIL_latest.json`` next to this file, i.e. inside the repo so
+the round snapshot commits it) and APPENDED with a UTC timestamp to
+``BENCH_DETAIL_history.jsonl`` (VERDICT r9 rec #2: the /tmp detail died
+with the session, leaving the r9 +20% extensions_total drift
+unattributable); the FINAL stdout line carries only the headline +
 reference per-query times so the driver's 2000-byte stdout tail always
 retains it (VERDICT r3 rec #3).
+
+MEASUREMENT-SEMANTICS NOTE (ADVICE r9): ``streaming_total`` switched in
+round 9 from cold single-pass to WARM median-of-3 — pass 1 absorbs
+one-time costs (scratch sweep, fixture staging) that passes 2-3 skip —
+so r9+ streaming totals are not comparable to r1-r8 without that caveat
+(carried in the summary as ``stream_timing``).
 """
 
 from __future__ import annotations
@@ -64,6 +74,29 @@ def load_calibration(iters: int = 1_500_000) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
+def median_of_completed(first_dt: float, rerun, n_extra: int = 2) -> float:
+    """Median of up to ``1 + n_extra`` timed passes, FAULT-ISOLATED: the
+    first pass already succeeded, so a raising re-pass must never
+    discard that measurement (ADVICE r9: a streaming re-pass failure
+    used to drop the query from streaming_total entirely). Falls back to
+    the median of whatever passes completed — worst case the single
+    first pass."""
+    passes = [first_dt]
+    for _ in range(n_extra):
+        t1 = time.perf_counter()
+        try:
+            rerun()
+        except Exception as exc:  # noqa: BLE001 - keep completed passes
+            print(f"re-pass failed (keeping completed): {exc!r}",
+                  file=sys.stderr)
+            break
+        passes.append(time.perf_counter() - t1)
+    passes.sort()
+    return passes[len(passes) // 2] if len(passes) % 2 else passes[
+        len(passes) // 2 - 1
+    ]
+
+
 def build_summary(
     out: dict,
     names: list[str],
@@ -93,6 +126,9 @@ def build_summary(
         "calib_end_sec": out.get("calib_end_sec"),
         "sf": out["sf"],
         "detail": detail_path,
+        # streaming_total is a WARM median-of-3 since r9; r1-r8 were
+        # cold single-pass (ADVICE r9 measurement-semantics note)
+        "stream_timing": "warm_median3_since_r9",
     }
 
 
@@ -194,12 +230,9 @@ def main() -> None:
                 # bench cost. Extension timings stay single-pass (they
                 # only feed an informational total); streaming timings
                 # are median-of-3 since r9 (see the streaming branch).
-                passes = [dt]
-                for _ in range(2):
-                    t1 = time.perf_counter()
-                    queries[name](spark, sf_dir).collect()
-                    passes.append(time.perf_counter() - t1)
-                dt = sorted(passes)[1]
+                dt = median_of_completed(
+                    dt, lambda: queries[name](spark, sf_dir).collect()
+                )
                 total += dt
             elif name in streaming:
                 # streaming lifecycle timings: ALSO median-of-3. Each
@@ -210,13 +243,14 @@ def main() -> None:
                 # rec #3 / r8 rec #4). The ~2x extra bench cost buys a
                 # streaming_total that moves with code, not with host
                 # load; residual session drift is visible in the
-                # calib_start/end probes.
-                passes = [dt]
-                for _ in range(2):
-                    t1 = time.perf_counter()
-                    queries[name](spark, sf_dir).collect()
-                    passes.append(time.perf_counter() - t1)
-                dt = sorted(passes)[1]
+                # calib_start/end probes. NOTE: this median is WARM
+                # (pass 1 absorbs scratch-sweep/fixture one-time costs
+                # that passes 2-3 skip) — r1-r8 recorded cold
+                # single-pass streaming totals, so cross-era
+                # comparisons must carry that caveat (ADVICE r9).
+                dt = median_of_completed(
+                    dt, lambda: queries[name](spark, sf_dir).collect()
+                )
                 streaming_total += dt
             per_query[name] = round(dt, 4)
         except Exception as exc:  # noqa: BLE001 - record, keep measuring
@@ -262,12 +296,28 @@ def main() -> None:
     # file), then end stdout with a SHORT headline line (< ~1.5 kB:
     # metric/value/unit, the 11 reference per-query times, streaming and
     # extension totals, error count) that always survives the tail cut.
+    #
+    # The detail file lives IN THE REPO (next to this script) so the
+    # end-of-round snapshot commits it — /tmp copies died with the
+    # session, which made the r9 +20% extensions_total drift
+    # unattributable (VERDICT r9 rec #2). Every run also appends one
+    # timestamped line to BENCH_DETAIL_history.jsonl so successive
+    # in-round runs never overwrite each other.
+    here = os.path.dirname(os.path.abspath(__file__))
     detail_path = os.environ.get(
-        "SPARK_GRAFT_BENCH_DETAIL", "/tmp/bench_detail.json"
+        "SPARK_GRAFT_BENCH_DETAIL",
+        os.path.join(here, "BENCH_DETAIL_latest.json"),
     )
+    stamped = dict(out)
+    stamped["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     try:
         with open(detail_path, "w") as f:
-            json.dump(out, f)
+            json.dump(stamped, f, indent=1, sort_keys=True)
+            f.write("\n")
+        with open(
+            os.path.join(here, "BENCH_DETAIL_history.jsonl"), "a"
+        ) as f:
+            f.write(json.dumps(stamped, sort_keys=True) + "\n")
     except OSError as exc:
         print(f"detail write failed: {exc!r}", file=sys.stderr)
     print(json.dumps(out))

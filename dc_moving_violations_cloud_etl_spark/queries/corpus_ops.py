@@ -1207,7 +1207,7 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
             ),
         )
         tok = tok.localCheckpoint()
-        best = (
+        rows = (
             tok.where(F.col("nxt").isNotNull())
             .groupBy(
                 F.concat_ws(" ", "sym", "nxt").alias("pair")
@@ -1215,8 +1215,15 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").alias("cnt"))
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # degenerate corpus: every word collapsed to one symbol
+            # before the round budget ran out — no adjacent pairs
+            # remain, and the DuckDB oracle's recursive CTE likewise
+            # stops emitting merge rows here, so break (not raise)
+            break
+        best = rows[0]
         merges.append((r, best["pair"], int(best["cnt"])))
         a, b = best["pair"].split(" ")
         seq = _greedy_merge(tok, a, b).localCheckpoint()
@@ -1504,7 +1511,7 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
             .agg(F.sum("freq").alias("pcnt"))
         )
         # symbol table is vocab-bounded (|alphabet| + merges) — broadcast
-        best = (
+        rows = (
             pairs.join(
                 F.broadcast(
                     syms.select("sym", F.col("scnt").alias("cnt_a"))
@@ -1526,8 +1533,14 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
             .withColumn("pair", F.concat_ws(" ", "sym", "nxt"))
             .orderBy(F.col("score").desc(), F.col("pair").asc())
             .limit(1)
-            .collect()[0]
+            .collect()
         )
+        if not rows:
+            # degenerate corpus: no adjacent pairs left before the
+            # round budget — break to match the oracle's shorter merge
+            # list instead of raising IndexError (ADVICE r9)
+            break
+        best = rows[0]
         a, b = best["pair"].split(" ")
         new_token = a + (b[2:] if b.startswith("##") else b)
         merges.append(

@@ -131,65 +131,76 @@ def _load_all() -> None:
 # hints reworked in r4), one verbatim-SQL twin (sql_compat churned in r7),
 # and the four stream-stream join cells whose lifecycle timings drifted in
 # BENCH_r07.
+# Round-10 rotation (VERDICT r9 rec #1): the staleness ledger's ENTIRE
+# remaining r4 block — all 33 rows whose latest official green is round
+# 4 (TPC-H tranche 2, the paged-API source pair, SQL scripting/params,
+# variant, geo, rolling, pivot, misc) — rotates in at once, clearing
+# the backlog so every official row is r5+ after this round. The 17
+# remaining slots refresh the stalest (r5-vintage) rows, churned-module
+# first: corpus_ops.py changed again this round (the degenerate-corpus
+# break guard on both trainer argmax loops, ADVICE r9) so its four r5
+# rows lead; operators/dedup.py churned in r9 (overflow_buckets
+# boundary) so its three r5 rows follow; then the seven r5 ANN-recall
+# rows (the quantization/recall matrix is flagship LLM-pipeline
+# surface), the two r5 streaming-lifecycle sinks (timings drift round
+# to round), and curation_perplexity_filter.
 DRIVER_WINDOW = [
-    # ── r8-changed semantics: MUST re-certify (only official row is r4,
-    #    which certified the deleted uncapped implementation) ──
-    "embedding_dup_components",
-    # ── new this round: never-official, completes the BPE/unigram/
-    #    WordPiece tokenizer-trainer trio ──
-    "corpus_wordpiece_train_merges",
-    # ── all 33 remaining r3-vintage rows (stalest first) ──
-    "asof_click_before_error",
-    "bpe_merge_pair_counts",
-    "cdc_last_state_compaction",
-    "cohort_weekly_retention",
-    "csv_source_roundtrip_agg",
-    "curation_pack_sequences",
-    "curation_shuffle_split",
-    "doc_length_quartile_assignment",
-    "dq_audit_violations",
-    "event_transition_matrix",
-    "events_cube_type_weekday",
-    "events_hopping_window_counts",
-    "events_orphan_user_audit",
-    "events_time_rollup",
-    "events_unpivot_daily_metrics",
-    "full_outer_reconciliation",
-    "funnel_view_click_purchase",
-    "json_source_roundtrip_agg",
-    "key_skew_gini_audit",
-    "parquet_schema_evolution_audit",
-    "range_click_before_error",
-    "scd2_user_attribute_history",
-    "set_ops_user_segments",
-    "skew_salted_join_agg",
-    "sql_text_qa_monthly_agency",
-    "sql_text_qe_precip",
-    "sql_text_qf_speeding_fines",
-    "stream_foreachbatch_upsert",
-    "text_redact_pii",
-    "text_tfidf_top_terms",
-    "topk_busiest_days_per_type",
-    "udtf_chunk_explode",
-    "zorder_layout_events",
-    # ── r4-vintage verbatim-SQL twins (sql_compat churned in r7) ──
-    "sql_text_monthly_tickets",
-    "sql_text_qb_since",
-    "sql_text_qc_weekday",
-    "sql_text_qd_rainy",
-    "sql_text_qg_hourly",
-    "sql_text_qh_accidents",
-    # ── r4-vintage stream rows (lifecycle timings drift round to round) ──
-    "stream_custom_source_ingest",
-    "stream_daily_rollup",
-    "stream_late_data_watermark",
-    "stream_stateful_sessions",
-    "stream_update_mode_counts",
-    # ── r4-vintage TPC-H pack, first tranche (rest rotate in r10) ──
-    "tpch_q1_pricing_summary",
-    "tpch_q3_shipping_priority",
-    "tpch_q6_forecast_revenue",
-    "tpch_q18_large_volume_customers",
+    # ── all 33 r4-vintage rows (the last pre-r5 certifications) ──
+    "corpus_mix_weights",
+    "corpus_zipf_slope",
+    "curation_chunk_plan",
+    "curation_decontaminate",
+    "dau_wau_stickiness",
+    "doc_ngram_novelty",
+    "embedding_quantize_int8",
+    "events_pivot_daily",
+    "events_user_rolling_7d",
+    "geo_cell_hotspots",
+    "inverted_index_postings",
+    "monthly_ticket_growth",
+    "multimodal_decode_arrow",
+    "observed_etl_metrics",
+    "paged_api_pushdown_agg",
+    "paged_api_source_agg",
+    "sink_semantics_diff",
+    "sql_parameterized_qb",
+    "sql_scripting_month_loop",
+    "text_repetition_ratio",
+    "user_entropy_histogram",
+    "variant_props_extract",
+    "tpch_q4_order_priority",
+    "tpch_q5_local_supplier_volume",
+    "tpch_q7_nation_volume",
+    "tpch_q8_market_share",
+    "tpch_q10_returned_items",
+    "tpch_q13_customer_distribution",
+    "tpch_q14_promo_effect",
+    "tpch_q15_top_supplier",
+    "tpch_q17_small_quantity_revenue",
+    "tpch_q19_bracket_predicates",
+    "tpch_q22_rich_inactive_customers",
+    # ── r5-vintage refreshes on code churned since (corpus_ops.py: the
+    #    r10 degenerate-corpus guard touches both trainer loops) ──
+    "corpus_bpe_train_merges",
+    "corpus_bpe_encode_lengths",
+    "corpus_vocab_encode",
+    "corpus_bigram_lm_nll",
+    # ── r5-vintage refreshes on operators/dedup.py (churned r9) ──
+    "dedup_incremental_signatures",
+    "dedup_minhash_recall",
+    "dedup_prefix_filter_pairs",
+    # ── r5-vintage ANN quantization/recall matrix refreshes ──
+    "similarity_ivf_recall",
+    "similarity_ivf_nprobe2_recall",
+    "similarity_ivfpq_recall",
+    "similarity_ivfpq_topk",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "similarity_matryoshka_recall",
+    # ── r5-vintage streaming-lifecycle sinks + curation refresh ──
+    "stream_file_sink_exactly_once",
+    "stream_py_sink_roundtrip",
+    "curation_perplexity_filter",
 ]
 
 

@@ -76,3 +76,44 @@ def test_summary_tolerates_missing_headline_times():
     s = build_summary(out, HEADLINE, extras, "/tmp/d.json")
     assert HEADLINE[0] not in s["queries"]
     assert len(s["queries"]) == len(HEADLINE) - 1
+
+
+def test_median_of_completed_fault_isolation():
+    """ADVICE r9: a raising re-pass must never discard the already
+    successful first pass — fall back to the median/min of completed
+    passes."""
+    from bench import median_of_completed
+
+    # all passes complete -> true median of three
+    times = iter([0.0, 5.0, 0.0, 1.0])
+    import time as _t
+
+    real = _t.perf_counter
+    try:
+        _t.perf_counter = lambda: next(times)
+        got = median_of_completed(3.0, lambda: None)
+    finally:
+        _t.perf_counter = real
+    assert got == 3.0  # passes [3.0, 5.0, 1.0] -> median 3.0
+
+    # first re-pass raises -> keep the single completed pass
+    def boom():
+        raise RuntimeError("re-pass died")
+
+    assert median_of_completed(2.5, boom) == 2.5
+
+    # one re-pass completes, second raises -> min of the two completed
+    calls = {"n": 0}
+
+    def second_boom():
+        calls["n"] += 1
+        if calls["n"] == 2:
+            raise RuntimeError("pass 3 died")
+
+    times2 = iter([0.0, 9.0, 0.0])  # 3rd value: t1 read before pass 3 raises
+    try:
+        _t.perf_counter = lambda: next(times2)
+        got2 = median_of_completed(4.0, second_boom)
+    finally:
+        _t.perf_counter = real
+    assert got2 == 4.0  # completed [4.0, 9.0] -> lower middle

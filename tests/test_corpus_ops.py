@@ -194,3 +194,32 @@ def test_wordpiece_matches_pure_python_reference(spark, sf_dir):
     for g, e in zip(got, expected):
         assert g[:4] == e[:4], (g, e)
         assert abs(g[4] - e[4]) < 1e-15, (g, e)
+
+
+def test_trainers_break_on_degenerate_corpus(spark, tmp_path):
+    """ADVICE r9: a corpus whose words all collapse to single symbols
+    leaves no adjacent pairs — the per-round argmax must BREAK (like the
+    oracle's recursive CTE, which just stops emitting rows), not raise
+    IndexError on an empty collect."""
+    import pandas as pd
+
+    from dc_moving_violations_cloud_etl_spark.queries.corpus_ops import (
+        _bpe_core,
+        _wordpiece_core,
+    )
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2],
+            "text": ["a b c a", "b c a b"],  # every word is one symbol
+            "lang": ["en", "en"],
+            "source": ["t", "t"],
+            "n_chars": [7, 7],
+        }
+    )
+    docs.to_parquet(tmp_path / "documents.parquet")
+    sf = str(tmp_path)
+    bpe_merges, _ = _bpe_core(spark, sf)
+    wp_merges, _ = _wordpiece_core(spark, sf)
+    assert bpe_merges == []
+    assert wp_merges == []
