@@ -30,7 +30,14 @@ def test_spec_is_complete_either_way():
 
 
 @pytest.mark.skipif(
-    not _AVAILABLE, reason="protobuf not installed in this container"
+    not _AVAILABLE,
+    reason=(
+        "INTENTIONAL env gate: transformWithStateInPandas's state "
+        "server needs google.protobuf in the Python workers, absent "
+        "from this container (see COVERAGE.md 'next-gen stateful "
+        "streaming'); both gate arms are unit-tested above, and on a "
+        "protobuf-equipped cluster this arm runs and oracle-checks"
+    ),
 )
 def test_tws_matches_oracle(spark, sf_dir, ddb):
     spec = streaming_ops._TWS_SPEC
