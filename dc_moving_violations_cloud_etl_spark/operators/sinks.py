@@ -50,14 +50,33 @@ def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: Sequence[st
 
 
 def _keep_one(df: DataFrame, keys: Sequence[str], rep: "F.Column", out_cols: Sequence[str]) -> DataFrame:
-    """One row per key via a min/max-of-struct hash aggregate.
+    """One row per key via a min/max-of-struct aggregate.
 
-    This is the engine's MERGE kernel shape: a ``row_number`` window would
-    Sort+Exchange the FULL input on (key, 12-column tiebreak) — at 100 TB
-    that is a whole-table sort. A struct min/max agg is a HashAggregate
-    with a map-side partial: duplicate keys co-located in a batch (the
-    rerun/replay case) collapse before the shuffle, and nothing is ever
-    sorted. Struct comparison is field-ordered with NULL smallest, which
+    This is the engine's MERGE kernel shape. Physical strategy (verified
+    on the executed plan, r10): ``min(struct)`` is a **SortAggregate** —
+    HashAggregateExec requires mutable fixed-width buffer types, so any
+    string- or struct-buffered min/max falls back to sort-based
+    aggregation (the same fallback plain ``min(string_col)`` takes;
+    ``min_by`` is declarative with a struct buffer and lands in the same
+    place). That is still the scalable MERGE plan at 100 TB:
+
+    - the PARTIAL aggregate runs map-side, so duplicate keys co-located
+      in a batch (the rerun/replay case) collapse before the shuffle;
+    - each partition's sort is an UnsafeExternalSorter — spillable,
+      never a global sort, and the only exchange is the key shuffle a
+      MERGE needs anyway;
+    - vs a ``row_number`` window, which needs the same Exchange+Sort but
+      cannot partial-aggregate map-side, this halves pre-shuffle volume
+      whenever replays duplicate keys within a batch.
+
+    Memory posture: the per-partition sort is the widest memory profile
+    on the sink surface (full 13-column rows). Partition sizing must
+    keep sort runs spill-friendly — the 100x copy-blowup smoke OOM'd
+    when ACCUMULATED caches from earlier queries pinned the storage pool
+    (tools/scale_smoke.py now releases materialized bases between
+    queries), not from the sort itself.
+
+    Struct comparison is field-ordered with NULL smallest, which
     matches ``ASC NULLS FIRST`` / ``DESC`` tiebreak semantics in the
     DuckDB oracle twins.
     """

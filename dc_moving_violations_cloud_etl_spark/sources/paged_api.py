@@ -77,12 +77,28 @@ def make_paged_events_source():
 
         def partitions(self):
             # count probe (the reference's returnCountOnly request):
-            # parquet footer statistics give max(event_id) without a
+            # parquet footer statistics give the key layout without a
             # data scan. The column index is resolved BY NAME from the
             # file schema — the fixture's physical layout has drifted
             # between rounds, and a hard-coded index would silently
-            # yield max_id=0 (an empty page plan that drops every row)
-            # after a column reorder (ADVICE r3).
+            # yield an empty page plan that drops every row after a
+            # column reorder (ADVICE r3).
+            #
+            # Page planning follows the SERVER's storage layout, the way
+            # a real resultOffset endpoint serves row-offset pages from
+            # its own key-ordered storage: when the fixture's row groups
+            # are key-sorted (paged_fixture_path always stages them so),
+            # consecutive row groups are coalesced into pages of >=
+            # pageSize ROWS and each page's key range tiles
+            # [group min, next group min) — so the page count tracks the
+            # DATA, not the key domain. Planning pages as fixed-width
+            # key ranges over [0, max_id] (the pre-r10 scheme) explodes
+            # on sparse key domains: the 100x scale harness offsets copy
+            # ids by 2^33, which planned ~10^8 near-empty pages and
+            # OOM'd the JVM deserializing the pickled partition list.
+            # On the dense sorted fixture the two schemes plan byte-
+            # identical pages (lo = i * pageSize), so page_id keeps its
+            # oracle-visible meaning of event_id // pageSize.
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
@@ -95,22 +111,68 @@ def make_paged_events_source():
                     f"paged source requires an event_id column; file has "
                     f"{pf.schema_arrow.names}"
                 ) from exc
-            max_id = 0
-            stats_seen = True
+            spans = []  # (min, max, n_rows) per row group, file order
             for rg in range(md.num_row_groups):
-                col = md.row_group(rg).column(idx)
-                if col.statistics is not None and col.statistics.has_min_max:
-                    max_id = max(max_id, int(col.statistics.max))
-                else:
-                    stats_seen = False
-            if not stats_seen or max_id == 0:
-                # statistics absent/disabled in the footer: fall back to
-                # a real max() scan of the key column (one column only)
-                # rather than silently planning zero pages
+                rgm = md.row_group(rg)
+                col = rgm.column(idx)
+                if col.statistics is None or not col.statistics.has_min_max:
+                    spans = None
+                    break
+                spans.append(
+                    (
+                        int(col.statistics.min),
+                        int(col.statistics.max),
+                        rgm.num_rows,
+                    )
+                )
+            sorted_layout = spans is not None and all(
+                spans[i][0] <= spans[i + 1][0]
+                and spans[i][1] <= spans[i + 1][1]
+                for i in range(len(spans) - 1)
+            )
+            if sorted_layout and spans:
+                # coalesce consecutive row groups into >= page_size-row
+                # pages; key ranges tile the domain disjointly, and
+                # read() fetches by key range file-wide, so a key
+                # straddling a row-group boundary is still read exactly
+                # once (by whichever page's range contains it)
+                pages = []
+                start = 0
+                acc = 0
+                for i, (_, _, n_rows) in enumerate(spans):
+                    acc += n_rows
+                    if acc >= self.page_size or i == len(spans) - 1:
+                        lo = spans[start][0]
+                        hi = (
+                            spans[i + 1][0]
+                            if i + 1 < len(spans)
+                            else spans[i][1] + 1
+                        )
+                        pages.append(
+                            _PagePartition(lo, hi, lo // self.page_size)
+                        )
+                        start, acc = i + 1, 0
+                return pages
+            # stats absent or file not key-sorted: fall back to fixed-
+            # width key-range pages over [0, max], with a real max()
+            # scan of the key column if the footer can't provide it
+            max_id = max((s[1] for s in spans or []), default=0)
+            if max_id == 0:
                 t = pq.read_table(self.path, columns=["event_id"])
                 mx = pc.max(t["event_id"]).as_py()
                 max_id = max(max_id, int(mx) if mx is not None else 0)
             n_pages = max_id // self.page_size + 1
+            if n_pages > 1_000_000:
+                # a sparse key domain under fixed-width pages plans
+                # millions of empty fetches and the pickled partition
+                # list alone OOMs the JVM — fail with the diagnosis
+                # instead (key-sorted layouts never take this path)
+                raise ValueError(
+                    f"paged source: key domain [0, {max_id}] at page "
+                    f"size {self.page_size} plans {n_pages} pages; "
+                    "sort the fixture by event_id (paged_fixture_path) "
+                    "so pages can follow the storage layout"
+                )
             return [
                 _PagePartition(
                     i * self.page_size, (i + 1) * self.page_size, i

@@ -145,6 +145,18 @@ def main() -> None:
                 row["err"] = f"{type(exc).__name__}: {exc}"[:200]
             finally:
                 caching.release_tracked()
+                # ALSO drop the materialized base tables (violations /
+                # weather per sf_dir): alternating base/scaled dirs
+                # otherwise accumulates BOTH dirs' caches across every
+                # measured query, and at 100x the pinned storage starved
+                # the execution pool — sink_dedupe_by_key's partial
+                # sort-aggregate died with UNABLE_TO_ACQUIRE_MEMORY
+                # under ~5 GB of unrelated cached violations (r10). A
+                # cluster running one query at a time holds one query's
+                # working set; the smoke should too.
+                from dc_moving_violations_cloud_etl_spark import catalog
+
+                catalog.release(spark)
         if row.get("t_base") and row.get("t_scaled"):
             row["ratio"] = round(row["t_scaled"] / row["t_base"], 2)
         if row.get("tasks_base") and row.get("tasks_scaled"):
