@@ -439,3 +439,80 @@ class TestPagedApiPushdown:
         n_all = sum(b.num_rows for b in r_all.read(part))
         n_err = sum(b.num_rows for b in r_push.read(part))
         assert 0 < n_err < n_all, "filter must act inside the page fetch"
+
+
+class TestPagedApiSparseKeys:
+    """r10: page planning follows the storage layout (row-group footer
+    stats), so a sparse key domain — e.g. the scale harness's 2^33
+    id-offset copies — plans pages that track the DATA. The pre-r10
+    fixed-width key-range plan emitted one page per 2000 keys of
+    [0, max_id] and OOM'd the JVM on the pickled partition list."""
+
+    def _reader(self, path, page_size=2000):
+        from dc_moving_violations_cloud_etl_spark.sources.paged_api import (
+            make_paged_events_source,
+        )
+
+        ds = make_paged_events_source()(
+            options={"path": str(path), "pageSize": str(page_size)}
+        )
+        return ds.reader("ignored")
+
+    def _write(self, tmp_path, ids, row_group_size, sort=True):
+        import pyarrow as pa
+        import pyarrow.parquet as pq
+
+        if sort:
+            ids = sorted(ids)
+        n = len(ids)
+        t = pa.table(
+            {
+                "event_id": pa.array(ids, pa.int64()),
+                "ts": pa.array([1_700_000_000_000_000 + i for i in range(n)], pa.timestamp("us")),
+                "user_id": pa.array([i % 7 for i in range(n)], pa.int64()),
+                "event_type": pa.array(["error" if i % 3 == 0 else "view" for i in range(n)]),
+                "value": pa.array([float(i) for i in range(n)]),
+            }
+        )
+        p = tmp_path / "events_sparse.parquet"
+        pq.write_table(t, p, row_group_size=row_group_size)
+        return p
+
+    def test_sparse_sorted_pages_track_data_not_key_domain(self, tmp_path):
+        # 5 "copies" of 1000 dense ids, each offset by 2^33: the old
+        # plan would emit ~21M pages; the layout plan must emit ~5
+        ids = [k * (1 << 33) + i for k in range(5) for i in range(1000)]
+        p = self._write(tmp_path, ids, row_group_size=1000)
+        r = self._reader(p, page_size=1000)
+        pages = r.partitions()
+        assert len(pages) <= 10, f"planned {len(pages)} pages for 5k rows"
+        # every row is fetched exactly once across the page tiling
+        got = sorted(
+            x
+            for part in pages
+            for b in r.read(part)
+            for x in b.column("event_id").to_pylist()
+        )
+        assert got == sorted(ids)
+
+    def test_dense_sorted_pages_match_key_range_identity(self, sf_dir):
+        # on the dense staged fixture the layout plan must reproduce the
+        # oracle-visible page identity (page_id == event_id // pageSize,
+        # pages lo-aligned to multiples of pageSize)
+        from dc_moving_violations_cloud_etl_spark.sources.paged_api import (
+            paged_fixture_path,
+        )
+
+        r = self._reader(paged_fixture_path(sf_dir))
+        pages = r.partitions()
+        assert all(p.lo % 2000 == 0 and p.page_id == p.lo // 2000 for p in pages[:-1])
+        assert [p.page_id for p in pages] == sorted({p.page_id for p in pages})
+
+    def test_unsorted_sparse_fails_with_diagnosis_not_oom(self, tmp_path):
+        import pytest as _pytest
+
+        ids = [((i * 2654435761) % (1 << 40)) for i in range(4000)]
+        p = self._write(tmp_path, ids, row_group_size=500, sort=False)
+        r = self._reader(p, page_size=2000)
+        with _pytest.raises(ValueError, match="plans .* pages"):
+            r.partitions()
