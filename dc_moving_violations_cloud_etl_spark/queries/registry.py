@@ -131,6 +131,14 @@ def _load_all() -> None:
 # hints reworked in r4), one verbatim-SQL twin (sql_compat churned in r7),
 # and the four stream-stream join cells whose lifecycle timings drifted in
 # BENCH_r07.
+# r11 rotation plan (computed at r10 close): after this window's driver
+# run, the ledger reads 32 r5-vintage rows + 50 each of r6-r10. The r11
+# window should take all 32 r5 rows (approx_distinct/bloom/bucketed-
+# join/cdc_merge/feature-store/geo_ward/graph x4/hll/mining_contrastive/
+# multimodal x5/quantile/rrf/snapshot/stream_occ/stream_rate/bm25/
+# topk_sketch/tpch q2,q9,q11,q12,q16,q20,q21/wap) + the 18 stalest r6
+# rows, changed-module rows first as always.
+#
 # Round-10 rotation (VERDICT r9 rec #1): the staleness ledger's ENTIRE
 # remaining r4 block — all 33 rows whose latest official green is round
 # 4 (TPC-H tranche 2, the paged-API source pair, SQL scripting/params,
