@@ -48,6 +48,8 @@ DEFAULT_QUERIES = [
     "graph_label_propagation",       # iterative edge-label rounds
     "embedding_dup_components",      # capped anchor edges + CC closure
     "corpus_wordpiece_train_merges", # vocab-bounded iterative trainer
+    "similarity_ivfpq_topk",         # composite ANN: cell prune + ADC
+    "dedup_incremental_signatures",  # delta re-sketch + banded election
 ]
 
 OFFSET = 1 << 33  # id offset per copy: far above any fixture key
