@@ -131,6 +131,13 @@ def _load_all() -> None:
 # hints reworked in r4), one verbatim-SQL twin (sql_compat churned in r7),
 # and the four stream-stream join cells whose lifecycle timings drifted in
 # BENCH_r07.
+# r10 close-out certification: the FULL 282-query catalog re-ran
+# sim-green (282/282, rows+schema+hash vs the DuckDB oracles at sf0.01)
+# under tools/driver_sim.py at the final r10 tree (post layout-driven
+# paged planner, post trainer break-guards) — not just the 50-row
+# window below; the entry()/queries()/oracle_sql() contract smoke also
+# passed (282/282 registered, 1-row flagship result).
+#
 # r11 rotation plan (computed at r10 close): after this window's driver
 # run, the ledger reads 32 r5-vintage rows + 50 each of r6-r10. The r11
 # window should take all 32 r5 rows (approx_distinct/bloom/bucketed-
