@@ -74,13 +74,23 @@ def load_calibration(iters: int = 1_500_000) -> float:
     return round(time.perf_counter() - t0, 4)
 
 
-def median_of_completed(first_dt: float, rerun, n_extra: int = 2) -> float:
+def median_of_completed(
+    first_dt: float,
+    rerun,
+    n_extra: int = 2,
+    degraded: dict | None = None,
+    name: str = "",
+) -> float:
     """Median of up to ``1 + n_extra`` timed passes, FAULT-ISOLATED: the
     first pass already succeeded, so a raising re-pass must never
     discard that measurement (ADVICE r9: a streaming re-pass failure
     used to drop the query from streaming_total entirely). Falls back to
     the median of whatever passes completed — worst case the single
-    first pass."""
+    first pass. A degraded fallback is RECORDED machine-readably (the
+    ``degraded`` dict, surfaced in the detail JSON and counted in the
+    summary), not just printed to stderr — otherwise the official record
+    claims median-of-3 semantics for a timing that is actually cold
+    single-pass (r10 review)."""
     passes = [first_dt]
     for _ in range(n_extra):
         t1 = time.perf_counter()
@@ -89,6 +99,11 @@ def median_of_completed(first_dt: float, rerun, n_extra: int = 2) -> float:
         except Exception as exc:  # noqa: BLE001 - keep completed passes
             print(f"re-pass failed (keeping completed): {exc!r}",
                   file=sys.stderr)
+            if degraded is not None:
+                degraded[name] = (
+                    f"{len(passes)}/{1 + n_extra} passes: "
+                    f"{type(exc).__name__}: {exc}"[:200]
+                )
             break
         passes.append(time.perf_counter() - t1)
     passes.sort()
@@ -122,6 +137,9 @@ def build_summary(
         ),
         "n_queries_timed": len(per_query),
         "n_errors": len(out.get("errors", {})),
+        # median-of-3 queries that fell back to fewer passes (per-query
+        # reasons in the detail file's degraded_medians map)
+        "n_degraded_medians": len(out.get("degraded_medians", {})),
         "calib_start_sec": out.get("calib_start_sec"),
         "calib_end_sec": out.get("calib_end_sec"),
         "sf": out["sf"],
@@ -211,6 +229,7 @@ def main() -> None:
 
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
+    degraded: dict[str, str] = {}  # median-of-3 queries that fell back
     total = 0.0
     streaming_total = 0.0
     for name in names + extras + streaming:
@@ -231,7 +250,10 @@ def main() -> None:
                 # only feed an informational total); streaming timings
                 # are median-of-3 since r9 (see the streaming branch).
                 dt = median_of_completed(
-                    dt, lambda: queries[name](spark, sf_dir).collect()
+                    dt,
+                    lambda: queries[name](spark, sf_dir).collect(),
+                    degraded=degraded,
+                    name=name,
                 )
                 total += dt
             elif name in streaming:
@@ -249,7 +271,10 @@ def main() -> None:
                 # single-pass streaming totals, so cross-era
                 # comparisons must carry that caveat (ADVICE r9).
                 dt = median_of_completed(
-                    dt, lambda: queries[name](spark, sf_dir).collect()
+                    dt,
+                    lambda: queries[name](spark, sf_dir).collect(),
+                    degraded=degraded,
+                    name=name,
                 )
                 streaming_total += dt
             per_query[name] = round(dt, 4)
@@ -289,6 +314,8 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
+    if degraded:
+        out["degraded_medians"] = degraded
 
     # The driver keeps only the LAST ~2000 bytes of stdout; round 3's
     # single big JSON line lost its head (the headline "value") to that

@@ -270,10 +270,12 @@ GROUP BY event_type ORDER BY event_type
 
 def _paged_api_source_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Scan through the custom Python DataSource (Spark 4 API): the
-    count-then-page planner schedules one task per 2000-key page — the
-    reference's sequential pagination loop, parallelized by the
-    scheduler. The aggregate proves both content fidelity (vs the
-    parquet oracle) and the page plan itself (n_pages per type)."""
+    count-then-page planner schedules one task per ~pageSize-row fetch
+    (row-group layout coalesced or split) — the reference's sequential
+    pagination loop, parallelized by the scheduler. The aggregate
+    proves both content fidelity (vs the parquet oracle) and the
+    logical page identity (n_pages = distinct event_id // 2000 per
+    type, stamped per row inside the fetch)."""
     from ..sources.paged_api import (
         SOURCE_NAME,
         make_paged_events_source,
@@ -324,9 +326,10 @@ GROUP BY event_type ORDER BY event_type
         doc="custom Python DataSource (Spark 4 datasource API) "
         "reproducing the reference's count-then-page ArcGIS scan "
         "(violation_etl_history.py:73-124): footer-stats count probe, "
-        "one InputPartition per 2000-key page, Arrow-batched page "
-        "reads — pages fetched as parallel tasks, not a sequential "
-        "Python loop",
+        "layout-driven page-fetch partitions (row-group spans coalesced "
+        "or split to ~pageSize rows), per-row page_id = event_id // "
+        "pageSize, Arrow-batched page reads — pages fetched as parallel "
+        "tasks, not a sequential Python loop",
         tags=("extension", "source", "python-datasource"),
     )
 )

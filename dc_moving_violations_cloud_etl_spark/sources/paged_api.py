@@ -8,9 +8,11 @@ one Python process (reference etl/full_load/violation_etl_history.py:
 Spark's source API instead:
 
 - ``partitions()`` is the count-then-page planner: one ``InputPartition``
-  per page of the key domain (offset pagination ~ key-range pages) — so
-  Spark schedules every page fetch as a parallel task instead of the
-  reference's sequential loop;
+  per page-sized key-range FETCH, planned from the file's row-group
+  layout (footer stats), so Spark schedules every page fetch as a
+  parallel task instead of the reference's sequential loop; the
+  oracle-visible logical page (``page_id = event_id // pageSize``) is
+  stamped per row inside the fetch;
 - ``read(partition)`` "fetches" one page — here by slicing the parquet
   fixture by key range via pyarrow (deterministic stand-in for the HTTP
   GET; a live connector would issue the request and parse JSON right
@@ -43,8 +45,15 @@ def make_paged_events_source():
     default_page_size = DEFAULT_PAGE_SIZE
 
     class _PagePartition(InputPartition):
-        def __init__(self, lo: int, hi: int, page_id: int):
-            self.lo, self.hi, self.page_id = lo, hi, page_id
+        """One page FETCH (a physical key-range slice). Logical page
+        identity (the oracle-visible ``page_id = event_id // pageSize``)
+        is computed per ROW in ``read()`` — a fetch that spans several
+        2000-key buckets, or a key layout with gaps, must not relabel
+        the rows it happens to carry (r10 review: deriving page_id from
+        the partition's lo broke the identity on gapped layouts)."""
+
+        def __init__(self, lo: int, hi: int):
+            self.lo, self.hi = lo, hi
 
     from pyspark.sql.datasource import EqualTo
 
@@ -84,21 +93,25 @@ def make_paged_events_source():
             # yield an empty page plan that drops every row after a
             # column reorder (ADVICE r3).
             #
-            # Page planning follows the SERVER's storage layout, the way
-            # a real resultOffset endpoint serves row-offset pages from
-            # its own key-ordered storage: when the fixture's row groups
-            # are key-sorted (paged_fixture_path always stages them so),
-            # consecutive row groups are coalesced into pages of >=
-            # pageSize ROWS and each page's key range tiles
-            # [group min, next group min) — so the page count tracks the
-            # DATA, not the key domain. Planning pages as fixed-width
-            # key ranges over [0, max_id] (the pre-r10 scheme) explodes
-            # on sparse key domains: the 100x scale harness offsets copy
-            # ids by 2^33, which planned ~10^8 near-empty pages and
-            # OOM'd the JVM deserializing the pickled partition list.
-            # On the dense sorted fixture the two schemes plan byte-
-            # identical pages (lo = i * pageSize), so page_id keeps its
-            # oracle-visible meaning of event_id // pageSize.
+            # Page FETCH planning follows the SERVER's storage layout,
+            # the way a real resultOffset endpoint serves row-offset
+            # pages from its own key-ordered storage: when the file's
+            # row groups are key-sorted (paged_fixture_path always
+            # stages them so), small consecutive row groups are
+            # coalesced up to >= pageSize ROWS, and a COARSE row group
+            # (rows > pageSize — e.g. the raw fixture's single 100k-row
+            # group) is SPLIT into ceil(rows/pageSize) equal-width key
+            # slices of its own span, so parallelism tracks the data in
+            # both directions (r10 review: the first layout planner only
+            # coalesced, collapsing a coarse-group file to one task).
+            # Either way the plan size is proportional to actual rows.
+            # Planning fixed-width key ranges over [0, max_id] (the
+            # pre-r10 scheme) explodes on sparse key domains: the 100x
+            # scale harness offsets copy ids by 2^33, which planned
+            # ~10^8 near-empty pages and OOM'd the JVM deserializing
+            # the pickled partition list. Partitions carry only the
+            # fetch's key range; the oracle-visible page_id is computed
+            # per row in read().
             import pyarrow.compute as pc
             import pyarrow.parquet as pq
 
@@ -131,27 +144,49 @@ def make_paged_events_source():
                 for i in range(len(spans) - 1)
             )
             if sorted_layout and spans:
-                # coalesce consecutive row groups into >= page_size-row
-                # pages; key ranges tile the domain disjointly, and
-                # read() fetches by key range file-wide, so a key
-                # straddling a row-group boundary is still read exactly
-                # once (by whichever page's range contains it)
+                # key ranges tile the domain disjointly, and read()
+                # fetches by key range file-wide, so a key straddling a
+                # row-group boundary is still read exactly once (by
+                # whichever page's range contains it). Empty ranges
+                # (duplicate-heavy layouts can produce lo == hi) are
+                # skipped rather than scheduled as no-op fetches.
                 pages = []
-                start = 0
+
+                def emit(lo: int, hi: int) -> None:
+                    if lo < hi:
+                        pages.append(_PagePartition(lo, hi))
+
+                def tile(lo: int, hi: int, k: int) -> None:
+                    # split [lo, hi) into k equal-width key slices (a
+                    # duplicate-heavy group yields uneven slices — the
+                    # unavoidable limit of range-splitting; a single
+                    # repeated key cannot be split at all)
+                    width = max(1, -(-(hi - lo) // k))
+                    s = lo
+                    while s < hi:
+                        emit(s, min(s + width, hi))
+                        s += width
+
+                start = 0  # first span of the pending coalesce run
                 acc = 0
-                for i, (_, _, n_rows) in enumerate(spans):
-                    acc += n_rows
-                    if acc >= self.page_size or i == len(spans) - 1:
-                        lo = spans[start][0]
-                        hi = (
-                            spans[i + 1][0]
-                            if i + 1 < len(spans)
-                            else spans[i][1] + 1
-                        )
-                        pages.append(
-                            _PagePartition(lo, hi, lo // self.page_size)
-                        )
+                for i, (g_lo, _, n_rows) in enumerate(spans):
+                    nxt = (
+                        spans[i + 1][0]
+                        if i + 1 < len(spans)
+                        else spans[i][1] + 1
+                    )
+                    if n_rows > self.page_size:
+                        # coarse group: flush the pending run, then
+                        # split this group's own span for parallelism
+                        if acc:
+                            emit(spans[start][0], g_lo)
+                        tile(g_lo, nxt, -(-n_rows // self.page_size))
                         start, acc = i + 1, 0
+                    else:
+                        acc += n_rows
+                        if acc >= self.page_size or i == len(spans) - 1:
+                            emit(spans[start][0], nxt)
+                            start, acc = i + 1, 0
                 return pages
             # stats absent or file not key-sorted: fall back to fixed-
             # width key-range pages over [0, max], with a real max()
@@ -170,13 +205,14 @@ def make_paged_events_source():
                 raise ValueError(
                     f"paged source: key domain [0, {max_id}] at page "
                     f"size {self.page_size} plans {n_pages} pages; "
-                    "sort the fixture by event_id (paged_fixture_path) "
-                    "so pages can follow the storage layout"
+                    "rewrite the fixture key-sorted WITH footer "
+                    "statistics (paged_fixture_path does both) so "
+                    "pages can follow the storage layout — an already-"
+                    "sorted file lands here when event_id column "
+                    "statistics are absent"
                 )
             return [
-                _PagePartition(
-                    i * self.page_size, (i + 1) * self.page_size, i
-                )
+                _PagePartition(i * self.page_size, (i + 1) * self.page_size)
                 for i in range(n_pages)
             ]
 
@@ -209,8 +245,16 @@ def make_paged_events_source():
                     "user_id": t["user_id"],
                     "event_type": t["event_type"],
                     "value": t["value"],
-                    "page_id": pa.array(
-                        [partition.page_id] * len(t), pa.int64()
+                    # logical page identity is a PER-ROW function of the
+                    # key (the 2000-key bucket the row belongs to) —
+                    # never the fetch partition's label: a coalesced or
+                    # split fetch carries rows of several buckets, and a
+                    # gapped key layout has buckets no fetch is named
+                    # after. event_id is non-negative, so integer
+                    # division == floor division.
+                    "page_id": pc.divide(
+                        pc.cast(t["event_id"], pa.int64()),
+                        pa.scalar(self.page_size, pa.int64()),
                     ),
                 }
             )

@@ -495,18 +495,70 @@ class TestPagedApiSparseKeys:
         )
         assert got == sorted(ids)
 
-    def test_dense_sorted_pages_match_key_range_identity(self, sf_dir):
-        # on the dense staged fixture the layout plan must reproduce the
-        # oracle-visible page identity (page_id == event_id // pageSize,
-        # pages lo-aligned to multiples of pageSize)
-        from dc_moving_violations_cloud_etl_spark.sources.paged_api import (
-            paged_fixture_path,
+    def _read_pairs(self, r, pages):
+        # (event_id, page_id) per row across the full page plan
+        return sorted(
+            (e, g)
+            for part in pages
+            for b in r.read(part)
+            for e, g in zip(
+                b.column("event_id").to_pylist(),
+                b.column("page_id").to_pylist(),
+            )
         )
 
-        r = self._reader(paged_fixture_path(sf_dir))
+    def test_dense_sorted_pages_match_key_range_identity(self, tmp_path):
+        # a guaranteed MULTI-page dense fixture (the r10 review found
+        # the staged-sf-fixture variant vacuous at sf0.001: one page,
+        # so the non-final-page assertion checked an empty slice): 6000
+        # dense ids in 2000-row groups at pageSize 2000 -> 3 pages,
+        # lo-aligned, and every ROW carries page_id == event_id // 2000
+        p = self._write(tmp_path, list(range(6000)), row_group_size=2000)
+        r = self._reader(p, page_size=2000)
         pages = r.partitions()
-        assert all(p.lo % 2000 == 0 and p.page_id == p.lo // 2000 for p in pages[:-1])
-        assert [p.page_id for p in pages] == sorted({p.page_id for p in pages})
+        assert len(pages) == 3
+        assert all(p_.lo % 2000 == 0 for p_ in pages)
+        pairs = self._read_pairs(r, pages)
+        assert pairs == [(e, e // 2000) for e in range(6000)]
+
+    def test_gapped_keys_keep_oracle_page_identity(self, tmp_path):
+        # r10 review repro: ids 0..999 and 3000..3999 (a key GAP) must
+        # yield exactly the oracle's count(DISTINCT event_id // 2000)
+        # = 2 logical pages, regardless of how fetches are planned —
+        # the pre-fix planner labeled all rows with the fetch's
+        # lo-derived page_id and read 1 distinct page
+        ids = list(range(1000)) + list(range(3000, 4000))
+        p = self._write(tmp_path, ids, row_group_size=2000)
+        r = self._reader(p, page_size=2000)
+        pages = r.partitions()
+        pairs = self._read_pairs(r, pages)
+        assert [e for e, _ in pairs] == ids
+        assert sorted({g for _, g in pairs}) == [0, 1]
+        assert all(g == e // 2000 for e, g in pairs)
+
+    def test_coarse_row_group_splits_into_parallel_fetches(self, tmp_path):
+        # r10 review repro: a single 10k-row row group (the raw-fixture
+        # shape) must not collapse to ONE fetch task — the planner
+        # splits a coarse group into ~rows/pageSize key slices
+        p = self._write(tmp_path, list(range(10_000)), row_group_size=10_000)
+        r = self._reader(p, page_size=2000)
+        pages = r.partitions()
+        assert len(pages) >= 5, f"coarse group planned {len(pages)} fetch(es)"
+        pairs = self._read_pairs(r, pages)  # exactly-once + identity
+        assert pairs == [(e, e // 2000) for e in range(10_000)]
+
+    def test_duplicate_keys_read_exactly_once(self, tmp_path):
+        # duplicate-heavy layout (row-group mins repeat): ranges still
+        # tile disjointly, so every row is read exactly once and all
+        # copies of a key share its key-derived page_id
+        ids = sorted(list(range(1000)) * 4)
+        p = self._write(tmp_path, ids, row_group_size=2000)
+        r = self._reader(p, page_size=2000)
+        pages = r.partitions()
+        assert all(p_.lo < p_.hi for p_ in pages), "empty-range fetch planned"
+        pairs = self._read_pairs(r, pages)
+        assert [e for e, _ in pairs] == ids
+        assert all(g == 0 for _, g in pairs)
 
     def test_unsorted_sparse_fails_with_diagnosis_not_oom(self, tmp_path):
         import pytest as _pytest

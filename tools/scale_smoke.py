@@ -93,7 +93,7 @@ def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 10
     names = sys.argv[2:] or DEFAULT_QUERIES
 
-    from dc_moving_violations_cloud_etl_spark import caching
+    from dc_moving_violations_cloud_etl_spark import catalog
     from dc_moving_violations_cloud_etl_spark.queries import get_queries
     from dc_moving_violations_cloud_etl_spark.session import get_spark
 
@@ -146,18 +146,17 @@ def main() -> None:
                 row[f"t_{label}"] = None
                 row["err"] = f"{type(exc).__name__}: {exc}"[:200]
             finally:
-                caching.release_tracked()
-                # ALSO drop the materialized base tables (violations /
-                # weather per sf_dir): alternating base/scaled dirs
-                # otherwise accumulates BOTH dirs' caches across every
-                # measured query, and at 100x the pinned storage starved
-                # the execution pool — sink_dedupe_by_key's partial
-                # sort-aggregate died with UNABLE_TO_ACQUIRE_MEMORY
-                # under ~5 GB of unrelated cached violations (r10). A
-                # cluster running one query at a time holds one query's
-                # working set; the smoke should too.
-                from dc_moving_violations_cloud_etl_spark import catalog
-
+                # drop tracked persists AND the materialized base
+                # tables (violations / weather per sf_dir) — one call:
+                # catalog.release chains caching.release_tracked.
+                # Alternating base/scaled dirs otherwise accumulates
+                # BOTH dirs' caches across every measured query, and at
+                # 100x the pinned storage starved the execution pool —
+                # sink_dedupe_by_key's partial sort-aggregate died with
+                # UNABLE_TO_ACQUIRE_MEMORY under ~5 GB of unrelated
+                # cached violations (r10). A cluster running one query
+                # at a time holds one query's working set; the smoke
+                # should too.
                 catalog.release(spark)
         if row.get("t_base") and row.get("t_scaled"):
             row["ratio"] = round(row["t_scaled"] / row["t_base"], 2)
