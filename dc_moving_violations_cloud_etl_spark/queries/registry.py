@@ -133,10 +133,11 @@ def _load_all() -> None:
 # BENCH_r07.
 # r10 close-out certification: the FULL 282-query catalog re-ran
 # sim-green (282/282, rows+schema+hash vs the DuckDB oracles at sf0.01)
-# under tools/driver_sim.py at the final r10 tree (post layout-driven
-# paged planner, post trainer break-guards) — not just the 50-row
-# window below; the entry()/queries()/oracle_sql() contract smoke also
-# passed (282/282 registered, 1-row flagship result).
+# under tools/driver_sim.py TWICE — once after the layout-driven paged
+# planner + trainer break-guards, and again after the same-round review
+# fixes (per-row page_id, coarse-group fetch splitting) — not just the
+# 50-row window below; the entry()/queries()/oracle_sql() contract
+# smoke also passed (282/282 registered, 1-row flagship result).
 #
 # r11 rotation plan (computed at r10 close): after this window's driver
 # run, the ledger reads 32 r5-vintage rows + 50 each of r6-r10. The r11
