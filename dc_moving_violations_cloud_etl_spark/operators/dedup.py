@@ -119,8 +119,11 @@ def norm_docs(documents: DataFrame) -> DataFrame:
 
 
 def exact_dup_summary(documents: DataFrame) -> DataFrame:
-    """Exact dedup accounting: total docs, unique normalized texts,
-    redundant doc count."""
+    """Exact dedup accounting over the DEDUPABLE corpus: ``n_docs``
+    counts documents with non-null text (``norm_docs`` excludes null
+    texts before the agg — r10 review: don't reconcile it against the
+    raw table count on a corpus with nulls), plus unique normalized
+    texts and the redundant doc count."""
     d = norm_docs(documents)
     return d.agg(
         F.count(F.lit(1)).alias("n_docs"),
@@ -437,7 +440,14 @@ def embedding_capped_pair_edges(
         banded.groupBy("band_idx", "band_sig")
         .agg(F.count(F.lit(1)).alias("n"))
         .agg(
-            F.sum(F.when(F.col("n") > cap + 1, 1).otherwise(0))
+            # coalesce: sum over ZERO buckets (empty input) is NULL,
+            # and the honesty contract's no-truncation reading is 0 —
+            # a downstream `overflow_buckets == 0` check on NULL would
+            # silently misreport truncation (r10 review)
+            F.coalesce(
+                F.sum(F.when(F.col("n") > cap + 1, 1).otherwise(0)),
+                F.lit(0),
+            )
             .cast("long")
             .alias("overflow_buckets")
         )

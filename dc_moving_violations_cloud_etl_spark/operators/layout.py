@@ -14,6 +14,17 @@ Spark-first shape: the Morton code is a pure integer expression
 clustering itself is ``repartitionByRange`` on the code (one range
 shuffle over sampled split points) + ``sortWithinPartitions`` so every
 output file covers a tight (x, y) rectangle.
+
+Quantizer caveat (r10 review): the pruning story holds for predicates
+in the code's own coordinates — i.e. on the quantized values, or on RAW
+columns only when the quantizer is MONOTONE in the raw value. The
+convenience ``bucketize`` (pmod) wraps: it is monotone only while the
+raw domain fits inside the bucket count, so a wider-domain column keeps
+tight file stats in bucket space but NOT in raw space (a file holding
+bucket 123 of user_id % 256 spans raw ids 123, 379, 635, …). For raw
+range predicates quantize monotonically instead — e.g.
+``F.shiftright(c, k)`` or ``floor((c - lo) * buckets / (hi - lo))``
+with known domain bounds — and feed THAT to ``zorder_key``.
 """
 
 from __future__ import annotations
@@ -43,7 +54,12 @@ def zorder_key(cols: "list[Column]", bits: int = 8) -> Column:
 
 def bucketize(c: Column, buckets: int = 256) -> Column:
     """Non-negative integer bucket of any numeric column: floor to a
-    long, then a sign-safe mod (``pmod``) into [0, buckets)."""
+    long, then a sign-safe mod (``pmod``) into [0, buckets).
+
+    NOT monotone once the raw domain exceeds ``buckets`` (the mod
+    wraps) — fine as a bounded z-order coordinate or a hash-style
+    bucket, but raw-column range predicates then get no file-stat
+    pruning; see the module docstring for the monotone alternative."""
     return F.pmod(F.floor(c).cast("long"), F.lit(buckets))
 
 

@@ -30,12 +30,25 @@ DECODED_SCHEMA = (
 )
 
 
+def _payload_expr() -> "F.Column":
+    """The shared fake-media derivation: md5 digest bytes of the
+    normalized text. ONE definition — ``with_payload`` and
+    ``_digest_bytes_col`` previously re-implemented it verbatim and
+    could silently diverge (r10 review)."""
+    return F.unhex(F.md5(normalized(F.col("text"))))
+
+
 def with_payload(documents: DataFrame) -> DataFrame:
     """Attach the fake binary media payload (md5 digest bytes of the
     normalized text) — the ``binary``-column contract a real pipeline
-    would get from an object-store scan."""
-    return documents.select(
-        "doc_id", F.unhex(F.md5(normalized(F.col("text")))).alias("payload")
+    would get from an object-store scan. Rows with NULL text carry no
+    media and are EXCLUDED (the same discipline as ``dedup.norm_docs``;
+    without the filter every downstream pandas decode crashed on
+    ``len(None)``, r10 review). The DuckDB twins run on fixtures with
+    no NULL texts; a NULL-bearing corpus needs the matching WHERE in
+    the oracle."""
+    return documents.where(F.col("text").isNotNull()).select(
+        "doc_id", _payload_expr().alias("payload")
     )
 
 
@@ -181,8 +194,10 @@ WAV_SCHEMA = (
 
 
 def _digest_bytes_col(documents: DataFrame) -> DataFrame:
-    return documents.select(
-        "doc_id", F.unhex(F.md5(normalized(F.col("text")))).alias("digest")
+    """``with_payload`` under the real-codec column name (one shared
+    derivation + NULL-text exclusion, see ``_payload_expr``)."""
+    return documents.where(F.col("text").isNotNull()).select(
+        "doc_id", _payload_expr().alias("digest")
     )
 
 

@@ -39,13 +39,31 @@ from pyspark.sql import functions as F
 PRIORITY_COL = "_src_priority"
 
 
+def _keys_match(left: DataFrame, right: DataFrame, keys: Sequence[str]):
+    """NULL-SAFE key-equality condition for the replay anti-joins: a
+    plain ``=`` never matches NULL keys, so a NULL-keyed row would be
+    re-appended on every replay — breaking the module's "merging the
+    same batch twice is a fixpoint" invariant exactly where the data is
+    dirtiest (r10 review). ``<=>`` is still an equi-join key for the
+    planner (EqualNullSafe hash-joins like ``=``)."""
+    cond = None
+    for k in keys:
+        eq = left[k].eqNullSafe(right[k])
+        cond = eq if cond is None else (cond & eq)
+    return cond
+
+
 def insert_if_absent(existing: DataFrame, incoming: DataFrame, keys: Sequence[str]) -> DataFrame:
     """``INSERT IGNORE`` semantics: keep every existing row; add incoming
     rows whose key is absent from existing (first-writer-wins). Incoming
     intra-batch duplicates keep one deterministic representative.
+    Idempotent for NULL key values too (null-safe anti-join).
     """
     incoming = dedupe_by_key(incoming, keys)
-    fresh = incoming.join(existing.select(*keys).distinct(), list(keys), "left_anti")
+    ex_keys = existing.select(*keys).distinct()
+    fresh = incoming.join(
+        ex_keys, _keys_match(incoming, ex_keys, keys), "left_anti"
+    )
     return existing.unionByName(fresh)
 
 
@@ -97,7 +115,8 @@ def upsert_last_writer_wins(
     (SURVEY.md §4 O10). Precondition (held by construction for every
     table these sinks maintain, and by the reference's MySQL PK): the
     existing side is key-unique, so "drop the keys the batch replaces,
-    append the batch" is exactly last-writer-wins.
+    append the batch" is exactly last-writer-wins. Idempotent for NULL
+    key values too (null-safe anti-join).
 
     Scale: no sort and no wide shuffle of the table — with a small daily
     batch AQE broadcasts the incoming keys and the existing side is a
@@ -105,7 +124,10 @@ def upsert_last_writer_wins(
     table+batch on the key (a whole-table shuffle at 100 TB).
     """
     incoming = dedupe_by_key(incoming, keys)
-    kept = existing.join(incoming.select(*keys), list(keys), "left_anti")
+    in_keys = incoming.select(*keys)
+    kept = existing.join(
+        in_keys, _keys_match(existing, in_keys, keys), "left_anti"
+    )
     return kept.unionByName(incoming.select(*existing.columns))
 
 
@@ -161,7 +183,9 @@ def merge_matrix(
     MERGE.) Preconditions: both sides key-unique with NON-NULL keys
     (the sinks' standing PK invariant — the matched/source-only tests
     read key nullness as row presence). ``update_cols``/``delete_cond`` reference the joined
-    row via ``t.<col>`` / ``s.<col>`` aliases.
+    row via ``t.<col>`` / ``s.<col>`` aliases; a ``delete_cond`` that
+    evaluates to NULL counts as NOT satisfied (ANSI MERGE), so the row
+    takes the update branch.
 
     Scale posture: ONE full-outer shuffle join on the key — the same
     cost envelope as any MERGE at 100 TB; with a small CDC batch AQE
@@ -200,4 +224,11 @@ def merge_matrix(
         .otherwise(F.lit("carry"))
         .alias("_action")
     )
-    return joined.where(~(matched & delete_cond)).select(*out_cols, action)
+    # ANSI MERGE: a WHEN MATCHED AND <cond> branch is taken only when
+    # the condition is TRUE — a NULL condition means NOT deleted (the
+    # row takes the update branch). Without the coalesce, three-valued
+    # logic silently DELETED matched rows whose delete_cond evaluated
+    # to NULL: matched & NULL = NULL, ~NULL = NULL, where(NULL) drops
+    # the row (r10 review).
+    delete = matched & F.coalesce(delete_cond, F.lit(False))
+    return joined.where(~delete).select(*out_cols, action)

@@ -40,6 +40,21 @@ def salted_join(
     salted shuffle. ``salt_col`` is any fact column that distributes
     uniformly per row (an id, a hash) — its value mod ``salt`` spreads
     each hot key across tasks deterministically."""
+    # the construction replicates every dim row once per salt value, so
+    # it is only sound for join types where unmatched DIM rows are
+    # dropped — a right/full outer join would emit each unmatched dim
+    # row ``salt`` times (once per replica, r10 review)
+    sound = {"inner", "left", "leftouter", "left_outer", "semi",
+             "leftsemi", "left_semi", "anti", "leftanti", "left_anti"}
+    if how.lower().replace("_", "") not in {
+        s.replace("_", "") for s in sound
+    }:
+        raise ValueError(
+            f"salted_join: join type {how!r} is not salt-sound — "
+            "unmatched dim rows would appear once per salt replica; "
+            "use inner/left/semi/anti, or AQE skew handling for "
+            "outer joins"
+        )
     f = facts.withColumn(
         "_salt", F.pmod(F.xxhash64(F.col(salt_col)), F.lit(salt)).cast("int")
     )

@@ -1212,8 +1212,11 @@ cand AS (
   WHERE a.rnk <= 8
 ),
 overflow AS (
-  SELECT CAST(sum(CASE WHEN n > 9 THEN 1 ELSE 0 END) AS BIGINT)
-           AS overflow_buckets
+  -- COALESCE mirrors the engine (operators/dedup.py): sum over zero
+  -- buckets reads 0, not NULL, so the no-truncation contract holds on
+  -- an empty input too
+  SELECT CAST(coalesce(sum(CASE WHEN n > 9 THEN 1 ELSE 0 END), 0)
+              AS BIGINT) AS overflow_buckets
   FROM (SELECT band_idx, band_sig, count(*) AS n
         FROM bands GROUP BY 1, 2)
 ),

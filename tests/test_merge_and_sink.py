@@ -139,3 +139,57 @@ def test_stream_sink_commit_sweeps_unreferenced_orphans(tmp_path):
         with open(os.path.join(out, man)) as f:
             for name in json.load(f)["files"]:
                 assert os.path.exists(os.path.join(out, name))
+
+
+def test_merge_matrix_null_delete_cond_updates_not_deletes(spark):
+    """ANSI MERGE: a NULL delete condition is NOT satisfied — the
+    matched row must take the update branch. Pre-r10-review,
+    three-valued logic made where(~(matched & NULL)) drop the row
+    silently (r10 review finding)."""
+    target = spark.createDataFrame([(1, 10)], "k int, n int")
+    source = spark.createDataFrame(
+        [(1, 5, None)], "k int, n int, kill boolean"
+    )
+    out = merge_matrix(
+        target,
+        source,
+        ["k"],
+        delete_cond=F.col("s.kill"),
+        update_cols={"n": F.col("t.n") + F.col("s.n")},
+    ).collect()
+    assert len(out) == 1
+    assert out[0]["n"] == 15 and out[0]["_action"] == "update"
+
+
+def test_sinks_null_key_replay_is_fixpoint(spark):
+    """The module's standing invariant — merging the same batch twice
+    is a fixpoint — must hold for NULL key values too: plain `=` never
+    matches NULL = NULL, so pre-fix the NULL-keyed row was re-appended
+    on every replay (r10 review finding)."""
+    from dc_moving_violations_cloud_etl_spark.operators.sinks import (
+        insert_if_absent,
+        upsert_last_writer_wins,
+    )
+
+    existing = spark.createDataFrame(
+        [(1, "a"), (None, "nul")], "k int, v string"
+    )
+    batch = spark.createDataFrame(
+        [(2, "b"), (None, "nul2")], "k int, v string"
+    )
+    def canon(df):
+        return sorted(
+            map(tuple, df.collect()),
+            key=lambda t: tuple((x is None, x) for x in t),
+        )
+
+    once = insert_if_absent(existing, batch, ["k"])
+    twice = insert_if_absent(once, batch, ["k"])
+    assert once.count() == 3  # NULL key already present -> not inserted
+    assert canon(once) == canon(twice)
+    up_once = upsert_last_writer_wins(existing, batch, ["k"])
+    up_twice = upsert_last_writer_wins(up_once, batch, ["k"])
+    rows = canon(up_once)
+    assert len(rows) == 3  # NULL-key row REPLACED, not duplicated
+    assert ("nul2" in {r[1] for r in rows}) and ("nul" not in {r[1] for r in rows})
+    assert canon(up_once) == canon(up_twice)

@@ -117,3 +117,44 @@ def test_y4m_layout_is_a_valid_c420_stream():
         (DIGEST[(i + 3) % 16] + 1) % 256 for i in range(Y4M_W * Y4M_H)
     )
     assert f1 == expect1
+
+
+def test_null_text_rows_excluded_not_crashing(spark):
+    """A documents row with NULL text carries no media: pre-fix,
+    md5(NULL) -> NULL payload crashed every pandas decode on
+    len(None); now the payload derivations exclude the row (same
+    discipline as dedup.norm_docs) and the pipelines run (r10 review
+    finding)."""
+    from dc_moving_violations_cloud_etl_spark.operators import multimodal
+
+    docs = spark.createDataFrame(
+        [(1, "hello world"), (2, None)], "doc_id long, text string"
+    )
+    meta = multimodal.decode_metadata(docs).collect()
+    assert [r["doc_id"] for r in meta] == [1]
+    bmp = multimodal.decode_bmp_real(docs).collect()
+    assert [r["doc_id"] for r in bmp] == [1]
+
+
+def test_overflow_buckets_zero_on_empty_input(spark):
+    """The truncation-honesty column must read 0 (not NULL) when the
+    banded table is empty — sum over zero rows is NULL without the
+    coalesce, and `overflow_buckets == 0` on NULL misreports
+    truncation (r10 review finding)."""
+    from pyspark.sql import types as T
+
+    from dc_moving_violations_cloud_etl_spark.operators.dedup import (
+        embedding_capped_pair_edges,
+    )
+
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("label", T.StringType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    empty = spark.createDataFrame([], schema)
+    _, overflow = embedding_capped_pair_edges(empty)
+    row = overflow.collect()
+    assert len(row) == 1 and row[0]["overflow_buckets"] == 0

@@ -151,3 +151,22 @@ def test_aqe_splits_skewed_join_partition(spark, sf_dir):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_salted_join_rejects_outer_types(spark, sf_dir):
+    """Salting replicates every dim row per salt value, so an outer
+    join type that keeps unmatched DIM rows would emit `salt` copies
+    of each (r10 review finding) — the operator must refuse instead
+    of silently corrupting."""
+    import pytest
+
+    from dc_moving_violations_cloud_etl_spark.operators.skew import salted_join
+
+    facts = spark.createDataFrame([(1, 100)], "k int, sc int")
+    dim = spark.createDataFrame([(1, "a"), (2, "orphan")], "k int, d string")
+    for how in ("right", "full", "full_outer", "right_outer"):
+        with pytest.raises(ValueError, match="not salt-sound"):
+            salted_join(facts, dim, "k", "sc", salt=4, how=how)
+    # left join stays sound: unmatched FACT rows are not replicated
+    out = salted_join(facts, dim, "k", "sc", salt=4, how="left").collect()
+    assert len(out) == 1
