@@ -69,15 +69,21 @@ def make_paged_events_source():
             """SERVER-SIDE predicate pushdown — the Spark-native form of
             the reference's ``where=ISSUE_DATE >= .. AND < ..`` request
             parameter (reference violation_etl_daily.py:168, SURVEY.md
-            §2.A2/O1): equality filters on scalar columns are absorbed
-            into the page fetch itself (a live connector splices them
-            into the API query string); everything else stays with
-            Spark. Per the contract, absorbed filters are NOT yielded
-            back."""
+            §2.A2/O1): equality filters on PHYSICAL scalar columns are
+            absorbed into the page fetch itself (a live connector
+            splices them into the API query string); everything else
+            stays with Spark. Per the contract, absorbed filters are
+            NOT yielded back. The absorb set is whitelisted to columns
+            the backing file actually has — page_id and ts_us are
+            COMPUTED by read(), so absorbing an equality on them would
+            hand pyarrow a FieldRef it cannot resolve and fail every
+            task (r10 review); those filters yield back to Spark."""
+            pushable = {"event_id", "user_id", "event_type", "value"}
             for f in filters:
                 if (
                     isinstance(f, EqualTo)
                     and len(f.attribute) == 1
+                    and f.attribute[0] in pushable
                     and isinstance(f.value, (str, int, float))
                 ):
                     self.pushed_eq.append((f.attribute[0], f.value))

@@ -90,7 +90,15 @@ def make_jsonl_sink():
         def commit(self, messages):
             """Driver-side atomic publish: rename every staged file into
             place, then write the manifest (presence of _MANIFEST is the
-            committed marker readers key on)."""
+            committed marker readers key on). The manifest goes through
+            tmp + fsync + os.replace — the same crash-window ordering
+            the streaming twin's commit implements (r10 review: an
+            in-place manifest write could be left truncated by a driver
+            crash, which a manifest-keyed reader fails to parse; with
+            the replace protocol the crash leaves either the previous
+            state or the complete new manifest, and renamed part files
+            without a manifest are invisible to manifest-keyed
+            readers)."""
             import json
             import os
 
@@ -98,7 +106,9 @@ def make_jsonl_sink():
             for m in messages:
                 os.replace(m.staged, m.final)
                 total += m.n_rows
-            with open(os.path.join(self.path, "_MANIFEST"), "w") as f:
+            manifest = os.path.join(self.path, "_MANIFEST")
+            tmp = manifest + ".tmp"
+            with open(tmp, "w") as f:
                 json.dump(
                     {
                         "n_rows": total,
@@ -108,6 +118,9 @@ def make_jsonl_sink():
                     },
                     f,
                 )
+                f.flush()
+                os.fsync(f.fileno())
+            os.replace(tmp, manifest)
 
         def abort(self, messages):
             import os

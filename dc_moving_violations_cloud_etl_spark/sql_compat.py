@@ -82,15 +82,24 @@ def enable_mysql_compat(spark: SparkSession) -> None:
 
 
 def _literal_spans(text: str) -> list[tuple[int, int]]:
-    """[start, end) spans of single/double-quoted string literals."""
+    """[start, end) spans of single/double-quoted string literals.
+
+    Backslash-escaped quotes (``'O\\'Brien'``) stay INSIDE their
+    literal — MySQL's default escape syntax, which Spark's parser also
+    accepts. Without the skip, the escaped quote ended the span early
+    and the literal's real closing quote opened a phantom literal that
+    swallowed the following code region, misrouting every rewrite
+    after it (r10 review). Doubled quotes (``'O''Brien'``) need no
+    special case: they scan as two adjacent spans whose union covers
+    the literal."""
     spans, i, n = [], 0, len(text)
     while i < n:
         ch = text[i]
         if ch in ("'", '"'):
             j = i + 1
             while j < n and text[j] != ch:
-                j += 1
-            spans.append((i, j + 1))
+                j += 2 if text[j] == "\\" else 1
+            spans.append((i, min(j + 1, n)))
             i = j + 1
         else:
             i += 1
@@ -122,7 +131,9 @@ def _closing_paren(text: str, start: int) -> int:
     while i < len(text) and depth:
         ch = text[i]
         if quote:
-            if ch == quote:
+            if ch == "\\":  # escaped char stays inside the literal
+                i += 1
+            elif ch == quote:
                 quote = None
         elif ch in ("'", '"'):
             quote = ch
@@ -136,11 +147,15 @@ def _closing_paren(text: str, start: int) -> int:
 
 def _split_top_level(args: str) -> list[str]:
     """Split an argument list on commas not nested in parens/quotes."""
-    parts, depth, buf, quote = [], 0, [], None
+    parts, depth, buf, quote, esc = [], 0, [], None, False
     for ch in args:
         if quote:
             buf.append(ch)
-            if ch == quote:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == quote:
                 quote = None
             continue
         if ch in ("'", '"'):
@@ -188,7 +203,10 @@ def _route_decimal_sums(text: str) -> str:
     """SUM(x) → CAST(SUM(CAST((x) AS DECIMAL(18,2))) AS DOUBLE).
 
     Matches are rewritten right-to-left so the SUM token inside each
-    replacement is never rescanned.
+    replacement is never rescanned. A leading DISTINCT (or ALL)
+    quantifier stays OUTSIDE the inner cast — wrapping the whole
+    ``DISTINCT x`` in CAST generated unparseable SQL for verbatim
+    MySQL ``SUM(DISTINCT ...)`` (r10 review).
     """
     spans = _literal_spans(text)
     matches = [
@@ -196,8 +214,13 @@ def _route_decimal_sums(text: str) -> str:
     ]
     for m in reversed(matches):
         i = _closing_paren(text, m.end())
-        arg = text[m.end() : i - 1]
-        repl = f"CAST(SUM(CAST(({arg}) AS DECIMAL(18,2))) AS DOUBLE)"
+        arg = text[m.end() : i - 1].strip()
+        q = re.match(r"(?i)(DISTINCT|ALL)\b", arg)
+        quant = f"{q.group(1)} " if q else ""
+        inner = arg[q.end() :].strip() if q else arg
+        repl = (
+            f"CAST(SUM({quant}CAST(({inner}) AS DECIMAL(18,2))) AS DOUBLE)"
+        )
         text = text[: m.start()] + repl + text[i:]
     return text
 

@@ -49,8 +49,13 @@ def _stage_dir(path: str, tag: str) -> str:
     d = os.path.join(_SCRATCH_ROOT, ident)
     os.makedirs(d, exist_ok=True)
     link = os.path.join(d, os.path.basename(path))
-    if not os.path.islink(link):
+    # idempotent link: two concurrent harnesses can both pass the
+    # islink check before either links (TOCTOU, r10 review) — the
+    # loser's symlink must be a no-op, not a crash
+    try:
         os.symlink(path, link)
+    except FileExistsError:
+        pass
     return d
 
 

@@ -24,8 +24,10 @@ def _stage_dir_doubled(path: str, tag: str) -> str:
     micro-batches) — the dedup then has real work to do."""
     d = _stage_dir(path, tag)
     twin = os.path.join(d, "copy2_" + os.path.basename(path))
-    if not os.path.islink(twin):
+    try:  # idempotent under concurrent staging (same TOCTOU as daily)
         os.symlink(path, twin)
+    except FileExistsError:
+        pass
     return d
 
 

@@ -47,18 +47,32 @@ def _stage_split(spark: SparkSession, path: str, tag: str) -> str:
     deterministic so re-runs see identical batches."""
     d = f"/tmp/spark_graft_stream/split_{tag}"
     done = os.path.join(d, "_STAGED")
-    if not os.path.exists(done):
-        shutil.rmtree(d, ignore_errors=True)
-        src = read_parquet(spark, path)
-        for i in (0, 1):
-            (
-                src.where(F.col("event_id") % 2 == i)
-                .coalesce(1)
-                .write.mode("append")
-                .parquet(d)
-            )
-        with open(done, "w") as f:
-            f.write("ok")
+    if os.path.exists(done):
+        return d
+    # stage into a process-private dir, publish with ONE atomic rename —
+    # the same protocol as backfill._stage_multifile: write-in-place +
+    # marker let a concurrent harness rmtree a directory another
+    # process was actively writing or streaming from (r10 review)
+    tmp = f"{d}.tmp.{os.getpid()}"
+    shutil.rmtree(tmp, ignore_errors=True)
+    src = read_parquet(spark, path)
+    for i in (0, 1):
+        (
+            src.where(F.col("event_id") % 2 == i)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp)
+        )
+    with open(os.path.join(tmp, "_STAGED"), "w") as f:
+        f.write("ok")
+    try:
+        os.rename(tmp, d)
+    except OSError:
+        if os.path.exists(done):  # lost the publish race
+            shutil.rmtree(tmp, ignore_errors=True)
+        else:
+            shutil.rmtree(d, ignore_errors=True)
+            os.rename(tmp, d)
     return d
 
 
@@ -77,7 +91,12 @@ def incremental_upsert_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"upsert:{sf_dir}:{st.st_size}:{st.st_mtime_ns}".encode()
     ).hexdigest()[:8]
     store = f"/tmp/spark_graft_stream/store_{tag}"
+    # store and checkpoint are ONE unit of state: a hard kill after the
+    # batches committed but before the finally-rmtree leaves a ckpt
+    # that says "all input processed" — the next run would then delete
+    # the store, commit nothing, and fail reading it back (r10 review)
     shutil.rmtree(store, ignore_errors=True)
+    shutil.rmtree(f"{store}_ckpt", ignore_errors=True)
 
     events = normalize_event_ts(
         spark.readStream.schema(schema)

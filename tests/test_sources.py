@@ -568,3 +568,37 @@ class TestPagedApiSparseKeys:
         r = self._reader(p, page_size=2000)
         with _pytest.raises(ValueError, match="plans .* pages"):
             r.partitions()
+
+
+class TestPushdownWhitelist:
+    """Equality filters on COMPUTED columns (page_id, ts_us) must yield
+    back to Spark: absorbing them hands pyarrow a FieldRef the backing
+    file doesn't have and fails every task (r10 review finding)."""
+
+    def test_computed_columns_yield_back_physical_absorb(self, sf_dir):
+        from pyspark.sql.datasource import EqualTo
+
+        from dc_moving_violations_cloud_etl_spark.sources.paged_api import (
+            make_paged_events_source,
+            paged_fixture_path,
+        )
+
+        ds = make_paged_events_source()(
+            options={"path": paged_fixture_path(sf_dir)}
+        )
+        r = ds.reader("ignored")
+        back = list(
+            r.pushFilters(
+                [
+                    EqualTo(("page_id",), 3),
+                    EqualTo(("ts_us",), 1),
+                    EqualTo(("event_type",), "error"),
+                ]
+            )
+        )
+        assert [f.attribute[0] for f in back] == ["page_id", "ts_us"]
+        assert r.pushed_eq == [("event_type", "error")]
+        # and the fetch still executes with the absorbed filter
+        part = r.partitions()[0]
+        n = sum(b.num_rows for b in r.read(part))
+        assert n >= 0

@@ -83,3 +83,45 @@ def test_translate_skips_rewrites_inside_literals():
     out = translate("SELECT DAYNAME(d), 'see DATE_FORMAT(x)' FROM t")
     assert "MYSQL_DAYNAME(d)" in out
     assert "'see DATE_FORMAT(x)'" in out
+
+
+def test_escaped_quote_literals_do_not_derail_rewrites():
+    """MySQL's default backslash escape: an escaped quote stays INSIDE
+    its literal. Pre-fix the phantom literal opened at the real closing
+    quote swallowed the following code region, so DAYNAME there was
+    never rewritten (r10 review finding)."""
+    out = translate(
+        "SELECT * FROM t WHERE loc = 'O\\'Brien' "
+        "AND DAYNAME(violation_date) = 'Monday'"
+    )
+    assert "MYSQL_DAYNAME" in out
+    assert "O\\'Brien" in out  # the literal itself is untouched
+    # and tokens INSIDE a literal still never rewrite
+    out2 = translate("SELECT 'DAYNAME(\\'x\\')' AS s, DAYNAME(d) FROM t")
+    assert out2.count("MYSQL_DAYNAME") == 1
+
+
+def test_decimal_sums_keep_distinct_outside_the_cast():
+    """SUM(DISTINCT x) must stay parseable: the DISTINCT quantifier
+    belongs to the aggregate, not the cast expression (r10 review
+    finding)."""
+    out = translate(
+        "SELECT SUM(DISTINCT fine_amount) FROM v", exact_decimal_sums=True
+    )
+    assert (
+        "SUM(DISTINCT CAST((fine_amount) AS DECIMAL(18,2)))" in out
+    ), out
+    plain = translate("SELECT SUM(x) FROM t", exact_decimal_sums=True)
+    assert "SUM(CAST((x) AS DECIMAL(18,2)))" in plain
+
+
+def test_decimal_sum_distinct_executes(spark, sf_dir):
+    from dc_moving_violations_cloud_etl_spark.sql_compat import run_sql
+
+    rows = run_sql(
+        spark,
+        sf_dir,
+        "SELECT SUM(DISTINCT fine_amount) AS s FROM violations",
+        exact_decimal_sums=True,
+    ).collect()
+    assert len(rows) == 1 and rows[0]["s"] is not None
