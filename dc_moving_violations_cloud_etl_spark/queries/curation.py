@@ -19,17 +19,12 @@ from pyspark.sql import functions as F
 
 from .. import caching
 from ..operators.text import (
-    STOPWORDS,
     normalized,
-    quality_bucket,
     text_hash,
-    token_stats,
     tokens,
 )
 from .extensions import _DOCS_CTE, _docs
 from .registry import QuerySpec, register
-
-_STOP_SQL = ", ".join(f"'{w}'" for w in STOPWORDS)
 
 
 # ---------------------------------------------------------------------------
@@ -54,15 +49,13 @@ def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = _docs(spark, sf_dir)
     norm = normalized(F.col("text"))
     toks = tokens(norm)
-    st = token_stats(F.col("toks"))
     base = d.select(
         "doc_id", "lang", text_hash(norm).alias("text_hash"), toks.alias("toks")
     ).select(
         "doc_id",
         "lang",
         "text_hash",
-        st["n_tokens"].alias("n_tokens"),
-        st["stopword_ratio"].alias("stopword_ratio"),
+        F.size("toks").cast("long").alias("n_tokens"),
     )
     keepers = base.groupBy("text_hash").agg(
         F.min("doc_id").alias("keeper_doc_id")
@@ -71,10 +64,11 @@ def _curation_decisions(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang",
         "n_tokens",
         F.when(F.col("doc_id") != F.col("keeper_doc_id"), "drop_exact_dup")
-        .when(
-            quality_bucket(F.col("n_tokens"), F.col("stopword_ratio")) == "low",
-            "drop_low_quality",
-        )
+        # the gate is quality_bucket's 'low' arm, which depends only on
+        # n_tokens < 20 — carrying the per-token stopword scan through
+        # the shuffle for a comparison that never observes it was dead
+        # work on both the engine and oracle sides (r10 review)
+        .when(F.col("n_tokens") < 20, "drop_low_quality")
         .otherwise("keep")
         .alias("decision"),
     )
@@ -96,9 +90,7 @@ register(
         + f"""
 , st AS (
   SELECT doc_id, lang, text_hash,
-         CAST(len(toks) AS BIGINT) AS n_tokens,
-         CAST(len(list_filter(toks, t -> t IN ({_STOP_SQL}))) AS DOUBLE)
-           / CAST(len(toks) AS BIGINT) AS stopword_ratio
+         CAST(len(toks) AS BIGINT) AS n_tokens
   FROM docs_n
 ),
 keepers AS (
@@ -671,8 +663,18 @@ def _chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     windows every CHUNK_STRIDE tokens (16-token overlap), reported as
     per-language chunk/token totals. Pure per-row array arithmetic —
     no shuffle before the final tiny aggregate."""
-    d = _docs(spark, sf_dir).select(
-        "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+    # NULL-text docs carry no chunkable tokens and are EXCLUDED on all
+    # three forms (this plan, its oracle, the UDTF twin): without the
+    # filter, Spark's null-skipping least/greatest fabricated one
+    # phantom CHUNK_TOKENS-token chunk per NULL doc — least(64, NULL)
+    # is 64, not NULL — where the oracle's generate_series over NULL
+    # contributes nothing (r10 review)
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id", "lang", tokens(normalized(F.col("text"))).alias("toks")
+        )
+        .where(F.col("toks").isNotNull())
     )
     n = F.size(F.col("toks"))
     starts = F.sequence(
@@ -712,7 +714,7 @@ register(
          list_sum(list_transform(
            generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE}),
            s -> least({CHUNK_TOKENS}, len(toks) - s))) AS chunk_tokens
-  FROM docs_n
+  FROM docs_n WHERE toks IS NOT NULL
 )
 SELECT lang, count(*) AS n_docs,
        CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
@@ -798,7 +800,13 @@ def _udtf_chunk_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     @udtf(returnType="chunk_idx int, chunk_tokens int")
     class ChunkPlan:
         def eval(self, toks):
-            n = len(toks) if toks else 1
+            # a NULL/empty token array contributes NO chunks — the
+            # declarative twin's NULL size yields no sequence and the
+            # oracle's generate_series over NULL is empty; fabricating
+            # a 1-token chunk here diverged from both (r10 review)
+            if not toks:
+                return
+            n = len(toks)
             for i, s in enumerate(range(0, max(n - 1, 0) + 1, stride)):
                 yield i, min(chunk, n - s)
 
@@ -831,7 +839,7 @@ register(
          list_sum(list_transform(
            generate_series(0, greatest(len(toks) - 1, 0), {CHUNK_STRIDE}),
            s -> least({CHUNK_TOKENS}, len(toks) - s))) AS chunk_tokens
-  FROM docs_n
+  FROM docs_n WHERE toks IS NOT NULL
 )
 SELECT lang, CAST(sum(n_chunks) AS BIGINT) AS n_chunks,
        CAST(sum(chunk_tokens) AS BIGINT) AS total_chunk_tokens
@@ -858,14 +866,21 @@ def _ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
     scores ~0). One explode + two hash aggregates; the first-seen table
     is |distinct grams|, joined back on the gram key."""
     docs = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
-    toks = docs.select("doc_id", F.split(norm, " ").alias("w"))
+    toks = docs.select(
+        "doc_id", F.split(normalized(F.col("text")), " ").alias("w")
+    )
+    # sequence(1, 0) is DESCENDING in Spark (the guard documented at
+    # _substring_span_coverage): greatest(size-4, 0) produced [1, 0]
+    # for docs with <= 4 tokens and slice(w, 0, 5) is a runtime error —
+    # a short doc contributes NO 5-grams, matching the oracle's empty
+    # generate_series(1, 0) (r10 review)
     grams = (
         toks.select(
             "doc_id",
             F.explode(
                 F.expr(
-                    "transform(sequence(1, greatest(size(w) - 4, 0)),"
+                    "transform(if(size(w) >= 5,"
+                    " sequence(1, size(w) - 4), array()),"
                     " i -> concat_ws(' ', slice(w, i, 5)))"
                 )
             ).alias("g"),
@@ -1068,7 +1083,7 @@ def _substring_span_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     length), never corpus-wide.
     """
     docs = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = normalized(F.col("text"))
     base = docs.select(
         "doc_id",
         F.split(norm, " ").alias("w"),
@@ -1213,7 +1228,7 @@ def _prefix_filter_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     reported jaccard rounding.
     """
     docs = _docs(spark, sf_dir)
-    norm = F.lower(F.regexp_replace(F.trim(F.col("text")), r"\s+", " "))
+    norm = normalized(F.col("text"))
     base = docs.select("doc_id", norm.alias("norm"))
     reps = (
         base.groupBy("norm")

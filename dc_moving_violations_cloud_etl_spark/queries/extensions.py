@@ -296,6 +296,7 @@ SELECT count(*) AS n_docs,
        count(DISTINCT text_hash) AS n_unique_texts,
        count(*) - count(DISTINCT text_hash) AS n_dup_docs
 FROM docs_n
+WHERE norm IS NOT NULL
 """,
         doc="Exact dedup: hash-groupBy accounting on normalized text",
         tags=("extension", "dedup"),
@@ -309,7 +310,8 @@ register(
         _DOCS_CTE
         + """
 SELECT fp40, count(*) AS dup_count, min(doc_id) AS keeper_doc_id
-FROM docs_n GROUP BY fp40 HAVING count(*) > 1 ORDER BY fp40
+FROM docs_n WHERE norm IS NOT NULL
+GROUP BY fp40 HAVING count(*) > 1 ORDER BY fp40
 """,
         doc="Prefix-fingerprint near-dup blocking groups (keeper = min id)",
         tags=("extension", "dedup"),

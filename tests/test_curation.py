@@ -84,3 +84,53 @@ def test_stratified_sample_deterministic(spark, sf_dir):
     assert r1 == r2 and len(r1) > 0
     for _lang, n_docs, n_sampled in r1:
         assert 0 <= n_sampled <= n_docs
+
+
+def _stage_dirty_docs(spark, tmp_path):
+    """A corpus fixture with the inputs the shipped fixtures never
+    contain: a short (<5 token) doc and a NULL-text doc."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta", "en", "s", 46),
+            (2, "tiny doc", "en", "s", 8),
+            (3, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "dirty")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    return d
+
+
+def test_ngram_novelty_short_and_null_docs(spark, tmp_path):
+    """Docs with <= 4 tokens contribute NO 5-grams (pre-fix: Spark's
+    descending sequence(1, 0) made slice(w, 0, 5) a runtime error) and
+    NULL texts contribute nothing (r10 review findings)."""
+    from dc_moving_violations_cloud_etl_spark.queries import registry
+
+    q = registry.get_queries()["doc_ngram_novelty"]
+    rows = {r["doc_id"]: r for r in q(spark, _stage_dirty_docs(spark, tmp_path)).collect()}
+    assert 1 in rows and rows[1]["n_grams"] == 4  # 8 tokens -> 4 grams
+    assert 2 not in rows and 3 not in rows
+
+
+def test_udtf_chunks_skip_null_text(spark, tmp_path):
+    """The UDTF chunk plan must contribute NOTHING for a NULL-text doc,
+    matching the declarative twin (pre-fix it fabricated a 1-token
+    chunk, r10 review finding)."""
+    from dc_moving_violations_cloud_etl_spark.queries import registry
+
+    d = _stage_dirty_docs(spark, tmp_path)
+    qs = registry.get_queries()
+    udtf_rows = {
+        r["lang"]: r for r in qs["udtf_chunk_explode"](spark, d).collect()
+    }
+    plan_rows = {
+        r["lang"]: r for r in qs["curation_chunk_plan"](spark, d).collect()
+    }
+    # doc 1 (8 tokens) and doc 2 (2 tokens) chunk; doc 3 contributes 0
+    assert udtf_rows.keys() == plan_rows.keys() == {"en"}
+    assert (
+        udtf_rows["en"]["total_chunk_tokens"]
+        == plan_rows["en"]["total_chunk_tokens"]
+    )
