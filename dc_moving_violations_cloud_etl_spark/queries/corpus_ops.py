@@ -802,10 +802,18 @@ def _pack_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Oracle: DuckDB computes the identical fold as a recursive CTE.
     """
-    d = _docs(spark, sf_dir).select(
-        "doc_id",
-        "lang",
-        F.size(tokens(normalized(F.col("text")))).alias("n_tokens"),
+    # NULL-text docs have no tokens to pack and are EXCLUDED on both
+    # sides (the curation_chunk_plan discipline): a NULL n_tokens
+    # reaches pack_group as pandas NaN and int(NaN) raises ValueError
+    # (r10 review, reproduced)
+    d = (
+        _docs(spark, sf_dir)
+        .select(
+            "doc_id",
+            "lang",
+            F.size(tokens(normalized(F.col("text")))).alias("n_tokens"),
+        )
+        .where(F.col("n_tokens").isNotNull())
     )
     sharded = d.withColumn(
         "shard", _md5_mod(F.col("doc_id"), "pack:", _PACK_SHARDS).cast("int")
@@ -830,6 +838,7 @@ WITH RECURSIVE st AS (
            lower(regexp_replace(trim(text), '\\s+', ' ', 'g')), ' '))
            AS BIGINT) AS n_tokens
   FROM documents
+  WHERE text IS NOT NULL
 ),
 seq AS (
   SELECT lang, shard, doc_id, n_tokens,
@@ -896,7 +905,12 @@ def _weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select(
             "doc_id", "w", F.round(clock, 10).alias("clock_r10")
         )
-        .orderBy(F.col("clock_r10").asc(), F.col("doc_id").asc())
+        # NULLS LAST: a NULL-text doc has w = NULL -> clock_r10 = NULL;
+        # Spark's default ASC puts NULLs FIRST and would hand them the
+        # top-k slots, while the DuckDB twin's default ASC is NULLS
+        # LAST — unsampleable docs must never evict a real sample
+        # (r10 review)
+        .orderBy(F.col("clock_r10").asc_nulls_last(), F.col("doc_id").asc())
         .limit(WSAMPLE_K)
     )
 
@@ -1039,17 +1053,15 @@ ORDER BY doc_id
 # ---------------------------------------------------------------------------
 
 
-def _bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Per-document language-model quality score: train an add-one-
-    smoothed bigram LM on the corpus itself, then score every document
-    by the average negative log-likelihood of its bigrams —
-    ``avg(-ln((c(w1,w2)+1) / (c(w1)+V)))``. Low avg-NLL = stereotyped,
-    predictable text; high = rare constructions (or noise). This is the
-    classic perplexity-filter signal LLM data pipelines run beside the
-    heuristic quality score (``text_stats_quality``) — here with the
-    corpus itself as the model so the whole thing is one deterministic,
-    oracle-twinnable query (a real pipeline would swap in frozen
-    counts from a reference corpus; the query shape is identical).
+def _bigram_nll_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """THE shared add-one-smoothed bigram-LM core: one row per
+    (doc_id, bigram) carrying its negative log-likelihood term
+    ``-ln((c(w1,w2)+1) / (c(w1)+V))`` under the corpus-trained model.
+    Both ``corpus_bigram_lm_nll`` (per-doc report) and
+    ``curation_perplexity_filter`` (p90 gate) aggregate THIS stream —
+    one definition, so a smoothing or tokenization change cannot apply
+    to one and silently miss the other (r10 review: the filter
+    previously re-implemented all ~35 lines verbatim).
 
     Scale posture: bigrams are emitted JVM-side with a
     ``transform(sequence(...))`` HOF over the token array (no
@@ -1058,8 +1070,7 @@ def _bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
     small side and Spark's size estimate broadcasts them (the scoring
     join stays shuffle-free on the corpus side); the vocab size is a
     1-row aggregate combined via broadcast crossJoin (the repo's
-    scalar-combine pattern). Accumulation-order float drift across
-    engines is ~1e-15 relative, far inside the 6-decimal rounding.
+    scalar-combine pattern).
     """
     docs = _docs(spark, sf_dir)
     toks = docs.select("doc_id", tokens(normalized(F.col("text"))).alias("t"))
@@ -1087,15 +1098,36 @@ def _bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
         big.join(cb, ["w1", "w2"])
         .join(cu, ["w1"])
         .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            (
+                -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))
+            ).alias("nll"),
+        )
+    )
+
+
+def _bigram_lm_nll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document language-model quality score: train an add-one-
+    smoothed bigram LM on the corpus itself, then score every document
+    by the average negative log-likelihood of its bigrams —
+    ``avg(-ln((c(w1,w2)+1) / (c(w1)+V)))``. Low avg-NLL = stereotyped,
+    predictable text; high = rare constructions (or noise). This is the
+    classic perplexity-filter signal LLM data pipelines run beside the
+    heuristic quality score (``text_stats_quality``) — here with the
+    corpus itself as the model so the whole thing is one deterministic,
+    oracle-twinnable query (a real pipeline would swap in frozen
+    counts from a reference corpus; the query shape is identical).
+    Model construction and scale posture: ``_bigram_nll_stream``.
+    Accumulation-order float drift across engines is ~1e-15 relative,
+    far inside the 6-decimal rounding.
+    """
+    return (
+        _bigram_nll_stream(spark, sf_dir)
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.round(
-                F.avg(
-                    -F.log((F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz")))
-                ),
-                6,
-            ).alias("avg_nll"),
+            F.round(F.avg("nll"), 6).alias("avg_nll"),
         )
         .orderBy("doc_id")
     )
@@ -2407,42 +2439,10 @@ def _perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``>`` keeps p90-boundary docs). The threshold is a 1-row broadcast;
     everything after the scoring join is language-bounded."""
     docs = _docs(spark, sf_dir)
-    toks = docs.select("doc_id", tokens(normalized(F.col("text"))).alias("t"))
-    big = caching.persist_tracked(
-        toks.select(
-            "doc_id",
-            F.explode(
-                F.expr(
-                    "CASE WHEN size(t) >= 2 THEN transform("
-                    "sequence(1, size(t) - 1), "
-                    "i -> struct(t[i-1] AS w1, t[i] AS w2)) "
-                    "ELSE array() END"
-                )
-            ).alias("bg"),
-        ).select("doc_id", "bg.w1", "bg.w2")
-    )
-    cb = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c2"))
-    cu = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    vocab = (
-        toks.select(F.explode("t").alias("w"))
-        .distinct()
-        .agg(F.count(F.lit(1)).cast("long").alias("vsz"))
-    )
     scored = (
-        big.join(cb, ["w1", "w2"])
-        .join(cu, ["w1"])
-        .crossJoin(F.broadcast(vocab))
+        _bigram_nll_stream(spark, sf_dir)
         .groupBy("doc_id")
-        .agg(
-            F.round(
-                F.avg(
-                    -F.log(
-                        (F.col("c2") + 1.0) / (F.col("c1") + F.col("vsz"))
-                    )
-                ),
-                6,
-            ).alias("nll_r6")
-        )
+        .agg(F.round(F.avg("nll"), 6).alias("nll_r6"))
     )
     # consumed twice (threshold + gate): materialize the per-doc scores
     scored = caching.persist_tracked(scored)
@@ -2652,13 +2652,17 @@ SELECT lang,
        CAST(count(*) AS BIGINT) AS total_tokens,
        CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS BIGINT)
          AS masked_tokens,
+       -- DISTINCT over the (doc_id, block) PAIR, not a multiplicative
+       -- composite: doc_id * 1e6 + block collides for blocks >= 1e6
+       -- (8M-token docs) and overflows BIGINT for doc_id > ~9.2e12
+       -- (r10 review)
        CAST(count(DISTINCT CASE WHEN is_masked
-            THEN doc_id * 1000000 + block END) AS BIGINT) AS n_spans,
+            THEN (doc_id, block) END) AS BIGINT) AS n_spans,
        round(CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE)
              / count(*), 6) AS mask_ratio_r6,
        round(CAST(sum(CASE WHEN is_masked THEN 1 ELSE 0 END) AS DOUBLE)
              / count(DISTINCT CASE WHEN is_masked
-                  THEN doc_id * 1000000 + block END), 6) AS avg_span_len_r6
+                  THEN (doc_id, block) END), 6) AS avg_span_len_r6
 FROM flagged GROUP BY lang ORDER BY lang
 """,
         doc="Span-corruption (T5/UL2) data-gen plan: blocks of 8 token "

@@ -579,7 +579,11 @@ def pca_top_component(
         .agg(F.sum(F.col("v").cast("decimal(38,0)")).alias("v"))
     )
     s_tab = stats.where((F.col("j") >= 0) & (F.col("k") >= 0))
-    m_tab = stats.where(F.col("k") == -1).select(
+    # j >= 0 guard: the global-count row is (j=-1, k=-1) and also
+    # matches k == -1 — without it the power-iteration seed carries a
+    # phantom dim=-1 entry (harmless at iters>=1 because the cov join
+    # drops it, but wrong for the iters=0 path, r10 review)
+    m_tab = stats.where((F.col("k") == -1) & (F.col("j") >= 0)).select(
         F.col("j").alias("dim"), F.col("v").alias("m")
     )
     n_tab = stats.where(F.col("j") == -1).select(
@@ -985,9 +989,18 @@ def _auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("t").cast("double")
         ).alias("s"),
     )
-    hist = scored.groupBy("s").agg(
-        F.sum("y").cast("long").alias("np_s"),
-        F.sum(1 - F.col("y")).cast("long").alias("nn_s"),
+    # unscored docs (NULL s, e.g. NULL text) are excluded: both engines
+    # would otherwise keep the NULL histogram group but RANK it at
+    # opposite ends (Spark window ORDER BY is NULLS FIRST, DuckDB's is
+    # NULLS LAST), shifting every midrank and the AUC (r10 review) —
+    # and an unscorable doc has no business in n_pos/n_neg anyway
+    hist = (
+        scored.where(F.col("s").isNotNull())
+        .groupBy("s")
+        .agg(
+            F.sum("y").cast("long").alias("np_s"),
+            F.sum(1 - F.col("y")).cast("long").alias("nn_s"),
+        )
     )
     w_cum = Window.orderBy("s").rowsBetween(Window.unboundedPreceding, -1)
     mid = hist.withColumn(
@@ -1035,7 +1048,7 @@ register(
 hist AS (
   SELECT s, CAST(sum(y) AS BIGINT) AS np_s,
          CAST(sum(1 - y) AS BIGINT) AS nn_s
-  FROM scored GROUP BY s
+  FROM scored WHERE s IS NOT NULL GROUP BY s
 ),
 mid AS (
   SELECT np_s, nn_s,
@@ -1092,6 +1105,11 @@ def _spearman_signals(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.size("t").cast("double")
         ).alias("b"),
     )
+    # docs with NULL signals (NULL text) rank FIRST under Spark's ASC
+    # but LAST under the oracle's row_number ORDER BY, shifting every
+    # rank and the rho — an unscorable doc is excluded on both sides
+    # (r10 review)
+    scored = scored.where(F.col("a").isNotNull() & F.col("b").isNotNull())
     ra = global_rank(scored, F.asc("a"), F.asc("doc_id"), alias="ra").select(
         "doc_id", "ra"
     )
@@ -1139,7 +1157,7 @@ ranked AS (
   SELECT doc_id,
          row_number() OVER (ORDER BY a, doc_id) AS ra,
          row_number() OVER (ORDER BY b, doc_id) AS rb
-  FROM scored
+  FROM scored WHERE a IS NOT NULL AND b IS NOT NULL
 )
 SELECT CAST(count(*) AS BIGINT) AS n_docs,
        round(1.0 - 6.0 * CAST(sum((ra - rb) * (ra - rb)) AS DOUBLE)

@@ -312,7 +312,12 @@ def _zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("xi") * F.col("xi")).alias("s2"),
     )
     d38 = "decimal(38,0)"
-    diff = (F.col("n") * F.col("xi") - F.col("s")).cast(d38)
+    # widen BEFORE multiplying (like rhs below): n * xi in 64-bit
+    # overflows at ~1e11 events x $1M values — ANSI mode throws, the
+    # pre-ANSI behavior silently wrapped (r10 review)
+    diff = (
+        F.col("n").cast(d38) * F.col("xi").cast(d38) - F.col("s").cast(d38)
+    )
     rhs = F.lit(4).cast(d38) * (
         F.col("n").cast(d38) * F.col("s2").cast(d38)
         - F.col("s").cast(d38) * F.col("s").cast(d38)
@@ -351,14 +356,14 @@ g AS (
 SELECT x.event_type,
        CAST(max(g.n) AS BIGINT) AS n_events,
        CAST(sum(CASE WHEN
-              CAST(g.n * x.xi - g.s AS HUGEINT)
-                * CAST(g.n * x.xi - g.s AS HUGEINT)
+              (CAST(g.n AS HUGEINT) * x.xi - g.s)
+                * (CAST(g.n AS HUGEINT) * x.xi - g.s)
               > 4 * (CAST(g.n AS HUGEINT) * g.s2
                      - CAST(g.s AS HUGEINT) * g.s)
             THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
        CAST(max(CASE WHEN
-              CAST(g.n * x.xi - g.s AS HUGEINT)
-                * CAST(g.n * x.xi - g.s AS HUGEINT)
+              (CAST(g.n AS HUGEINT) * x.xi - g.s)
+                * (CAST(g.n AS HUGEINT) * x.xi - g.s)
               > 4 * (CAST(g.n AS HUGEINT) * g.s2
                      - CAST(g.s AS HUGEINT) * g.s)
             THEN x.xi END) AS BIGINT) AS max_outlier_cents
@@ -548,7 +553,11 @@ def _value_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.col("value") * 100, 0).cast("long").alias("cents"),
     )
     mid = x.agg(
-        ((F.min("event_id") + F.max("event_id")) / F.lit(2))
+        # integer div, not double division: (min+max)/2.0 loses exact
+        # integers past 2^53 and can disagree with the oracle's //2 by
+        # several ids, misbinning the events between the two mids
+        # (r10 review)
+        F.expr("(min(event_id) + max(event_id)) div 2")
         .cast("long")
         .alias("mid")
     )
@@ -1956,7 +1965,7 @@ def _degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     correlation is an exact integer (degrees are counts), so the
     closed-form is bit-deterministic; one degree table, one edge-degree
     equi-join per endpoint, one constant-size aggregate."""
-    edges = caching.persist_tracked(_coclick_edges(spark, sf_dir))
+    edges = _coclick_edges(spark, sf_dir)  # helper already persist-tracks
     deg = (
         edges.select(F.col("u").alias("n"))
         .unionByName(edges.select(F.col("v").alias("n")))

@@ -134,3 +134,43 @@ def test_udtf_chunks_skip_null_text(spark, tmp_path):
         udtf_rows["en"]["total_chunk_tokens"]
         == plan_rows["en"]["total_chunk_tokens"]
     )
+
+
+def test_pack_and_sample_tolerate_dirty_docs(spark, tmp_path):
+    """pack_sequences crashed on int(NaN) for NULL-text docs and
+    weighted_sample handed NULL clocks the top-k slots under Spark's
+    NULLS-FIRST ASC (the oracle sorts them last) — both r10 review
+    findings."""
+    from dc_moving_violations_cloud_etl_spark.queries import registry
+
+    d = _stage_dirty_docs(spark, tmp_path)
+    qs = registry.get_queries()
+    packed = qs["curation_pack_sequences"](spark, d).collect()
+    assert sum(r["n_docs"] for r in packed) == 2  # doc 3 (NULL) excluded
+    sample = qs["corpus_weighted_sample"](spark, d).collect()
+    assert [r["doc_id"] for r in sample][-1] == 3  # NULL clock sorts LAST
+    assert sample[-1]["clock_r10"] is None
+
+
+def test_rank_metrics_exclude_unscored_docs(spark, tmp_path):
+    """AUC and Spearman exclude docs whose signal is NULL: keeping the
+    NULL group ranked it at OPPOSITE ends in Spark (NULLS FIRST) vs the
+    DuckDB oracle (NULLS LAST), shifting every midrank/rank (r10 review
+    findings)."""
+    from dc_moving_violations_cloud_etl_spark.queries import registry
+
+    docs = spark.createDataFrame(
+        [
+            (1, "the of and a to in is it for on repeated words", "en", "s", 40),
+            (2, "zebra quark nebula doldrum vortex plinth oboe klaxon mirth jute", "de", "s", 40),
+            (3, None, "en", "s", 0),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    d = str(tmp_path / "ranky")
+    docs.coalesce(1).write.parquet(f"{d}/documents.parquet")
+    qs = registry.get_queries()
+    auc = qs["eval_auc_quality_gate"](spark, d).collect()[0]
+    assert auc["n_pos"] + auc["n_neg"] == 2  # NULL-score doc excluded
+    sp = qs["eval_spearman_signals"](spark, d).collect()[0]
+    assert sp["n_docs"] == 2
