@@ -133,11 +133,18 @@ def _load_all() -> None:
 # BENCH_r07.
 # r10 close-out certification: the FULL 282-query catalog re-ran
 # sim-green (282/282, rows+schema+hash vs the DuckDB oracles at sf0.01)
-# under tools/driver_sim.py TWICE — once after the layout-driven paged
-# planner + trainer break-guards, and again after the same-round review
-# fixes (per-row page_id, coarse-group fetch splitting) — not just the
-# 50-row window below; the entry()/queries()/oracle_sql() contract
-# smoke also passed (282/282 registered, 1-row flagship result).
+# under tools/driver_sim.py FOUR times across the round — after the
+# layout-driven paged planner + trainer break-guards, after the paged
+# review fixes (per-row page_id, coarse-group fetch splitting), after
+# the operator/streaming/sql_compat hardening, and after the corpus/
+# mining/eval NULL-ordering + overflow fixes — not just the 50-row
+# window below; the entry()/queries()/oracle_sql() contract smoke also
+# passed (282/282 registered, 1-row flagship result). The round's four
+# review passes closed ~30 fixture-masked defects (NULL 3VL, NULL-key
+# idempotency, Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering, int
+# overflow before decimal widening, escaped-quote SQL scanning,
+# staging TOCTOU/atomicity); the dirty-corpus regression fixture lives
+# in tests/test_curation.py.
 #
 # r11 rotation plan (computed at r10 close): after this window's driver
 # run, the ledger reads 32 r5-vintage rows + 50 each of r6-r10. The r11
