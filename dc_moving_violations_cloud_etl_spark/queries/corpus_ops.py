@@ -450,17 +450,18 @@ def _negative_samples(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Everything is integer so both engines land on identical draws:
     word weights are ``round(count^0.75 * 1e6)`` BIGINTs, the CDF is
-    an exact integer cumulative sum over the word-ordered vocabulary,
-    and each draw is a 60-bit md5 integer of ``(center, context, k)``
-    reduced mod the total weight. The inverse-CDF lookup is NOT a
-    per-draw scan of the vocabulary: each vocab interval is exploded
-    onto the fixed-width buckets it spans (B=64), draws equi-join on
-    ``bucket = u * B / total`` against that broadcast map, and a short
-    range filter picks the one covering interval — the relational
-    alias-table, O(1) candidates per draw at any vocabulary size. A
-    drawn negative may collide with the pair's own words (classic
-    word2vec resamples; a deterministic pipeline flags instead —
-    ``is_collision``)."""
+    an exact two-level integer cumulative sum over the word-ordered
+    vocabulary (per-prefix windows + a tiny global offset table — see
+    ``negative_samples_core``), and each draw is a 60-bit md5 integer
+    of ``(center, context, k)`` reduced mod the total weight. The
+    inverse-CDF lookup is NOT a per-draw scan of the vocabulary: each
+    vocab interval is exploded onto the fixed-width buckets it spans
+    (B=64), the TINY draw set is broadcast and equi-joined on
+    ``bucket = u * B / total`` against the streaming bucket map, and a
+    short range filter picks the one covering interval — the
+    relational alias-table. A drawn negative may collide with the
+    pair's own words (classic word2vec resamples; a deterministic
+    pipeline flags instead — ``is_collision``)."""
     words = caching.persist_tracked(_uni_words(spark, sf_dir))
     pairs = _skipgram_pairs(spark, sf_dir).select("w1", "w2", "rank")
     return negative_samples_core(words, pairs)
@@ -471,8 +472,23 @@ def negative_samples_core(words: DataFrame, pairs: DataFrame) -> DataFrame:
     table and ``(w1, w2, rank)`` pair table — factored so property
     tests can feed synthetic vocabularies and verify the integer CDF /
     bucketed alias-table lookup against a brute-force interval scan
-    (tests/test_corpus_property.py)."""
-    w = Window.orderBy("w")
+    (tests/test_corpus_property.py).
+
+    Scale posture (r10 review): the integer CDF is a TWO-LEVEL
+    cumulative sum, not one unpartitioned window over the vocabulary —
+    words cumsum inside their (contiguous-in-sort-order) 2-char-prefix
+    group, and the global window runs only over the per-prefix totals
+    (≤ charset² rows), so no corpus-vocabulary-sized partition ever
+    funnels through a single window task. Every ``interval × B``
+    product is widened to DECIMAL(38,0) (HUGEINT in the oracle) before
+    multiplying — ``lo ≈ total ≈ Σ count^0.75 · 1e6`` pushes ``lo * B``
+    past 64 bits on a 100 TB corpus. The bucket-map join BROADCASTS THE
+    DRAWS (≤ pairs × K rows, tiny by construction), never the
+    vocabulary-sized bucket map, which streams map-side. Bucket count
+    is semantically inert (the lo/hi range filter picks the covering
+    interval whatever B is), so B stays the oracle's fixture constant;
+    at production scale it is the one knob to raise (B ~ |vocab|) to
+    keep candidates-per-draw O(1)."""
     vocab = words.select(
         "w",
         F.round(
@@ -480,12 +496,35 @@ def negative_samples_core(words: DataFrame, pairs: DataFrame) -> DataFrame:
         )
         .cast("long")
         .alias("wt"),
+    ).withColumn("g", F.substring("w", 1, 2))
+    # per-prefix running sum (data-partitioned) + broadcast prefix
+    # offsets (global window over the tiny per-prefix total table only)
+    w_in = (
+        Window.partitionBy("g")
+        .orderBy("w")
+        .rowsBetween(Window.unboundedPreceding, 0)
     )
-    cdf = vocab.select(
-        "w",
-        "wt",
-        (F.sum("wt").over(w) - F.col("wt")).alias("lo"),
-        F.sum("wt").over(w).alias("hi"),
+    w_off = Window.orderBy("g").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    offsets = (
+        vocab.groupBy("g")
+        .agg(F.sum("wt").alias("gwt"))
+        .select(
+            "g",
+            F.coalesce(F.sum("gwt").over(w_off), F.lit(0)).alias("off"),
+        )
+    )
+    cdf = (
+        vocab.join(F.broadcast(offsets), "g")
+        .select(
+            "w",
+            "wt",
+            (F.col("off") + F.sum("wt").over(w_in) - F.col("wt")).alias(
+                "lo"
+            ),
+            (F.col("off") + F.sum("wt").over(w_in)).alias("hi"),
+        )
     )
     cdf = caching.persist_tracked(cdf)
     total = cdf.agg(F.max("hi").alias("total"))
@@ -498,8 +537,14 @@ def negative_samples_core(words: DataFrame, pairs: DataFrame) -> DataFrame:
             "total",
             F.explode(
                 F.sequence(
-                    F.expr(f"(lo * {_NEG_BUCKETS}) div total"),
-                    F.expr(f"((hi - 1) * {_NEG_BUCKETS}) div total"),
+                    F.expr(
+                        f"(CAST(lo AS DECIMAL(38,0)) * {_NEG_BUCKETS})"
+                        " div total"
+                    ).cast("long"),
+                    F.expr(
+                        f"(CAST(hi - 1 AS DECIMAL(38,0)) * {_NEG_BUCKETS})"
+                        " div total"
+                    ).cast("long"),
                 )
             ).alias("bucket"),
         )
@@ -527,19 +572,26 @@ def negative_samples_core(words: DataFrame, pairs: DataFrame) -> DataFrame:
         .alias("h"),
     )
     out = (
-        draws.crossJoin(F.broadcast(total))
-        .select(
-            "w1",
-            "w2",
-            "rank",
-            "k",
-            (F.col("h") % F.col("total")).alias("u"),
-            F.expr(f"((h % total) * {_NEG_BUCKETS}) div total").alias(
-                "bucket"
-            ),
-        )
+        bmap.select("w", "lo", "hi", "bucket")
         .join(
-            F.broadcast(bmap.select("w", "lo", "hi", "bucket")), "bucket"
+            # the draws side is pairs × K rows — broadcast IT and let
+            # the vocabulary-sized bucket map stream map-side
+            F.broadcast(
+                draws.crossJoin(F.broadcast(total)).select(
+                    "w1",
+                    "w2",
+                    "rank",
+                    "k",
+                    (F.col("h") % F.col("total")).alias("u"),
+                    F.expr(
+                        f"(CAST(h % total AS DECIMAL(38,0))"
+                        f" * {_NEG_BUCKETS}) div total"
+                    )
+                    .cast("long")
+                    .alias("bucket"),
+                )
+            ),
+            "bucket",
         )
         .where((F.col("u") >= F.col("lo")) & (F.col("u") < F.col("hi")))
         .select(
@@ -585,8 +637,10 @@ bmap AS MATERIALIZED (
   SELECT c.w, c.lo, c.hi, t.b AS bucket
   FROM cdf c, tot,
        unnest(generate_series(
-         CAST((c.lo * {_NEG_BUCKETS}) // tot.total AS BIGINT),
-         CAST(((c.hi - 1) * {_NEG_BUCKETS}) // tot.total AS BIGINT))) t(b)
+         CAST((CAST(c.lo AS HUGEINT) * {_NEG_BUCKETS})
+              // tot.total AS BIGINT),
+         CAST((CAST(c.hi - 1 AS HUGEINT) * {_NEG_BUCKETS})
+              // tot.total AS BIGINT))) t(b)
 ),
 d AS (
   SELECT doc_id,
@@ -630,16 +684,17 @@ SELECT d.w1, d.w2, d.rank, CAST(d.k AS BIGINT) AS k,
        (b.w = d.w1 OR b.w = d.w2) AS is_collision
 FROM draws d
 JOIN bmap b
-  ON b.bucket = CAST((d.u * {_NEG_BUCKETS}) // (SELECT total FROM tot)
-                     AS BIGINT)
+  ON b.bucket = CAST((CAST(d.u AS HUGEINT) * {_NEG_BUCKETS})
+                     // (SELECT total FROM tot) AS BIGINT)
  AND d.u >= b.lo AND d.u < b.hi
 ORDER BY d.rank, d.k
 """,
         doc="deterministic word2vec negative sampling: K=5 noise words "
-        "per top skip-gram pair from P(w) ∝ count^0.75 — exact integer "
-        "micro-weight CDF, 60-bit md5 draws, and a bucketed (B=64) "
-        "relational alias-table lookup so each draw touches O(1) vocab "
-        "intervals at any vocabulary size",
+        "per top skip-gram pair from P(w) ∝ count^0.75 — two-level "
+        "integer micro-weight CDF (no vocab-sized window task), 60-bit "
+        "md5 draws, and a bucketed relational alias-table lookup with "
+        "the tiny draws side broadcast; B is semantically inert and "
+        "scales with |vocab| in production to keep lookups O(1)",
         tags=("extension", "corpus", "training", "sampling"),
     )
 )
@@ -1497,8 +1552,11 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
     prefix off the right symbol.
 
     Determinism across engines: ``score`` is one IEEE double division of
-    two exactly-summed integers, so Spark and the DuckDB oracle compute
-    bit-identical doubles; ties break on the pair string. Scale posture
+    exactly-summed integers — the denominator product is widened to
+    DECIMAL(38,0) (HUGEINT in the oracle) before the division so neither
+    engine overflows 64 bits on corpus-sized symbol counts — so Spark
+    and the DuckDB oracle compute bit-identical doubles; ties break on
+    the pair string. Scale posture
     is the BPE one — every round touches only the vocab-bounded symbol
     table; per-round argmax is the one legitimate driver scalar;
     ``localCheckpoint`` truncates the growing lineage."""
@@ -1560,7 +1618,17 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
                 "nxt",
             )
             .withColumn(
-                "score", F.col("pcnt") / (F.col("cnt_a") * F.col("cnt_b"))
+                # the symbol counts are corpus-sized, so their product
+                # is computed exactly in DECIMAL(38,0) (HUGEINT in the
+                # oracle, where sum(BIGINT) widens automatically) and
+                # cast to double once — keeping the score one IEEE
+                # division of exact operands instead of silently
+                # overflowing a 64-bit product at scale
+                "score",
+                F.col("pcnt")
+                / (
+                    F.col("cnt_a").cast("decimal(19,0)") * F.col("cnt_b")
+                ).cast("double"),
             )
             .withColumn("pair", F.concat_ws(" ", "sym", "nxt"))
             .orderBy(F.col("score").desc(), F.col("pair").asc())

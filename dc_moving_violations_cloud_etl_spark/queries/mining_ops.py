@@ -186,7 +186,11 @@ def _basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pair lifts above independence. The lift test
     ``P(a,b) > P(a)P(b)`` is cross-multiplied to exact integers
     (``n_both * n_baskets > n_a * n_b``) — no float division, so the
-    DuckDB twin matches bit-for-bit.
+    DuckDB twin matches bit-for-bit. The cross-products are widened to
+    DECIMAL(38,0) (HUGEINT in the twin) BEFORE multiplying: both factors
+    are corpus-sized counts, so a 64-bit product silently overflows at
+    ~1e10 baskets while the comparison must stay exact (same posture as
+    events_zscore_outliers).
     """
     baskets = (
         _events(spark, sf_dir)
@@ -235,8 +239,8 @@ def _basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             "n_both",
             (
-                F.col("n_both") * F.col("n_baskets")
-                > F.col("n_a") * F.col("n_b")
+                F.col("n_both").cast("decimal(19,0)") * F.col("n_baskets")
+                > F.col("n_a").cast("decimal(19,0)") * F.col("n_b")
             ).alias("positive_lift"),
         )
         .orderBy("type_a", "type_b")
@@ -271,7 +275,8 @@ pairs AS (
 )
 SELECT p.type_a, p.type_b,
        sa.n_single AS n_a, sb.n_single AS n_b, p.n_both,
-       p.n_both * nb.n_baskets > sa.n_single * sb.n_single
+       CAST(p.n_both AS HUGEINT) * nb.n_baskets
+         > CAST(sa.n_single AS HUGEINT) * sb.n_single
          AS positive_lift
 FROM pairs p
 JOIN singles sa ON sa.event_type = p.type_a
@@ -642,27 +647,32 @@ ORDER BY value_bin
 def _corr_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Does the event value co-move with the ``props.k`` attribute?
     The covariance NUMERATOR ``n*Σxy − Σx*Σy`` is computed in exact
-    integer arithmetic (cents × k fits comfortably in 64 bits at any
-    plausible scale) — the sign answers the direction question without
-    ever dividing by a float stddev, so both engines agree exactly
-    (same trap-avoidance as events_zscore_outliers)."""
+    DECIMAL(38,0) arithmetic (HUGEINT in the twin): the per-row cents×k
+    product already strains 64 bits, and ``n * Σxy`` blows past long at
+    ~1e12 rows, so every product is widened BEFORE multiplying — the
+    sign answers the direction question without ever dividing by a
+    float stddev, and both engines agree exactly (same trap-avoidance
+    as events_zscore_outliers). The reported magnitude is the exact
+    value cast once to double (a >64-bit integer cannot ride a BIGINT
+    output column)."""
     ev = _events(spark, sf_dir).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("x"),
         F.get_json_object("props", "$.k").cast("long").alias("y"),
     ).where(F.col("y").isNotNull())
+    cov = (
+        F.count(F.lit(1)).cast("decimal(19,0)")
+        * F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        - F.sum(F.col("x").cast("decimal(19,0)"))
+        * F.sum(F.col("y").cast("decimal(19,0)"))
+    )
     return (
         ev.groupBy("event_type")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_events"),
-            (
-                F.count(F.lit(1)) * F.sum(F.col("x") * F.col("y"))
-                - F.sum("x") * F.sum("y")
-            )
-            .cast("long")
-            .alias("cov_scaled"),
+            cov.cast("double").alias("cov_scaled"),
+            (cov > 0).alias("corr_positive"),
         )
-        .withColumn("corr_positive", F.col("cov_scaled") > 0)
         .orderBy("event_type")
     )
 
@@ -681,16 +691,17 @@ WITH x AS (
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(count(*) * sum(x * y) - sum(x) * sum(y) AS BIGINT)
-         AS cov_scaled,
-       count(*) * sum(x * y) - sum(x) * sum(y) > 0 AS corr_positive
+       CAST(count(*) * sum(CAST(x AS HUGEINT) * y) - sum(x) * sum(y)
+            AS DOUBLE) AS cov_scaled,
+       count(*) * sum(CAST(x AS HUGEINT) * y) - sum(x) * sum(y) > 0
+         AS corr_positive
 FROM x
 GROUP BY event_type
 ORDER BY event_type
 """,
         doc="correlation-direction audit: covariance numerator "
-        "n*Sxy - Sx*Sy in exact integer arithmetic — sign without "
-        "float stddev division",
+        "n*Sxy - Sx*Sy in exact HUGEINT/DECIMAL(38,0) arithmetic — "
+        "sign without float stddev division",
         tags=("extension", "mining", "statistics"),
     )
 )

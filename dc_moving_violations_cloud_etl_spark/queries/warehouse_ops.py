@@ -328,9 +328,22 @@ def _skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_keys"),
             F.sum("c").cast("long").alias("n_events"),
             F.max("c").cast("long").alias("max_key_count"),
+            # rank×count and keys×events products are widened to
+            # DECIMAL(38,0)/double BEFORE multiplying: both factors are
+            # corpus-sized at 100 TB, so the 64-bit products the naive
+            # form computes overflow long while the DuckDB twin widens
+            # to HUGEINT (sum(BIGINT) → HUGEINT)
             F.round(
-                (2.0 * F.sum(F.col("i") * F.col("c")))
-                / (F.count(F.lit(1)) * F.sum("c"))
+                (
+                    2.0
+                    * F.sum(
+                        F.col("i").cast("decimal(19,0)") * F.col("c")
+                    ).cast("double")
+                )
+                / (
+                    F.count(F.lit(1)).cast("double")
+                    * F.sum("c").cast("double")
+                )
                 - (F.count(F.lit(1)) + 1.0) / F.count(F.lit(1)),
                 6,
             ).alias("gini"),
@@ -357,7 +370,8 @@ SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_keys,
        CAST(sum(c) AS BIGINT) AS n_events,
        CAST(max(c) AS BIGINT) AS max_key_count,
-       round((2.0 * sum(i * c)) / (count(*) * sum(c))
+       round((2.0 * sum(CAST(i AS HUGEINT) * c))
+             / (CAST(count(*) AS DOUBLE) * CAST(sum(c) AS DOUBLE))
              - (count(*) + 1.0) / count(*), 6) AS gini
 FROM ranked
 GROUP BY event_type ORDER BY event_type
