@@ -245,3 +245,24 @@ def test_negative_sampling_bucket_map_covers_cdf_exactly(spark, words):
             r for r in by_bucket.get(bucket, []) if r.lo <= u < r.hi
         ]
         assert len(hits) == 1, (u, bucket, hits)
+
+
+def test_negative_sampling_survives_64bit_interval_products(spark):
+    """Overflow regression (r10): with corpus-scale frequencies the CDF
+    total passes 2^57, so the alias-table's ``lo * B`` /``(hi-1) * B``
+    products exceed int64 — the r10 widening routes them through
+    DECIMAL(38,0) (HUGEINT in the oracle). Frequencies are exact powers
+    of two so ``pow(freq, 0.75)`` is ulp-exact in both Python and the
+    JVM and the brute-force replay stays bit-identical."""
+    freq = 1 << 48  # wt = 2^36 * 1e6 per word; 3 words -> total > 2^57
+    words = {"aa": freq, "ab": freq, "zz": freq}
+    pairs = [("aa", "zz", 1)]
+    wd = spark.createDataFrame(list(words.items()), "w string, freq long")
+    pd_ = spark.createDataFrame(pairs, "w1 string, w2 string, rank long")
+    rows = negative_samples_core(wd, pd_).collect()
+    got = {
+        (r.w1, r.w2, int(r.rank), int(r.k), r.neg_word, bool(r.is_collision))
+        for r in rows
+    }
+    assert len(rows) == 5
+    assert got == _brute_negatives(words, pairs)
