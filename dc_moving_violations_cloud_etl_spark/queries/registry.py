@@ -133,18 +133,21 @@ def _load_all() -> None:
 # BENCH_r07.
 # r10 close-out certification: the FULL 282-query catalog re-ran
 # sim-green (282/282, rows+schema+hash vs the DuckDB oracles at sf0.01)
-# under tools/driver_sim.py FOUR times across the round — after the
+# under tools/driver_sim.py FIVE times across the round — after the
 # layout-driven paged planner + trainer break-guards, after the paged
 # review fixes (per-row page_id, coarse-group fetch splitting), after
-# the operator/streaming/sql_compat hardening, and after the corpus/
-# mining/eval NULL-ordering + overflow fixes — not just the 50-row
-# window below; the entry()/queries()/oracle_sql() contract smoke also
-# passed (282/282 registered, 1-row flagship result). The round's four
-# review passes closed ~30 fixture-masked defects (NULL 3VL, NULL-key
-# idempotency, Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering, int
-# overflow before decimal widening, escaped-quote SQL scanning,
-# staging TOCTOU/atomicity); the dirty-corpus regression fixture lives
-# in tests/test_curation.py.
+# the operator/streaming/sql_compat hardening, after the corpus/
+# mining/eval NULL-ordering + overflow fixes, and after the late
+# overflow-widening + negative-sampling-CDF restructure — not just the
+# 50-row window below; the entry()/queries()/oracle_sql() contract
+# smoke also passed (282/282 registered, 1-row flagship result). The
+# round's five review passes closed ~35 fixture-masked defects (NULL
+# 3VL, NULL-key idempotency, Spark-NULLS-FIRST vs DuckDB-NULLS-LAST
+# ordering, int overflow before decimal widening — including four
+# >64-bit cross-products widened to DECIMAL(38,0)/HUGEINT in the late
+# pass — escaped-quote SQL scanning, staging TOCTOU/atomicity); the
+# dirty-corpus regression fixture lives in tests/test_curation.py and
+# the 2^57-total CDF overflow regression in tests/test_corpus_property.py.
 #
 # r11 rotation plan (computed at r10 close): after this window's driver
 # run, the ledger reads 32 r5-vintage rows + 50 each of r6-r10. The r11
@@ -152,7 +155,14 @@ def _load_all() -> None:
 # join/cdc_merge/feature-store/geo_ward/graph x4/hll/mining_contrastive/
 # multimodal x5/quantile/rrf/snapshot/stream_occ/stream_rate/bm25/
 # topk_sketch/tpch q2,q9,q11,q12,q16,q20,q21/wap) + the 18 stalest r6
-# rows, changed-module rows first as always.
+# rows, changed-module rows first as always. r10-late amendment: the
+# post-window overflow-widening pass changed five queries AFTER their
+# latest official row (basket_type_lift, events_value_k_corr_direction,
+# key_skew_gini_audit, corpus_wordpiece_train_merges — all widened to
+# DECIMAL(38,0)/HUGEINT cross-products — and corpus_negative_samples,
+# restructured to the two-level CDF + draws-side broadcast); each was
+# sim-certified green the same session, but they lead the r11 window's
+# changed-module refreshes ahead of the untouched r6 rows.
 #
 # Round-10 rotation (VERDICT r9 rec #1): the staleness ledger's ENTIRE
 # remaining r4 block — all 33 rows whose latest official green is round
