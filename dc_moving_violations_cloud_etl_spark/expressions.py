@@ -114,3 +114,20 @@ def exact_decimal_sum(c: Column, precision: int = 18, scale: int = 2) -> Column:
     single deterministic conversion.
     """
     return F.sum(c.cast(f"decimal({precision},{scale})")).cast("double")
+
+
+def wide_product(a: Column, b: Column) -> Column:
+    """Exact integer product that cannot silently wrap at 64 bits.
+
+    ``long * long`` in Spark wraps silently with ANSI off (and errors
+    with it on) the moment both factors are corpus-sized counts —
+    ~1e10 × 1e10 already exceeds 2^63 — while the DuckDB oracle twin
+    widens to HUGEINT. Casting ONE factor to DECIMAL(19,0) makes Spark
+    promote the product to DECIMAL(38,0): exact to 38 digits, room for
+    any product of two 64-bit counts. The twin's matching spell is
+    ``CAST(a AS HUGEINT) * b``. Used by the lift/covariance/Gini
+    cross-products and the WordPiece score denominator; the
+    negative-sampling alias-table applies the same widening inline in
+    its SQL-string expressions.
+    """
+    return a.cast("decimal(19,0)") * b

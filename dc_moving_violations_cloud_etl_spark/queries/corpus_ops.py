@@ -25,6 +25,7 @@ from pyspark.sql.types import (
 )
 
 from .. import caching
+from ..expressions import wide_product
 from ..operators.text import normalized, tokens
 from .extensions import _docs
 from .registry import QuerySpec, register
@@ -1626,9 +1627,9 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
                 # overflowing a 64-bit product at scale
                 "score",
                 F.col("pcnt")
-                / (
-                    F.col("cnt_a").cast("decimal(19,0)") * F.col("cnt_b")
-                ).cast("double"),
+                / wide_product(F.col("cnt_a"), F.col("cnt_b")).cast(
+                    "double"
+                ),
             )
             .withColumn("pair", F.concat_ws(" ", "sym", "nxt"))
             .orderBy(F.col("score").desc(), F.col("pair").asc())

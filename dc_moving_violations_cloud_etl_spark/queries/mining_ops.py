@@ -35,6 +35,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import caching, catalog
+from ..expressions import wide_product
 from ..operators.text import normalized
 from .registry import QuerySpec, register
 
@@ -239,8 +240,8 @@ def _basket_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             "n_both",
             (
-                F.col("n_both").cast("decimal(19,0)") * F.col("n_baskets")
-                > F.col("n_a").cast("decimal(19,0)") * F.col("n_b")
+                wide_product(F.col("n_both"), F.col("n_baskets"))
+                > wide_product(F.col("n_a"), F.col("n_b"))
             ).alias("positive_lift"),
         )
         .orderBy("type_a", "type_b")
@@ -662,7 +663,7 @@ def _corr_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).where(F.col("y").isNotNull())
     cov = (
         F.count(F.lit(1)).cast("decimal(19,0)")
-        * F.sum(F.col("x").cast("decimal(19,0)") * F.col("y"))
+        * F.sum(wide_product(F.col("x"), F.col("y")))
         - F.sum(F.col("x").cast("decimal(19,0)"))
         * F.sum(F.col("y").cast("decimal(19,0)"))
     )

@@ -18,6 +18,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from .. import catalog
+from ..expressions import wide_product
 from ..oracle import with_ref_views
 from .registry import QuerySpec, register
 
@@ -336,9 +337,9 @@ def _skew_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(
                 (
                     2.0
-                    * F.sum(
-                        F.col("i").cast("decimal(19,0)") * F.col("c")
-                    ).cast("double")
+                    * F.sum(wide_product(F.col("i"), F.col("c"))).cast(
+                        "double"
+                    )
                 )
                 / (
                     F.count(F.lit(1)).cast("double")

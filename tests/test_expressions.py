@@ -17,6 +17,7 @@ from dc_moving_violations_cloud_etl_spark.expressions import (
     ms_to_date,
     ms_to_timestamp,
     safe_double,
+    wide_product,
 )
 
 
@@ -95,3 +96,26 @@ def test_epoch_ms_utc_and_month_bucket(spark):
     assert _one(spark, ms_to_timestamp(ms)) == dt.datetime(2024, 10, 5, 14, 30)
     assert _one(spark, ms_to_date(ms)) == dt.date(2024, 10, 5)
     assert _one(spark, month_bucket(ms_to_timestamp(ms))) == "2024-10"
+
+
+def test_wide_product_exact_past_64_bits(spark):
+    # two corpus-sized counts whose long*long product exceeds 2^63: the
+    # naive form KILLS the query under Spark 4's default ANSI mode
+    # (ArithmeticException: long overflow — confirmed by try_multiply
+    # returning NULL) and silently wraps with ANSI off; wide_product
+    # must return the exact integer (DECIMAL(38,0) promotion) and keep
+    # comparisons exact
+    a, b = (1 << 40) + 7, (1 << 40) + 11  # product ≈ 2^80, >> 2^63
+    row = (
+        spark.createDataFrame([(a, b)], "a long, b long")
+        .select(
+            wide_product(F.col("a"), F.col("b")).alias("wide"),
+            F.expr("try_multiply(a, b)").alias("naive"),
+            (wide_product(F.col("a"), F.col("b"))
+             > wide_product(F.col("b") + 1, F.col("a"))).alias("cmp"),
+        )
+        .collect()[0]
+    )
+    assert int(row["wide"]) == a * b
+    assert row["naive"] is None  # the 64-bit trap wide_product avoids
+    assert row["cmp"] is False  # (a+eps)*b ordering survives widening
