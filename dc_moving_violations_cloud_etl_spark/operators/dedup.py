@@ -376,7 +376,13 @@ def _verified_cosine(
             "a_vec_id",
             "b_vec_id",
             F.round(
-                _dot(F.col("e_a"), F.col("e_b")) / (F.col("n_a") * F.col("n_b")), 6
+                # try_divide: a zero-norm (all-zero) embedding must yield
+                # NULL (DuckDB's x/0), not an ANSI DIVIDE_BY_ZERO crash
+                F.try_divide(
+                    _dot(F.col("e_a"), F.col("e_b")),
+                    F.col("n_a") * F.col("n_b"),
+                ),
+                6,
             ).alias("cos_sim"),
         )
         .where(F.col("cos_sim") >= F.lit(threshold))

@@ -8,6 +8,14 @@ a deterministic IEEE sequence the DuckDB oracle reproduces; cosines are
 rounded to 6 dp before ranking to absorb any engine-level fold
 difference, with doc-id tie-breaks for a total order.
 
+Every cosine denominator goes through ``F.try_divide``: a zero-norm
+vector (all-zero embedding — absent from the fixture, routine in real
+extractions) zeroes the norm product, and Spark 4's default ANSI mode
+turns that division into a query-killing DIVIDE_BY_ZERO instead of a
+NULL. ``try_divide`` restores the DuckDB twin's x/0 → NULL semantics,
+so a zero vector ranks nowhere rather than crashing the scan (r10
+review).
+
 Scale posture:
 - brute force: corpus × queries via **broadcast** of the (small) query
   set — an embarrassingly parallel map over corpus partitions, no
@@ -70,7 +78,11 @@ def cosine_topk_bruteforce(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            F.try_divide(
+                _dot(F.col("qe"), F.col("e")),
+                F.col("qnorm") * F.col("norm"),
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
@@ -121,7 +133,7 @@ def ivf_assign(embeddings: DataFrame) -> DataFrame:
         "norm",
         "cell_id",
         F.round(
-            _dot(F.col("e"), F.col("c")) / (F.col("norm") * cnorm), 6
+            F.try_divide(_dot(F.col("e"), F.col("c")), F.col("norm") * cnorm), 6
         ).alias("cscore"),
     )
     w = Window.partitionBy("vec_id").orderBy(
@@ -156,7 +168,11 @@ def cosine_topk_ivf(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            F.try_divide(
+                _dot(F.col("qe"), F.col("e")),
+                F.col("qnorm") * F.col("norm"),
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
@@ -210,7 +226,11 @@ def cosine_topk_lsh(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            F.try_divide(
+                _dot(F.col("qe"), F.col("e")),
+                F.col("qnorm") * F.col("norm"),
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
@@ -246,7 +266,7 @@ def cosine_topk_ivf_multiprobe(
             F.col("norm").alias("qnorm"),
             F.col("cell_id").alias("qcell"),
             F.round(
-                _dot(F.col("e"), F.col("c")) / (F.col("norm") * cnorm), 6
+                F.try_divide(_dot(F.col("e"), F.col("c")), F.col("norm") * cnorm), 6
             ).alias("cscore"),
         )
     )
@@ -264,7 +284,11 @@ def cosine_topk_ivf_multiprobe(
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")), 6
+            F.try_divide(
+                _dot(F.col("qe"), F.col("e")),
+                F.col("qnorm") * F.col("norm"),
+            ),
+            6,
         ).alias("cos_sim"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
@@ -419,7 +443,10 @@ def cosine_topk_pq_adc(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            F.col("adot") / (F.col("qnorm") * F.sqrt(F.col("rn2"))), 6
+            F.try_divide(
+                F.col("adot"), F.col("qnorm") * F.sqrt(F.col("rn2"))
+            ),
+            6,
         ).alias("cos_pq"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
@@ -467,8 +494,10 @@ def cosine_topk_pq_refine(
             "query_vec_id",
             "neighbor_vec_id",
             F.round(
-                _dot(F.col("qe"), F.col("e"))
-                / (F.col("qnorm") * F.col("norm")),
+                F.try_divide(
+                    _dot(F.col("qe"), F.col("e")),
+                    F.col("qnorm") * F.col("norm"),
+                ),
                 6,
             ).alias("cos_sim"),
         )
@@ -543,7 +572,10 @@ def cosine_topk_ivfpq(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            F.col("adot") / (F.col("qnorm") * F.sqrt(F.col("rn2"))), 6
+            F.try_divide(
+                F.col("adot"), F.col("qnorm") * F.sqrt(F.col("rn2"))
+            ),
+            6,
         ).alias("cos_pq"),
     )
     w = Window.partitionBy("query_vec_id").orderBy(
@@ -584,7 +616,10 @@ def cosine_topk_truncated(
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            _dot(F.col("qe"), F.col("e")) / (F.col("qnorm") * F.col("norm")),
+            F.try_divide(
+                _dot(F.col("qe"), F.col("e")),
+                F.col("qnorm") * F.col("norm"),
+            ),
             6,
         ).alias("cos_sim"),
     )
@@ -723,14 +758,14 @@ def cosine_topk_int8(embeddings: DataFrame, k: int = TOP_K) -> DataFrame:
         "query_vec_id",
         F.col("vec_id").alias("neighbor_vec_id"),
         F.round(
-            F.aggregate(
-                F.zip_with(F.col("q"), F.col("quer"), lambda a, b: a * b),
-                F.lit(0).cast("long"),
-                lambda acc, x: acc + x,
-            ).cast("double")
-            / (
+            F.try_divide(
+                F.aggregate(
+                    F.zip_with(F.col("q"), F.col("quer"), lambda a, b: a * b),
+                    F.lit(0).cast("long"),
+                    lambda acc, x: acc + x,
+                ).cast("double"),
                 F.sqrt(F.col("qq").cast("double"))
-                * F.sqrt(F.col("qq_q").cast("double"))
+                * F.sqrt(F.col("qq_q").cast("double")),
             ),
             6,
         ).alias("cos_q8"),

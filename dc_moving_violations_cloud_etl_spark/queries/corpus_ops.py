@@ -2684,7 +2684,13 @@ def _span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("mask_ratio_r6"),
             F.round(
-                F.col("masked_tokens").cast("double") / F.col("n_spans"), 6
+                # try_divide: a language whose docs are all too short to
+                # fit one span has n_spans = 0 — NULL (DuckDB's x/0), not
+                # an ANSI crash
+                F.try_divide(
+                    F.col("masked_tokens").cast("double"), F.col("n_spans")
+                ),
+                6,
             ).alias("avg_span_len_r6"),
         )
         .orderBy("lang")

@@ -1427,8 +1427,10 @@ def _rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     sem = emb.crossJoin(F.broadcast(qv)).select(
         F.col("vec_id").alias("doc_id"),
         F.round(
-            _sim._dot(F.col("qe"), F.col("e"))
-            / (F.col("qnorm") * F.col("norm")),
+            F.try_divide(
+                _sim._dot(F.col("qe"), F.col("e")),
+                F.col("qnorm") * F.col("norm"),
+            ),
             6,
         ).alias("cos"),
     )

@@ -1014,7 +1014,10 @@ def _auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("np_s").cast("long").alias("n_pos"),
         F.sum("nn_s").cast("long").alias("n_neg"),
         F.round(
-            (
+            # try_divide: a single-class corpus (no positives or no
+            # negatives) zeroes n_pos*n_neg — AUC is undefined there and
+            # must report NULL (DuckDB's x/0), not die under ANSI
+            F.try_divide(
                 (
                     F.sum((F.col("np_s") * F.col("mid2")).cast("decimal(38,0)"))
                     .cast("double")
@@ -1024,9 +1027,9 @@ def _auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
                     F.sum("np_s").cast("double")
                     * (F.sum("np_s").cast("double") + 1.0)
                     / 2.0
-                )
-            )
-            / (F.sum("np_s").cast("double") * F.sum("nn_s").cast("double")),
+                ),
+                F.sum("np_s").cast("double") * F.sum("nn_s").cast("double"),
+            ),
             6,
         ).alias("auc"),
     )

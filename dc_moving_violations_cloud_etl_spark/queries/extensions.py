@@ -1018,7 +1018,11 @@ def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_lsh_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
         )
     )
@@ -1639,7 +1643,11 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ivf_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
         )
     )
@@ -1720,7 +1728,11 @@ def _ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ivf2_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
         )
     )
@@ -1884,7 +1896,11 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_candidate_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_true_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_true_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
         )
     )
@@ -2051,8 +2067,10 @@ def _lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_candidate_pairs",
                 "n_matched",
                 F.round(
-                    F.col("n_matched").cast("double")
-                    / F.col("n_true_pairs"),
+                    F.try_divide(
+                        F.col("n_matched").cast("double"),
+                        F.col("n_true_pairs"),
+                    ),
                     6,
                 ).alias("recall_r6"),
             )
@@ -2279,7 +2297,11 @@ def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_pq_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
             (F.col("n_vectors") * 64 * 4).cast("long").alias(
                 "bytes_float_index"
@@ -2384,13 +2406,17 @@ def _two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_adc_matched",
             "n_refined_matched",
             F.round(
-                F.col("n_adc_matched").cast("double")
-                / F.col("n_exact_pairs"),
+                F.try_divide(
+                    F.col("n_adc_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
                 6,
             ).alias("adc_recall_r6"),
             F.round(
-                F.col("n_refined_matched").cast("double")
-                / F.col("n_exact_pairs"),
+                F.try_divide(
+                    F.col("n_refined_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
                 6,
             ).alias("refined_recall_r6"),
             F.lit(similarity.REFINE_C).cast("long").alias("refine_depth"),
@@ -2608,7 +2634,11 @@ def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_ivfpq_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
         )
     )
@@ -2689,7 +2719,11 @@ def _matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_trunc_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
             F.lit(similarity.MRL_DIMS).cast("long").alias("dims_scored"),
             F.lit(64).cast("long").alias("dims_full"),
@@ -3081,7 +3115,11 @@ def _binary_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
             (F.col("n_vectors") * 64 * 4).cast("long").alias(
                 "bytes_float_index"
@@ -3228,7 +3266,11 @@ def _int8_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_exact_pairs",
             "n_matched",
             F.round(
-                F.col("n_matched").cast("double") / F.col("n_exact_pairs"), 6
+                F.try_divide(
+                    F.col("n_matched").cast("double"),
+                    F.col("n_exact_pairs"),
+                ),
+                6,
             ).alias("recall_r6"),
             (F.col("n_vectors") * 64 * 4).cast("long").alias(
                 "bytes_float_index"

@@ -763,6 +763,13 @@ def pagerank_undirected(
     deg = directed.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     out = caching.persist_tracked(directed.join(deg, "src"))
     n_nodes = deg.count()
+    if n_nodes == 0:
+        # empty edge list: the uniform init 1.0/n_nodes is a DRIVER-side
+        # Python division — guard it and return the empty rank vector a
+        # no-edges day legitimately produces, instead of ZeroDivisionError
+        return edges.sparkSession.createDataFrame(
+            [], "node long, r double"
+        )
     ranks = (
         out.select(F.col("src").alias("node"))
         .distinct()
@@ -1503,8 +1510,10 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.vec_id").alias("b_vec_id"),
             F.col("a.cluster").alias("cluster"),
             F.round(
-                _dot(F.col("a.e"), F.col("b.e"))
-                / (F.col("a.nrm") * F.col("b.nrm")),
+                F.try_divide(
+                    _dot(F.col("a.e"), F.col("b.e")),
+                    F.col("a.nrm") * F.col("b.nrm"),
+                ),
                 6,
             ).alias("cos_sim"),
         )

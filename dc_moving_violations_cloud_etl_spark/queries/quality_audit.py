@@ -55,10 +55,15 @@ def _dq_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "accident_indicator_completeness"
         ),
         (
-            F.sum(F.when(F.col("fine_amount") >= 0, 1).otherwise(0)).cast(
-                "double"
+            # try_divide: an all-NULL fine_amount column zeroes the
+            # non-null count — the compliance ratio is undefined and must
+            # report NULL (DuckDB's x/0), not die under ANSI
+            F.try_divide(
+                F.sum(
+                    F.when(F.col("fine_amount") >= 0, 1).otherwise(0)
+                ).cast("double"),
+                F.count("fine_amount"),
             )
-            / F.count("fine_amount")
         ).alias("fine_nonnegative_compliance"),
         (
             F.sum(

@@ -133,21 +133,30 @@ def _load_all() -> None:
 # BENCH_r07.
 # r10 close-out certification: the FULL 282-query catalog re-ran
 # sim-green (282/282, rows+schema+hash vs the DuckDB oracles at sf0.01)
-# under tools/driver_sim.py FIVE times across the round — after the
+# under tools/driver_sim.py SIX times across the round — after the
 # layout-driven paged planner + trainer break-guards, after the paged
 # review fixes (per-row page_id, coarse-group fetch splitting), after
 # the operator/streaming/sql_compat hardening, after the corpus/
-# mining/eval NULL-ordering + overflow fixes, and after the late
-# overflow-widening + negative-sampling-CDF restructure — not just the
-# 50-row window below; the entry()/queries()/oracle_sql() contract
-# smoke also passed (282/282 registered, 1-row flagship result). The
-# round's five review passes closed ~35 fixture-masked defects (NULL
-# 3VL, NULL-key idempotency, Spark-NULLS-FIRST vs DuckDB-NULLS-LAST
-# ordering, int overflow before decimal widening — including four
-# >64-bit cross-products widened to DECIMAL(38,0)/HUGEINT in the late
-# pass — escaped-quote SQL scanning, staging TOCTOU/atomicity); the
-# dirty-corpus regression fixture lives in tests/test_curation.py and
-# the 2^57-total CDF overflow regression in tests/test_corpus_property.py.
+# mining/eval NULL-ordering + overflow fixes, after the late
+# overflow-widening + negative-sampling-CDF restructure, and after the
+# ANSI divide-by-zero hardening — not just the 50-row window below;
+# the entry()/queries()/oracle_sql() contract smoke also passed
+# (282/282 registered, 1-row flagship result). The round's six review
+# passes closed ~50 fixture-masked defects (NULL 3VL, NULL-key
+# idempotency, Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering, int
+# overflow before decimal widening — four >64-bit cross-products
+# widened to DECIMAL(38,0)/HUGEINT — escaped-quote SQL scanning,
+# staging TOCTOU/atomicity, and ~20 zero-reachable division
+# denominators routed through F.try_divide because Spark 4's default
+# ANSI mode turns x/0 into a query-killing DIVIDE_BY_ZERO where the
+# DuckDB twin yields NULL: zero-norm embedding vectors across the
+# whole cosine/ANN family, single-class AUC, all-NULL compliance
+# ratios, empty recall truth sets, zero-span languages, and the
+# empty-graph PageRank init). Regression fixtures: dirty corpus in
+# tests/test_curation.py, 2^57-total CDF overflow in
+# tests/test_corpus_property.py, zero-norm cosine in
+# tests/test_pq_and_spans.py, empty-graph PageRank in
+# tests/test_graph_property.py.
 #
 # r11 rotation plan (computed at r10 close): after this window's driver
 # run, the ledger reads 32 r5-vintage rows + 50 each of r6-r10. The r11

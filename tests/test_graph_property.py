@@ -20,6 +20,7 @@ from dc_moving_violations_cloud_etl_spark.queries.mining_ops import (
     _KCORE_ROUNDS,
     kcenter_seeds,
     kcore_peel_core,
+    pagerank_undirected,
 )
 
 _SETTINGS = dict(
@@ -129,3 +130,13 @@ def test_kcore_peel_matches_python_cascade(spark, edges):
         for r in kcore_peel_core(d).collect()
     ]
     assert got == _brute_kcore(edges, _KCORE_K, _KCORE_ROUNDS)
+
+
+def test_pagerank_empty_graph_returns_empty_not_zerodivision(spark):
+    """A no-edges day is legitimate input: the uniform init 1/n_nodes is
+    a driver-side Python division, so an empty edge list must return the
+    empty rank vector, not raise ZeroDivisionError (r10 review)."""
+    edges = spark.createDataFrame([], "u long, v long")
+    out = pagerank_undirected(edges, n_iter=2)
+    assert out.collect() == []
+    assert [f.name for f in out.schema.fields] == ["node", "r"]

@@ -148,3 +148,21 @@ def test_dp_release_nonnegative_and_noise_bounded(spark, sf_dir):
         assert r["released_count"] >= 0
         assert r["epsilon"] == 1.0
         assert r["abs_noise"] <= 25
+
+
+def test_zero_norm_vector_survives_cosine_under_ansi(spark):
+    """A zero embedding (routine in real extractions, absent from the
+    fixture) zeroes the norm product; Spark 4's default ANSI mode turns
+    the un-guarded cosine division into a query-killing DIVIDE_BY_ZERO.
+    The try_divide guards (r10 review) must give the DuckDB twin's
+    x/0 -> NULL instead: the scan completes and the zero vector simply
+    ranks nowhere."""
+    rows = [(i, "a", [float(i), 1.0, 0.5, 2.0]) for i in range(0, 7)]
+    rows.append((100, "z", [0.0, 0.0, 0.0, 0.0]))  # vec_id 100: a query row
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    out = similarity.cosine_topk_bruteforce(emb, k=3).collect()
+    assert out  # scan completed despite the zero-norm query vector
+    zero_rows = [r for r in out if r["query_vec_id"] == 100]
+    assert all(r["cos_sim"] is None for r in zero_rows)
