@@ -646,8 +646,11 @@ def binary_codes(embeddings: DataFrame) -> DataFrame:
         return F.aggregate(
             F.transform(
                 F.sequence(F.lit(lo), F.lit(lo + 31)),
+                # try_element_at: a ragged (<64-dim) vector must pack a 0
+                # sign bit for its missing dims — DuckDB's e[i] gives NULL
+                # out of bounds, while ANSI element_at would kill the scan
                 lambda i: F.when(
-                    F.element_at(F.col("e"), i) > 0,
+                    F.try_element_at(F.col("e"), i) > 0,
                     # 2^(i-lo) exact in double for shifts 0..31, then
                     # truncated back to long (F.shiftleft needs a
                     # Python-int shift, not a Column)

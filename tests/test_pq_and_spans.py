@@ -166,3 +166,19 @@ def test_zero_norm_vector_survives_cosine_under_ansi(spark):
     assert out  # scan completed despite the zero-norm query vector
     zero_rows = [r for r in out if r["query_vec_id"] == 100]
     assert all(r["cos_sim"] is None for r in zero_rows)
+
+
+def test_ragged_vector_survives_binary_packing_under_ansi(spark):
+    """A short (<64-dim) vector must pack 0 sign bits for its missing
+    dims — DuckDB's out-of-bounds e[i] is NULL — instead of dying on
+    ANSI element_at (r10 review)."""
+    rows = [
+        (i, "a", [1.0] * 64) for i in range(0, 3)
+    ] + [(7, "r", [1.0, -1.0, 1.0])]  # ragged: 3 dims
+    emb = spark.createDataFrame(
+        rows, "vec_id long, label string, embedding array<float>"
+    )
+    coded = {r["vec_id"]: (r["blo"], r["bhi"])
+             for r in similarity.binary_codes(emb).collect()}
+    assert coded[7] == (0b101, 0)  # dims 1,3 positive; all else 0
+    assert coded[0] == ((1 << 32) - 1, (1 << 32) - 1)
