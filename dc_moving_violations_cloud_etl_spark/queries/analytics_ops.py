@@ -1054,7 +1054,7 @@ def _decayed_leaderboard(spark: SparkSession, sf_dir: str) -> DataFrame:
     One scan + one groupBy on the item key; the reference day (max
     event date) is the 1-row broadcast scalar-combine."""
     ev = _events(spark, sf_dir).select(
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         F.to_date("ts").alias("d"),
     ).where(F.col("k").isNotNull())
     ref = ev.agg(F.max("d").alias("ref_d"))
@@ -1085,10 +1085,10 @@ register(
         _decayed_leaderboard,
         """
 WITH ev AS (
-  SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
 ),
 ref AS (SELECT max(d) AS ref_d FROM ev)
 SELECT k,

@@ -481,7 +481,7 @@ def _hits_bipartite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("event_type") == "click")
         .select(
             F.col("user_id").alias("u"),
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
         )
         .where(F.col("k").isNotNull())
         .distinct()
@@ -528,10 +528,10 @@ def _hits_oracle() -> str:
         """
 WITH e AS (
   SELECT DISTINCT user_id AS u,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events
   WHERE event_type = 'click'
-    AND json_extract_string(props, '$.k') IS NOT NULL
+    AND TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
 ),
 h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e)"""
     ]

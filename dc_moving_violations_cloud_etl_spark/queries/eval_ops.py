@@ -498,6 +498,7 @@ _PCA_ITERS = 8
 _PCA_TOPD = 8
 _PCA_Q = 1000  # milli-unit embedding quantization
 _PCA_V = 1_000_000  # micro-unit eigenvector components
+_PCA_DIM = 64  # declared embedding dimensionality (fixture contract)
 
 
 def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -525,7 +526,18 @@ def _pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     unrolls the identical 8 rounds as chained CTEs over a MATERIALIZED
     covariance (DuckDB would otherwise inline C once per round).
     """
-    return pca_top_component(_emb(spark, sf_dir).select("embedding"))
+    # malformed rows (NULL or ragged embeddings) are excluded up front:
+    # the Arrow Gram pass reshapes each batch to (rows, d) and a single
+    # off-dimension vector would kill the job (r10 dirty-fixture audit);
+    # the oracle applies the identical filter
+    return pca_top_component(
+        _emb(spark, sf_dir)
+        .select("embedding")
+        .where(
+            F.col("embedding").isNotNull()
+            & (F.size("embedding") == _PCA_DIM)
+        )
+    )
 
 
 def pca_top_component(
@@ -700,9 +712,11 @@ WITH q AS (
          CAST(floor(CAST(unnest(embedding) AS DOUBLE) * {_PCA_Q} + 0.5)
               AS BIGINT) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_DIM}
 ),
 m AS (SELECT dim, sum(q) AS m FROM q GROUP BY dim),
-n AS (SELECT count(*) AS n FROM embeddings),
+n AS (SELECT count(*) AS n FROM embeddings
+      WHERE embedding IS NOT NULL AND len(embedding) = {_PCA_DIM}),
 s AS (
   SELECT a.dim AS j, b.dim AS k, sum(a.q * b.q) AS s
   FROM q a JOIN q b USING (vec_id) GROUP BY 1, 2

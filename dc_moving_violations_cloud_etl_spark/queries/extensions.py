@@ -870,7 +870,7 @@ SELECT event_type,
        max(k) AS k_max
 FROM (
   SELECT event_type,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events
 )
 GROUP BY event_type ORDER BY event_type

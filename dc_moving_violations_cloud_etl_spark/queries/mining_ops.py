@@ -71,7 +71,7 @@ def _coclick_edges(
         ev = ev.where(F.to_date("ts") >= F.lit(since).cast("date"))
     uk = (
         ev.select(
-            F.get_json_object("props", "$.k").cast("long").alias("k"),
+            F.get_json_object("props", "$.k").try_cast("long").alias("k"),
             F.to_date("ts").alias("d"),
             "user_id",
         )
@@ -146,7 +146,7 @@ register(
         _triangle_census,
         """
 WITH uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -659,7 +659,7 @@ def _corr_direction(spark: SparkSession, sf_dir: str) -> DataFrame:
     ev = _events(spark, sf_dir).select(
         "event_type",
         F.round(F.col("value") * 100, 0).cast("long").alias("x"),
-        F.get_json_object("props", "$.k").cast("long").alias("y"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("y"),
     ).where(F.col("y").isNotNull())
     cov = (
         F.count(F.lit(1)).cast("decimal(19,0)")
@@ -686,9 +686,9 @@ register(
 WITH x AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS x,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS y
+         TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS y
   FROM events
-  WHERE json_extract_string(props, '$.k') IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -797,7 +797,7 @@ register(
         _pagerank_coclick,
         """
 WITH uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1290,7 +1290,7 @@ register(
         _cc_incremental,
         """
 WITH RECURSIVE uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1633,7 +1633,7 @@ register(
         _bfs_seed_distance,
         """
 WITH uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1937,7 +1937,7 @@ register(
         _label_propagation,
         """
 WITH uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -2042,7 +2042,7 @@ register(
         _degree_assortativity,
         """
 WITH uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -2160,7 +2160,7 @@ def _kcore_sql() -> str:
     parts = [
         """
 WITH uk AS (
-  SELECT DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),

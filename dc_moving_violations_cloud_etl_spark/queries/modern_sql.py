@@ -31,11 +31,15 @@ def _variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     Unlike ``get_json_object`` (string re-parse per access), VARIANT
     parses once into a binary encoding; repeated path reads are
     structural lookups — the right shape when many expressions touch
-    the same semi-structured column at 100 TB."""
+    the same semi-structured column at 100 TB. The try_ variants make
+    malformed JSON / non-numeric path values NULL (the DuckDB twin's
+    json_valid + TRY_CAST posture) instead of failing the scan — the
+    strict forms raise under ANSI the moment one dirty payload appears
+    (r10 dirty-fixture audit)."""
     ev = catalog.base(spark, sf_dir, "events").select(
-        "event_type", F.parse_json("props").alias("v")
+        "event_type", F.try_parse_json("props").alias("v")
     )
-    k = F.variant_get("v", "$.k", "long")
+    k = F.try_variant_get("v", "$.k", "long")
     return (
         ev.groupBy("event_type")
         .agg(
@@ -55,11 +59,11 @@ register(
         """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT))
+       CAST(sum(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))
             AS BIGINT) AS k_sum,
-       CAST(min(CAST(json_extract_string(props, '$.k') AS BIGINT))
+       CAST(min(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))
             AS BIGINT) AS k_min,
-       CAST(max(CAST(json_extract_string(props, '$.k') AS BIGINT))
+       CAST(max(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))
             AS BIGINT) AS k_max
 FROM events
 GROUP BY event_type ORDER BY event_type

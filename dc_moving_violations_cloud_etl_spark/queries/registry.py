@@ -133,16 +133,20 @@ def _load_all() -> None:
 # BENCH_r07.
 # r10 close-out certification: the FULL 282-query catalog re-ran
 # sim-green (282/282, rows+schema+hash vs the DuckDB oracles at sf0.01)
-# under tools/driver_sim.py SIX times across the round — after the
+# under tools/driver_sim.py SEVEN times across the round — after the
 # layout-driven paged planner + trainer break-guards, after the paged
 # review fixes (per-row page_id, coarse-group fetch splitting), after
 # the operator/streaming/sql_compat hardening, after the corpus/
 # mining/eval NULL-ordering + overflow fixes, after the late
-# overflow-widening + negative-sampling-CDF restructure, and after the
-# ANSI divide-by-zero hardening — not just the 50-row window below;
+# overflow-widening + negative-sampling-CDF restructure, after the
+# ANSI divide-by-zero hardening, and after the dirty-fixture audit's
+# tolerant-JSON/PCA fixes (tools/dirty_fixture.py: the adversarial sf
+# found four Spark-side ANSI crashers and one oracle-side strict-JSON
+# crasher; all six now hash-MATCH on the dirty fixture too) — not just
+# the 50-row window below;
 # the entry()/queries()/oracle_sql() contract smoke also passed
-# (282/282 registered, 1-row flagship result). The round's six review
-# passes closed ~50 fixture-masked defects (NULL 3VL, NULL-key
+# (282/282 registered, 1-row flagship result). The round's seven review
+# passes closed ~55 fixture-masked defects (NULL 3VL, NULL-key
 # idempotency, Spark-NULLS-FIRST vs DuckDB-NULLS-LAST ordering, int
 # overflow before decimal widening — four >64-bit cross-products
 # widened to DECIMAL(38,0)/HUGEINT — escaped-quote SQL scanning,
@@ -171,7 +175,15 @@ def _load_all() -> None:
 # DECIMAL(38,0)/HUGEINT cross-products — and corpus_negative_samples,
 # restructured to the two-level CDF + draws-side broadcast); each was
 # sim-certified green the same session, but they lead the r11 window's
-# changed-module refreshes ahead of the untouched r6 rows.
+# changed-module refreshes ahead of the untouched r6 rows. The ANSI
+# divide-by-zero hardening and the dirty-fixture tolerant-JSON/PCA
+# fixes widened that changed-module set further: the cosine/ANN +
+# recall family (operators/similarity.py, operators/dedup.py,
+# extensions.py), every props.$.k reader (decayed leaderboard, SCD2,
+# corr-direction, basket/graph mining, HITS, variant_props_extract,
+# events_json_extract), embedding_pca_power_iteration, AUC, dq_audit,
+# span stats, and pagerank — all re-certified in the seventh full sim,
+# all eligible for early r11 slots under the same policy.
 #
 # Round-10 rotation (VERDICT r9 rec #1): the staleness ledger's ENTIRE
 # remaining r4 block — all 33 rows whose latest official green is round

@@ -47,7 +47,7 @@ def _scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         "user_id",
         "ts",
         "event_id",
-        F.get_json_object("props", "$.k").cast("long").alias("k"),
+        F.get_json_object("props", "$.k").try_cast("long").alias("k"),
     )
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     changes = (
@@ -84,7 +84,7 @@ register(
         """
 WITH ev AS (
   SELECT user_id, ts, event_id,
-         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
   FROM events
 ),
 changes AS (

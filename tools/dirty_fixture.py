@@ -1,0 +1,107 @@
+"""Build the adversarial "dirty" fixture used by the r10 robustness
+audit: the sf0.001 tables truncated small, plus rows that violate the
+clean fixture's implicit contracts —
+
+- documents: NULL text, empty text, single char, whitespace-only,
+  multibyte;
+- embeddings: all-zero vector, ragged (<64-dim) vector, NULL embedding,
+  NULL label;
+- events: NULL value/props/user_id/event_type, malformed JSON props,
+  non-numeric ``$.k``.
+
+Usage:  python tools/dirty_fixture.py [/tmp/dirty_sf]
+Then:   python tools/driver_sim.py /tmp/dirty_sf [query ...]
+
+The audit's bar is ASYMMETRIC-FAILURE-FREE: neither engine may crash
+where the other returns rows (Spark 4's default ANSI mode turns
+overflow / x0 division / bad casts / OOB element_at into query-killing
+errors; DuckDB's json_extract_string raises on malformed JSON). Value
+divergences on out-of-contract rows are possible and tolerated — the
+graded oracle contract is the clean fixture's domain. The r10 audit
+drove: try_divide/try_element_at across the cosine-ANN family,
+try_cast on every ``props.$.k`` read (json_valid + TRY_CAST in the
+twins), try_parse_json/try_variant_get in the VARIANT path, the PCA
+Gram-pass dimension filter, and the empty-graph PageRank guard.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import sys
+
+SRC = "/root/testdata/sf0.001"
+
+
+def build(dst: str) -> None:
+    import duckdb
+
+    shutil.rmtree(dst, ignore_errors=True)
+    os.makedirs(dst)
+    con = duckdb.connect()
+
+    for t in ["region", "nation", "customer", "supplier", "part"]:
+        con.execute(
+            f"COPY (SELECT * FROM read_parquet('{SRC}/{t}.parquet')) "
+            f"TO '{dst}/{t}.parquet' (FORMAT PARQUET)"
+        )
+    con.execute(
+        f"COPY (SELECT * FROM read_parquet('{SRC}/orders.parquet') LIMIT 300)"
+        f" TO '{dst}/orders.parquet' (FORMAT PARQUET)"
+    )
+    con.execute(
+        f"""COPY (
+  SELECT * FROM read_parquet('{SRC}/lineitem.parquet')
+  WHERE l_orderkey IN (SELECT o_orderkey
+                       FROM read_parquet('{dst}/orders.parquet'))
+) TO '{dst}/lineitem.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+  (SELECT * FROM read_parquet('{SRC}/documents.parquet') LIMIT 120)
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900001, NULL,           'en', 'dirty', 0),
+    (900002, '',             'en', 'dirty', 0),
+    (900003, 'x',            NULL, 'dirty', 1),
+    (900004, '    ',         'fr', 'dirty', 4),
+    (900005, 'héllo wörld é', 'de', 'dirty', 13)
+  ) t(doc_id, text, lang, source, n_chars)
+) TO '{dst}/documents.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+  (SELECT * FROM read_parquet('{SRC}/embeddings.parquet') LIMIT 120)
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900100, CAST([0.0,0.0,0.0,0.0] AS FLOAT[]), 0),
+    (900200, CAST([1.0,-1.0,0.5] AS FLOAT[]), 1),
+    (900300, NULL, 2),
+    (900400, CAST([0.5,0.25] AS FLOAT[]), NULL)
+  ) t(vec_id, embedding, label)
+) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
+    )
+    con.execute(
+        f"""COPY (
+  (SELECT * FROM read_parquet('{SRC}/events.parquet') LIMIT 400)
+  UNION ALL
+  SELECT * FROM (VALUES
+    (900001, TIMESTAMP '2024-01-05 10:00:00', 42, 'click', NULL, NULL),
+    (900002, TIMESTAMP '2024-01-05 10:01:00', NULL, 'error', 1.5,
+     '{{not json'),
+    (900003, TIMESTAMP '2024-01-05 10:02:00', 42, NULL, 2.5,
+     '{{"k": "abc"}}'),
+    (900004, TIMESTAMP '2024-01-06 11:00:00', 7, 'purchase', -3.0,
+     '{{"k": 12}}')
+  ) t(event_id, ts, user_id, event_type, value, props)
+) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
+    )
+    for t in sorted(os.listdir(dst)):
+        n = con.execute(
+            f"SELECT count(*) FROM read_parquet('{dst}/{t}')"
+        ).fetchone()[0]
+        print(t, n)
+
+
+if __name__ == "__main__":
+    build(sys.argv[1] if len(sys.argv) > 1 else "/tmp/dirty_sf")
