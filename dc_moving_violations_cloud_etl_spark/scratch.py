@@ -9,10 +9,13 @@ never accumulates across rounds (VERDICT r2 rec #6).
 Liveness is probed with ``os.kill(pid, 0)`` — portable (no Linux-only
 ``/proc``) and distinguishing "no such process" (ProcessLookupError =>
 dead) from "alive but not ours" (PermissionError => alive) — and is
-additionally gated on directory AGE, because pids recycle: a young dir
-whose pid now belongs to an unrelated live process must not block
-cleanup forever, and conversely a dir younger than the threshold is
-never swept even if its pid looks dead (ADVICE r4).
+additionally gated on directory AGE, because pids recycle: a dir
+younger than the threshold is never swept even if its pid looks dead
+(a crashed-and-restarted harness may still want it), and an old dir is
+swept only once its pid probe says dead — an old dir whose recycled
+pid happens to be live again is deliberately left alone (conservative:
+it may be a genuinely long-running harness) and falls to a later sweep
+once that process exits (ADVICE r4).
 """
 
 from __future__ import annotations
@@ -38,9 +41,11 @@ def sweep_dead_scratch(
 ) -> None:
     """Remove ``root``'s entries matching ``prefixes`` whose trailing
     ``_<pid>`` component names a dead process, skipping our own pid and
-    anything modified within ``min_age_s`` (PID-reuse tolerance: an old
-    enough dir is stale even if its recycled pid is now live, and a
-    young dir is plausibly mid-run even if its pid probe misfires)."""
+    anything modified within ``min_age_s``. A young dir is never swept
+    even if its pid looks dead (a restarted harness may reclaim it); an
+    old dir whose recycled pid is live again is deliberately left to a
+    later sweep — conservative against deleting a long-running
+    harness's state."""
     import time
 
     now = time.time()
