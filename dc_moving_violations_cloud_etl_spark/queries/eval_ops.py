@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from .. import caching
+from ..expressions import wide_product
 from ..operators.ranking import global_topk
 from ..operators.text import STOPWORDS, normalized, tokens
 from .datasel_ops import NB_SCORED_CTE, nb_scored
@@ -997,7 +998,11 @@ def _auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "lang", tokens(normalized(F.col("text"))).alias("t")
     )
     scored = d.select(
-        (F.col("lang") == "en").cast("int").alias("y"),
+        # when/otherwise, not a bare boolean cast: a NULL lang must land
+        # in the NEGATIVE class (the twin's CASE ... ELSE 0) — the cast
+        # form made y NULL and silently dropped the doc from BOTH
+        # n_pos and n_neg (r11 dirty-fixture audit)
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("y"),
         (
             F.size(F.filter("t", lambda t: t.isin(*STOPWORDS))).cast("double")
             / F.size("t").cast("double")
@@ -1033,7 +1038,11 @@ def _auc_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             # must report NULL (DuckDB's x/0), not die under ANSI
             F.try_divide(
                 (
-                    F.sum((F.col("np_s") * F.col("mid2")).cast("decimal(38,0)"))
+                    # wide_product, not multiply-then-widen: np_s * mid2
+                    # in long wraps/errors once the rank-sum crosses
+                    # 2^63 (~3e9 docs) — widen ONE factor so the
+                    # product itself is DECIMAL(38,0) (ADVICE r10)
+                    F.sum(wide_product(F.col("np_s"), F.col("mid2")))
                     .cast("double")
                     / 2.0
                 )
@@ -1076,7 +1085,7 @@ mid AS (
 )
 SELECT CAST(sum(np_s) AS BIGINT) AS n_pos,
        CAST(sum(nn_s) AS BIGINT) AS n_neg,
-       round(((CAST(sum(np_s * mid2) AS DOUBLE) / 2.0)
+       round(((CAST(sum(CAST(np_s AS HUGEINT) * mid2) AS DOUBLE) / 2.0)
               - (CAST(sum(np_s) AS DOUBLE) * (CAST(sum(np_s) AS DOUBLE) + 1.0)
                  / 2.0))
              / (CAST(sum(np_s) AS DOUBLE) * CAST(sum(nn_s) AS DOUBLE)),

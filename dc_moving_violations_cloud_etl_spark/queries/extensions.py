@@ -840,7 +840,16 @@ ORDER BY user_id, session_start
 def _json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Semi-structured JSON handling (the reference's source boundary is
     JSON APIs, SURVEY.md §1.1.4): parse the ``props`` JSON column with
-    ``from_json`` and aggregate the typed field per event_type."""
+    ``from_json`` and aggregate the typed field per event_type.
+
+    ``from_json`` with a typed ``k BIGINT`` schema is the STRICTEST of
+    the three JSON read paths (measured r11): ONLY bare JSON integral
+    numbers parse — doubles (12.7, 12.0, 1e3), strings ("12", " 12 "),
+    and booleans are all NULL, unlike ``get_json_object().try_cast``
+    (integral strings cast) and ``try_variant_get`` (doubles truncate,
+    bools map). The twin therefore gates on ``json_type IN
+    ('BIGINT','UBIGINT')`` rather than the varchar-regex guard the
+    try_cast twins use (ADVICE r10 dirty-fixture alignment)."""
     ev = catalog.base(spark, sf_dir, "events")
     k = F.from_json("props", "k BIGINT").getField("k")
     return (
@@ -870,7 +879,10 @@ SELECT event_type,
        max(k) AS k_max
 FROM (
   SELECT event_type,
-         TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+         CASE WHEN json_valid(props)
+                   AND json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+              THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
   FROM events
 )
 GROUP BY event_type ORDER BY event_type

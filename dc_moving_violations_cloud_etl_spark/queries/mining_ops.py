@@ -146,7 +146,7 @@ register(
         _triangle_census,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -686,9 +686,9 @@ register(
 WITH x AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS x,
-         TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS y
+         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS y
   FROM events
-  WHERE TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -766,9 +766,21 @@ def pagerank_undirected(
     if n_nodes == 0:
         # empty edge list: the uniform init 1.0/n_nodes is a DRIVER-side
         # Python division — guard it and return the empty rank vector a
-        # no-edges day legitimately produces, instead of ZeroDivisionError
+        # no-edges day legitimately produces, instead of ZeroDivisionError.
+        # The node type is DERIVED from the caller's edge schema (string
+        # ids are as legitimate as longs for a generic edge list): a
+        # hardcoded 'node long' gave the empty branch a different schema
+        # from the non-empty one (ADVICE r10).
+        from pyspark.sql.types import DoubleType, StructField, StructType
+
         return edges.sparkSession.createDataFrame(
-            [], "node long, r double"
+            [],
+            StructType(
+                [
+                    StructField("node", edges.schema["u"].dataType),
+                    StructField("r", DoubleType()),
+                ]
+            ),
         )
     ranks = (
         out.select(F.col("src").alias("node"))
@@ -797,7 +809,7 @@ register(
         _pagerank_coclick,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1290,7 +1302,7 @@ register(
         _cc_incremental,
         """
 WITH RECURSIVE uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1633,7 +1645,7 @@ register(
         _bfs_seed_distance,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1937,7 +1949,7 @@ register(
         _label_propagation,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -2042,7 +2054,7 @@ register(
         _degree_assortativity,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -2160,7 +2172,7 @@ def _kcore_sql() -> str:
     parts = [
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),

@@ -32,10 +32,18 @@ def _variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     parses once into a binary encoding; repeated path reads are
     structural lookups — the right shape when many expressions touch
     the same semi-structured column at 100 TB. The try_ variants make
-    malformed JSON / non-numeric path values NULL (the DuckDB twin's
-    json_valid + TRY_CAST posture) instead of failing the scan — the
-    strict forms raise under ANSI the moment one dirty payload appears
-    (r10 dirty-fixture audit)."""
+    malformed JSON / non-path values NULL instead of failing the scan —
+    the strict forms raise under ANSI the moment one dirty payload
+    appears (r10 dirty-fixture audit).
+
+    ``try_variant_get(v, path, 'long')`` has RICHER coercion than the
+    string-side ``get_json_object(...).try_cast('long')`` (measured on
+    Spark 4.1, r11): JSON doubles truncate toward zero (12.7 → 12,
+    -3.9 → -3; overflow → NULL), booleans map to 1/0, and integral
+    STRINGS cast (" 12 " → 12) while non-integral strings ("12.7") are
+    NULL. The DuckDB twin mirrors each branch off ``json_type`` — a
+    bare TRY_CAST twin diverges because DuckDB ROUNDS varchar → BIGINT
+    (12.7 → 13, ADVICE r10)."""
     ev = catalog.base(spark, sf_dir, "events").select(
         "event_type", F.try_parse_json("props").alias("v")
     )
@@ -59,13 +67,27 @@ register(
         """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
-       CAST(sum(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))
-            AS BIGINT) AS k_sum,
-       CAST(min(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))
-            AS BIGINT) AS k_min,
-       CAST(max(TRY_CAST(CASE WHEN json_valid(props) THEN json_extract_string(props, '$.k') END AS BIGINT))
-            AS BIGINT) AS k_max
-FROM events
+       CAST(sum(k) AS BIGINT) AS k_sum,
+       CAST(min(k) AS BIGINT) AS k_min,
+       CAST(max(k) AS BIGINT) AS k_max
+FROM (
+  SELECT event_type,
+         CASE
+           WHEN NOT json_valid(props) THEN NULL
+           WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+           WHEN json_type(props, '$.k') = 'DOUBLE'
+             THEN TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k') AS DOUBLE)) AS BIGINT)
+           WHEN json_type(props, '$.k') = 'BOOLEAN'
+             THEN (CASE json_extract_string(props, '$.k')
+                   WHEN 'true' THEN 1 WHEN 'false' THEN 0 END)
+           WHEN json_type(props, '$.k') = 'VARCHAR'
+                AND regexp_matches(json_extract_string(props, '$.k'),
+                                   '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$')
+             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+         END AS k
+  FROM events
+)
 GROUP BY event_type ORDER BY event_type
 """,
         doc="VARIANT semi-structured pipeline: parse_json once into the "

@@ -2,27 +2,83 @@
 (r10 dirty-fixture audit, tools/dirty_fixture.py): Spark 4's default
 ANSI mode turns ``CAST('abc' AS BIGINT)`` into a query-killing error and
 FAILFAST/strict JSON parsing raises on malformed payloads, while the
-DuckDB twins' ``json_valid`` + ``TRY_CAST`` posture yields NULL. These
-tests pin the tolerant path on crafted rows without staging a fixture.
+DuckDB twins' ``json_valid`` + ``TRY_CAST`` posture yields NULL.
+
+r11 (ADVICE r10): NULL-degradation alone is not enough — the engines
+must agree on VALUES too. A bare DuckDB ``TRY_CAST(varchar AS BIGINT)``
+ROUNDS non-integral numerics (``'12.7'`` → 13) where Spark's ANSI
+``try_cast`` yields NULL, so every ``props.$.k`` twin guards the cast
+with an integral regex; and ``try_variant_get(..., 'long')`` has its
+own coercion table (doubles truncate toward zero, booleans → 1/0,
+integral strings cast) that the VARIANT twin mirrors branch-for-branch
+off ``json_type``. These tests pin BOTH coercion tables row-for-row on
+a 20-value battery, on both engines, without staging a fixture.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import functions as F
 
-_ROWS = [
-    (1, '{"k": 12}'),
-    (2, '{"k": "abc"}'),  # non-numeric path value: ANSI cast trap
-    (3, "{not json"),  # malformed payload: strict-parse trap
-    (4, None),
+# (event_id, props, expected get_json_object+try_cast('long'),
+#  expected try_variant_get(..., 'long')) — expectations measured on
+# Spark 4.1 (r11 session) and pinned here so an engine upgrade that
+# shifts either coercion table fails loudly.
+_BATTERY = [
+    (1, '{"k": 12}', 12, 12),
+    (2, '{"k": "abc"}', None, None),  # non-numeric string: ANSI trap
+    (3, "{not json", None, None),  # malformed payload: strict-parse trap
+    (4, None, None, None),
+    (5, '{"k": 12.7}', None, 12),  # DuckDB bare TRY_CAST would say 13
+    (6, '{"k": -3.9}', None, -3),  # variant truncates toward zero
+    (7, '{"k": 12.0}', None, 12),
+    (8, '{"k": 1e3}', None, 1000),  # get_json_object serializes '1000.0'
+    (9, '{"k": "12.7"}', None, None),  # strings never round/truncate
+    (10, '{"k": " 12 "}', 12, 12),  # both paths trim integral strings
+    (11, '{"k": "+5"}', 5, 5),
+    (12, '{"k": "007"}', 7, 7),
+    (13, '{"k": true}', None, 1),  # variant-only boolean coercion
+    (14, '{"k": false}', None, 0),
+    (15, '{"k": null}', None, None),
+    (16, '{"k": 9.9e25}', None, None),  # double overflow → NULL
+    (17, '{"k": 9223372036854775807}', 9223372036854775807, 9223372036854775807),
+    (18, '{"k": "99999999999999999999"}', None, None),  # str overflow
+    (19, '{"k": [1]}', None, None),  # non-scalar path values
+    (20, "{}", None, None),  # missing key
 ]
+
+# the guarded varchar spell every props.$.k oracle twin now uses
+GUARDED_CAST_SQL = (
+    "TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches("
+    "json_extract_string(props, '$.k'), "
+    "'^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') "
+    "THEN json_extract_string(props, '$.k') END AS BIGINT)"
+)
+
+# the VARIANT-twin mirror: one branch per json_type, matching
+# try_variant_get's measured coercion (modern_sql.py)
+VARIANT_MIRROR_SQL = """CASE
+  WHEN NOT json_valid(props) THEN NULL
+  WHEN json_type(props, '$.k') IN ('BIGINT', 'UBIGINT')
+    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+  WHEN json_type(props, '$.k') = 'DOUBLE'
+    THEN TRY_CAST(trunc(TRY_CAST(json_extract_string(props, '$.k')
+                                 AS DOUBLE)) AS BIGINT)
+  WHEN json_type(props, '$.k') = 'BOOLEAN'
+    THEN (CASE json_extract_string(props, '$.k')
+          WHEN 'true' THEN 1 WHEN 'false' THEN 0 END)
+  WHEN json_type(props, '$.k') = 'VARCHAR'
+       AND regexp_matches(json_extract_string(props, '$.k'),
+                          '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$')
+    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+END"""
 
 
 def _df(spark):
-    return spark.createDataFrame(_ROWS, "event_id long, props string")
+    rows = [(i, p) for i, p, _, _ in _BATTERY]
+    return spark.createDataFrame(rows, "event_id long, props string")
 
 
-def test_get_json_object_try_cast_degrades_to_null(spark):
+def test_get_json_object_try_cast_battery(spark):
     out = {
         r["event_id"]: r["k"]
         for r in _df(spark)
@@ -32,10 +88,36 @@ def test_get_json_object_try_cast_degrades_to_null(spark):
         )
         .collect()
     }
-    assert out == {1: 12, 2: None, 3: None, 4: None}
+    assert out == {i: exp for i, _, exp, _ in _BATTERY}
 
 
-def test_try_variant_path_degrades_to_null(spark):
+def test_from_json_typed_schema_battery(spark):
+    """``from_json('k BIGINT')`` is the STRICTEST read path: only bare
+    JSON integral numbers parse — doubles, numeric strings, and
+    booleans are all NULL (measured r11). Its twin gates on
+    ``json_type IN ('BIGINT','UBIGINT')`` (events_json_extract)."""
+    # only the two bare-integer payloads (ids 1, 17) parse
+    exp = {i: None for i, _, _, _ in _BATTERY}
+    exp[1], exp[17] = 12, 9223372036854775807
+    out = {
+        r["event_id"]: r["k"]
+        for r in _df(spark)
+        .select(
+            "event_id",
+            F.from_json("props", "k BIGINT").getField("k").alias("k"),
+        )
+        .collect()
+    }
+    assert out == exp
+    # and the DuckDB json_type gate agrees
+    assert _duckdb_battery(
+        "CASE WHEN json_valid(props) AND json_type(props, '$.k') IN "
+        "('BIGINT', 'UBIGINT') THEN TRY_CAST(json_extract_string(props, "
+        "'$.k') AS BIGINT) END"
+    ) == exp
+
+
+def test_try_variant_path_battery(spark):
     out = {
         r["event_id"]: r["k"]
         for r in _df(spark)
@@ -47,24 +129,44 @@ def test_try_variant_path_degrades_to_null(spark):
         )
         .collect()
     }
-    assert out == {1: 12, 2: None, 3: None, 4: None}
+    assert out == {i: exp for i, _, _, exp in _BATTERY}
 
 
-def test_duckdb_twin_spell_matches(spark):
-    """The oracle-side spell — json_valid guard + TRY_CAST — must agree
-    with the Spark tolerant path row for row."""
+def _duckdb_battery(spell: str) -> dict:
     import duckdb
 
     con = duckdb.connect()
-    got = dict(
-        con.execute(
-            """
-SELECT event_id,
-       TRY_CAST(CASE WHEN json_valid(props)
-                     THEN json_extract_string(props, '$.k') END AS BIGINT)
-FROM (VALUES (1, '{"k": 12}'), (2, '{"k": "abc"}'),
-             (3, '{not json'), (4, NULL)) t(event_id, props)
-"""
-        ).fetchall()
+    got = {}
+    for i, props, _, _ in _BATTERY:
+        got[i] = con.execute(
+            f"SELECT {spell} FROM (SELECT ?::VARCHAR AS props)", [props]
+        ).fetchone()[0]
+    return got
+
+
+def test_duckdb_guarded_cast_matches_spark_try_cast():
+    """The guarded oracle spell must agree with Spark ``try_cast`` on
+    every battery value — including the non-integral numerics a bare
+    TRY_CAST would round (ADVICE r10)."""
+    assert _duckdb_battery(GUARDED_CAST_SQL) == {
+        i: exp for i, _, exp, _ in _BATTERY
+    }
+
+
+def test_duckdb_variant_mirror_matches_try_variant_get():
+    assert _duckdb_battery(VARIANT_MIRROR_SQL) == {
+        i: exp for i, _, _, exp in _BATTERY
+    }
+
+
+def test_no_unguarded_props_cast_in_registered_oracles():
+    """No registered oracle may regress to the bare rounding TRY_CAST:
+    every json_valid(props) cast guard must carry the integral-regex (or
+    sit inside the VARIANT json_type mirror)."""
+    from dc_moving_violations_cloud_etl_spark.queries.registry import (
+        get_oracles,
     )
-    assert got == {1: 12, 2: None, 3: None, 4: None}
+
+    bare = "WHEN json_valid(props) THEN json_extract_string"
+    offenders = [n for n, sql in get_oracles().items() if bare in sql]
+    assert not offenders, f"unguarded props casts: {offenders}"

@@ -140,3 +140,22 @@ def test_pagerank_empty_graph_returns_empty_not_zerodivision(spark):
     out = pagerank_undirected(edges, n_iter=2)
     assert out.collect() == []
     assert [f.name for f in out.schema.fields] == ["node", "r"]
+
+
+def test_pagerank_empty_graph_derives_node_type_from_edges(spark):
+    """pagerank_undirected is generic over the edge-id type: the empty
+    branch must carry the CALLER's node type (here string), not a
+    hardcoded long, so empty and non-empty days union cleanly
+    (ADVICE r10)."""
+    from pyspark.sql.types import DoubleType, StringType
+
+    edges = spark.createDataFrame([], "u string, v string")
+    out = pagerank_undirected(edges, n_iter=2)
+    assert out.collect() == []
+    assert out.schema["node"].dataType == StringType()
+    assert out.schema["r"].dataType == DoubleType()
+    # and the empty-day frame unions with a populated-day result
+    populated = pagerank_undirected(
+        spark.createDataFrame([("a", "b")], "u string, v string"), n_iter=1
+    )
+    assert out.unionByName(populated).count() == 2

@@ -7,7 +7,14 @@ clean fixture's implicit contracts —
 - embeddings: all-zero vector, ragged (<64-dim) vector, NULL embedding,
   NULL label;
 - events: NULL value/props/user_id/event_type, malformed JSON props,
-  non-numeric ``$.k``.
+  non-numeric ``$.k``, and (r11, ADVICE r10) numeric-but-non-integral
+  ``$.k`` payloads — ``12.7`` / ``1e3`` / ``true`` / ``" 12 "`` /
+  ``"12.7"`` / ``-3.9`` — where a bare DuckDB ``TRY_CAST(... AS
+  BIGINT)`` ROUNDS the string (12.7 → 13) while Spark's ANSI
+  ``try_cast`` yields NULL and ``try_variant_get`` truncates toward
+  zero (12.7 → 12): every ``props.$.k`` twin now guards the varchar
+  cast with an integral regex, and the VARIANT twin branches on
+  ``json_type`` (modern_sql.py).
 
 Usage:  python tools/dirty_fixture.py [/tmp/dirty_sf]
 Then:   python tools/driver_sim.py /tmp/dirty_sf [query ...]
@@ -17,7 +24,17 @@ where the other returns rows (Spark 4's default ANSI mode turns
 overflow / x0 division / bad casts / OOB element_at into query-killing
 errors; DuckDB's json_extract_string raises on malformed JSON). Value
 divergences on out-of-contract rows are possible and tolerated — the
-graded oracle contract is the clean fixture's domain. The r10 audit
+graded oracle contract is the clean fixture's domain.
+
+Known tolerated divergence (r11): ``graph_pagerank_coclick`` on THIS
+fixture differs in ONE row's 8th decimal (0.21770313 vs 0.21770312).
+The tiny dirty graph produces dyadic rank values that land EXACTLY on
+the 8dp rounding boundary (Spark's unrounded double is exactly
+0.217703125), so the engines' ~1e-15 accumulation-order drift — far
+inside the rounding quantum everywhere else — straddles the edge.
+Irreducible without exact arithmetic; clean-fixture certification is
+unaffected (boundary-exact doubles do not arise from /n_nodes scaling
+on real graph sizes). The r10 audit
 drove: try_divide/try_element_at across the cosine-ANN family,
 try_cast on every ``props.$.k`` read (json_valid + TRY_CAST in the
 twins), try_parse_json/try_variant_get in the VARIANT path, the PCA
@@ -92,7 +109,19 @@ def build(dst: str) -> None:
     (900003, TIMESTAMP '2024-01-05 10:02:00', 42, NULL, 2.5,
      '{{"k": "abc"}}'),
     (900004, TIMESTAMP '2024-01-06 11:00:00', 7, 'purchase', -3.0,
-     '{{"k": 12}}')
+     '{{"k": 12}}'),
+    (900005, TIMESTAMP '2024-01-06 11:01:00', 7, 'click', 1.0,
+     '{{"k": 12.7}}'),
+    (900006, TIMESTAMP '2024-01-06 11:02:00', 42, 'click', 2.0,
+     '{{"k": "12.7"}}'),
+    (900007, TIMESTAMP '2024-01-06 11:03:00', 42, 'purchase', 3.0,
+     '{{"k": 1e3}}'),
+    (900008, TIMESTAMP '2024-01-06 11:04:00', 9, 'click', 4.0,
+     '{{"k": true}}'),
+    (900009, TIMESTAMP '2024-01-06 11:05:00', 9, 'click', 5.0,
+     '{{"k": " 12 "}}'),
+    (900010, TIMESTAMP '2024-01-06 11:06:00', 11, 'click', 6.0,
+     '{{"k": -3.9}}')
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
     )
