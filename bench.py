@@ -24,6 +24,25 @@ round 9 from cold single-pass to WARM median-of-3 — pass 1 absorbs
 one-time costs (scratch sweep, fixture staging) that passes 2-3 skip —
 so r9+ streaming totals are not comparable to r1-r8 without that caveat
 (carried in the summary as ``stream_timing``).
+
+CONTAMINATION ACCEPTANCE GATE (r11, VERDICT r10 rec #1): the official
+r10 artifact captured a load-contaminated pass — every query ~1.7x slow
+vs five same-day calibrated passes with zero code delta — and the
+start/end probes (in band) bracketed but never SAMPLED the ~10-minute
+window. Two defenses now:
+
+1. MID-RUN probes: the CPU calibration probe also runs between query
+   groups (after headline, after extensions), recorded as
+   ``calib_mid_sec`` — a contention window inside the run is visible.
+2. ACCEPTANCE gate: after the measured pass, the three group totals
+   (headline ``value`` / ``extensions_total`` / ``streaming_total``)
+   are compared against the per-group MEDIANS of the most recent
+   comparable passes in BENCH_DETAIL_history.jsonl (same sf, >= 3
+   passes). If any group exceeds its history median by > 25%, the whole
+   measurement re-runs ONCE; the pass with the smaller worst-group
+   ratio becomes the official record and BOTH passes land in the
+   history with ``accepted``/``contaminated`` flags. The summary
+   carries the machine-readable ``accept`` record either way.
 """
 
 from __future__ import annotations
@@ -112,6 +131,108 @@ def median_of_completed(
     ]
 
 
+def extensions_total_of(entry: dict, headline: list[str]) -> float:
+    """Extension-group wall-clock of one detail/history entry: the sum
+    of its per-query timings that are neither headline nor streaming.
+    History lines predate the summary's precomputed ``extensions_total``
+    field, so the gate recomputes it uniformly from the queries map."""
+    hl = set(headline)
+    return round(
+        sum(
+            v
+            for n, v in entry.get("queries", {}).items()
+            if n not in hl and not n.startswith("stream_")
+        ),
+        4,
+    )
+
+
+def history_group_medians(
+    history_path: str,
+    sf: float,
+    headline: list[str],
+    min_passes: int = 3,
+    max_passes: int = 6,
+) -> dict | None:
+    """Per-group medians (value / extensions_total / streaming_total) of
+    the most recent comparable history passes: same sf, not flagged
+    contaminated, complete groups. Returns None when fewer than
+    ``min_passes`` comparable passes exist — the gate then accepts
+    unconditionally (nothing trustworthy to diff against)."""
+    entries = []
+    try:
+        with open(history_path) as f:
+            for line in f:
+                line = line.strip()
+                if not line:
+                    continue
+                try:
+                    e = json.loads(line)
+                except ValueError:
+                    continue
+                if (
+                    e.get("sf") == sf
+                    and not e.get("contaminated")
+                    and isinstance(e.get("value"), (int, float))
+                    and isinstance(e.get("streaming_total"), (int, float))
+                    and e.get("queries")
+                ):
+                    entries.append(e)
+    except OSError:
+        return None
+    entries = entries[-max_passes:]
+    if len(entries) < min_passes:
+        return None
+
+    def med(vals: list[float]) -> float:
+        vals = sorted(vals)
+        n = len(vals)
+        return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+
+    return {
+        "value": med([e["value"] for e in entries]),
+        "extensions_total": med(
+            [extensions_total_of(e, headline) for e in entries]
+        ),
+        "streaming_total": med([e["streaming_total"] for e in entries]),
+        "n_passes": len(entries),
+    }
+
+
+def gate_deviations(
+    groups: dict, medians: dict | None, threshold: float = 1.25
+) -> dict:
+    """Group totals exceeding their history median by more than
+    ``threshold`` (slow direction only — a faster-than-history pass is
+    a better record, not a contaminated one). Returns {group: ratio};
+    empty dict = pass accepted. Pure so the gate is unit-testable."""
+    if not medians:
+        return {}
+    out = {}
+    for g in ("value", "extensions_total", "streaming_total"):
+        base = medians.get(g)
+        cur = groups.get(g)
+        if not base or cur is None:
+            continue
+        ratio = cur / base
+        if ratio > threshold:
+            out[g] = round(ratio, 3)
+    return out
+
+
+def worst_ratio(groups: dict, medians: dict | None) -> float:
+    """Max group ratio vs history medians — the retry winner is the
+    pass with the SMALLER worst-group ratio."""
+    if not medians:
+        return 0.0
+    ratios = [
+        groups[g] / medians[g]
+        for g in ("value", "extensions_total", "streaming_total")
+        if medians.get(g) and groups.get(g) is not None
+    ]
+    return max(ratios) if ratios else 0.0
+
+
 def build_summary(
     out: dict,
     names: list[str],
@@ -141,12 +262,20 @@ def build_summary(
         # reasons in the detail file's degraded_medians map)
         "n_degraded_medians": len(out.get("degraded_medians", {})),
         "calib_start_sec": out.get("calib_start_sec"),
+        # mid-run probes (after headline / after extensions): a
+        # contention window INSIDE the run is visible, not just at the
+        # bracket (VERDICT r10 rec #1)
+        "calib_mid_sec": out.get("calib_mid_sec"),
         "calib_end_sec": out.get("calib_end_sec"),
         "sf": out["sf"],
         "detail": detail_path,
         # streaming_total is a WARM median-of-3 since r9; r1-r8 were
         # cold single-pass (ADVICE r9 measurement-semantics note)
         "stream_timing": "warm_median3_since_r9",
+        # machine-readable acceptance-gate record (r11): status +
+        # ratios; on a retried run the losing pass stays in the history
+        # file flagged contaminated
+        "accept": out.get("accept"),
     }
 
 
@@ -227,71 +356,156 @@ def main() -> None:
     except Exception as exc:  # noqa: BLE001 - warmup is best-effort
         print(f"warmup failed: {exc!r}", file=sys.stderr)
 
+    out = measure(spark, queries, names, extras, streaming, sf_dir)
+
+    # ── acceptance gate (VERDICT r10 rec #1) ──────────────────────────
+    here = os.path.dirname(os.path.abspath(__file__))
+    history_path = os.path.join(here, "BENCH_DETAIL_history.jsonl")
+    medians = history_group_medians(history_path, sf, names)
+    groups1 = {
+        "value": out["value"],
+        "extensions_total": extensions_total_of(out, names),
+        "streaming_total": out["streaming_total"],
+    }
+    dev1 = gate_deviations(groups1, medians)
+    rejected = None
+    if not medians:
+        out["accept"] = {"status": "no_history"}
+    elif not dev1:
+        out["accept"] = {
+            "status": "ok",
+            "worst_ratio": round(worst_ratio(groups1, medians), 3),
+        }
+    else:
+        # the measured pass is >25% above the history median on at
+        # least one group: re-run ONCE and keep the pass with the
+        # smaller worst-group ratio; the loser is recorded in the
+        # history flagged contaminated, never silently dropped
+        print(
+            f"acceptance gate: deviant groups {dev1} vs history medians "
+            f"({medians['n_passes']} passes) — re-running once",
+            file=sys.stderr,
+        )
+        out2 = measure(spark, queries, names, extras, streaming, sf_dir)
+        groups2 = {
+            "value": out2["value"],
+            "extensions_total": extensions_total_of(out2, names),
+            "streaming_total": out2["streaming_total"],
+        }
+        w1, w2 = worst_ratio(groups1, medians), worst_ratio(groups2, medians)
+        if w2 <= w1:
+            rejected, out = out, out2
+            kept_groups = groups2
+        else:
+            rejected = out2
+            kept_groups = groups1
+        out["accept"] = {
+            "status": "retried",
+            "first_deviations": dev1,
+            "kept": "rerun" if rejected is not out2 else "first",
+            "kept_worst_ratio": round(min(w1, w2), 3),
+            # both passes deviant → likely sustained load; the record
+            # says so instead of pretending the retry cleaned it
+            "kept_still_deviant": bool(gate_deviations(kept_groups, medians)),
+        }
+        rejected["contaminated"] = True
+        rejected["accepted"] = False
+
+    calib_end = load_calibration()
+    out["calib_start_sec"] = calib_start
+    out["calib_end_sec"] = calib_end
+    out["sf"] = sf
+    write_records(out, rejected, names, extras, here, history_path)
+
+
+def measure(
+    spark,
+    queries: dict,
+    names: list[str],
+    extras: list[str],
+    streaming: list[str],
+    sf_dir: str,
+) -> dict:
+    """One full measured pass over the three query groups, with a
+    mid-run calibration probe after each of the first two groups
+    (``calib_mid_sec``) so host contention INSIDE the ~10-minute run is
+    sampled, not just bracketed (VERDICT r10 rec #1)."""
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     degraded: dict[str, str] = {}  # median-of-3 queries that fell back
     total = 0.0
     streaming_total = 0.0
-    for name in names + extras + streaming:
-        t0 = time.perf_counter()
-        try:
-            queries[name](spark, sf_dir).collect()
-            dt = time.perf_counter() - t0
-            if name in names:
-                # headline queries: MEDIAN of THREE timed passes — the
-                # r6 record showed Qf/Qg/Qh drifting up 1.34-1.41x
-                # together with unchanged plans, i.e. session-load noise
-                # is the dominant term in a ~4 s headline (VERDICT r6
-                # rec #3). min-of-2 still let one loaded pass pair with
-                # one quiet pass; the median of three discards BOTH the
-                # one-off spike and the one-off lucky pass, making the
-                # headline reproducible across rounds for ~8 s extra
-                # bench cost. Extension timings stay single-pass (they
-                # only feed an informational total); streaming timings
-                # are median-of-3 since r9 (see the streaming branch).
-                dt = median_of_completed(
-                    dt,
-                    lambda: queries[name](spark, sf_dir).collect(),
-                    degraded=degraded,
-                    name=name,
-                )
-                total += dt
-            elif name in streaming:
-                # streaming lifecycle timings: ALSO median-of-3. Each
-                # drives a real micro-batch lifecycle (checkpoint dir +
-                # sink setup), whose wall time proved the single
-                # noisiest block on the official record — r7 +28% and
-                # r8 -39% with zero streaming code changes (VERDICT r7
-                # rec #3 / r8 rec #4). The ~2x extra bench cost buys a
-                # streaming_total that moves with code, not with host
-                # load; residual session drift is visible in the
-                # calib_start/end probes. NOTE: this median is WARM
-                # (pass 1 absorbs scratch-sweep/fixture one-time costs
-                # that passes 2-3 skip) — r1-r8 recorded cold
-                # single-pass streaming totals, so cross-era
-                # comparisons must carry that caveat (ADVICE r9).
-                dt = median_of_completed(
-                    dt,
-                    lambda: queries[name](spark, sf_dir).collect(),
-                    degraded=degraded,
-                    name=name,
-                )
-                streaming_total += dt
-            per_query[name] = round(dt, 4)
-        except Exception as exc:  # noqa: BLE001 - record, keep measuring
-            errors[name] = f"{type(exc).__name__}: {exc}"[:300]
-        finally:
-            if name not in names:
-                # per-query cache isolation for the extension operators:
-                # tracked sketch persists (MinHash signatures, IVF
-                # centroids, …) are one query's working set — left pinned
-                # they crowd execution memory for every later query (the
-                # in-bench vs solo gap measured in round 3: 21.6 s vs
-                # 3.1 s for tfidf). The shared fact/dim materializations
-                # (catalog._MATERIALIZED) stay cached. Runs in finally so
-                # a RAISING query cannot leave its persists pinned and
-                # contaminate every later timing (ADVICE r3).
-                caching.release_tracked()
+    calib_mid: list[float] = []
+    for gi, group in enumerate((names, extras, streaming)):
+        for name in group:
+            t0 = time.perf_counter()
+            try:
+                queries[name](spark, sf_dir).collect()
+                dt = time.perf_counter() - t0
+                if name in names:
+                    # headline queries: MEDIAN of THREE timed passes —
+                    # the r6 record showed Qf/Qg/Qh drifting up
+                    # 1.34-1.41x together with unchanged plans, i.e.
+                    # session-load noise is the dominant term in a ~4 s
+                    # headline (VERDICT r6 rec #3). min-of-2 still let
+                    # one loaded pass pair with one quiet pass; the
+                    # median of three discards BOTH the one-off spike
+                    # and the one-off lucky pass, making the headline
+                    # reproducible across rounds for ~8 s extra bench
+                    # cost. Extension timings stay single-pass (they
+                    # only feed an informational total); streaming
+                    # timings are median-of-3 since r9 (below).
+                    dt = median_of_completed(
+                        dt,
+                        lambda: queries[name](spark, sf_dir).collect(),
+                        degraded=degraded,
+                        name=name,
+                    )
+                    total += dt
+                elif name in streaming:
+                    # streaming lifecycle timings: ALSO median-of-3.
+                    # Each drives a real micro-batch lifecycle
+                    # (checkpoint dir + sink setup), whose wall time
+                    # proved the single noisiest block on the official
+                    # record — r7 +28% and r8 -39% with zero streaming
+                    # code changes (VERDICT r7 rec #3 / r8 rec #4). The
+                    # ~2x extra bench cost buys a streaming_total that
+                    # moves with code, not with host load; residual
+                    # session drift is visible in the calibration
+                    # probes. NOTE: this median is WARM (pass 1 absorbs
+                    # scratch-sweep/fixture one-time costs that passes
+                    # 2-3 skip) — r1-r8 recorded cold single-pass
+                    # streaming totals, so cross-era comparisons must
+                    # carry that caveat (ADVICE r9).
+                    dt = median_of_completed(
+                        dt,
+                        lambda: queries[name](spark, sf_dir).collect(),
+                        degraded=degraded,
+                        name=name,
+                    )
+                    streaming_total += dt
+                per_query[name] = round(dt, 4)
+            except Exception as exc:  # noqa: BLE001 - record, keep going
+                errors[name] = f"{type(exc).__name__}: {exc}"[:300]
+            finally:
+                if name not in names:
+                    # per-query cache isolation for the extension
+                    # operators: tracked sketch persists (MinHash
+                    # signatures, IVF centroids, …) are one query's
+                    # working set — left pinned they crowd execution
+                    # memory for every later query (the in-bench vs
+                    # solo gap measured in round 3: 21.6 s vs 3.1 s for
+                    # tfidf). The shared fact/dim materializations
+                    # (catalog._MATERIALIZED) stay cached. Runs in
+                    # finally so a RAISING query cannot leave its
+                    # persists pinned and contaminate every later
+                    # timing (ADVICE r3).
+                    caching.release_tracked()
+        if gi < 2:
+            # mid-run probe at the group boundary (headline→extensions,
+            # extensions→streaming): samples the middle of the run the
+            # start/end bracket cannot see (VERDICT r10 rec #1)
+            calib_mid.append(load_calibration())
 
     # cache-release hook: a bench run must end with no cached relations
     # (persisted fact/dim/sketch tables are session-local working set,
@@ -308,42 +522,58 @@ def main() -> None:
         "unit": "sec",
         "queries": per_query,
         "streaming_total": round(streaming_total, 4),
-        "calib_start_sec": calib_start,
-        "calib_end_sec": load_calibration(),
-        "sf": sf,
+        "calib_mid_sec": calib_mid,
     }
     if errors:
         out["errors"] = errors
     if degraded:
         out["degraded_medians"] = degraded
+    return out
 
-    # The driver keeps only the LAST ~2000 bytes of stdout; round 3's
-    # single big JSON line lost its head (the headline "value") to that
-    # truncation. Emit the full per-query record FIRST (and to a detail
-    # file), then end stdout with a SHORT headline line (< ~1.5 kB:
-    # metric/value/unit, the 11 reference per-query times, streaming and
-    # extension totals, error count) that always survives the tail cut.
-    #
-    # The detail file lives IN THE REPO (next to this script) so the
-    # end-of-round snapshot commits it — /tmp copies died with the
-    # session, which made the r9 +20% extensions_total drift
-    # unattributable (VERDICT r9 rec #2). Every run also appends one
-    # timestamped line to BENCH_DETAIL_history.jsonl so successive
-    # in-round runs never overwrite each other.
-    here = os.path.dirname(os.path.abspath(__file__))
+
+def write_records(
+    out: dict,
+    rejected: dict | None,
+    names: list[str],
+    extras: list[str],
+    here: str,
+    history_path: str,
+) -> None:
+    """Durable + stdout records for the accepted pass (and the rejected
+    one, if the acceptance gate re-ran).
+
+    The driver keeps only the LAST ~2000 bytes of stdout; round 3's
+    single big JSON line lost its head (the headline "value") to that
+    truncation. Emit the full per-query record FIRST (and to a detail
+    file), then end stdout with a SHORT headline line (< ~1.5 kB) that
+    always survives the tail cut.
+
+    The detail file lives IN THE REPO (next to bench.py) so the
+    end-of-round snapshot commits it — /tmp copies died with the
+    session, which made the r9 +20% extensions_total drift
+    unattributable (VERDICT r9 rec #2). Every pass — including a
+    gate-rejected one, flagged ``contaminated`` — appends one
+    timestamped line to BENCH_DETAIL_history.jsonl so successive
+    in-round runs never overwrite each other and the gate's future
+    medians skip known-bad passes."""
     detail_path = os.environ.get(
         "SPARK_GRAFT_BENCH_DETAIL",
         os.path.join(here, "BENCH_DETAIL_latest.json"),
     )
+    utc = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
     stamped = dict(out)
-    stamped["utc"] = time.strftime("%Y-%m-%dT%H:%M:%SZ", time.gmtime())
+    stamped["utc"] = utc
     try:
         with open(detail_path, "w") as f:
             json.dump(stamped, f, indent=1, sort_keys=True)
             f.write("\n")
-        with open(
-            os.path.join(here, "BENCH_DETAIL_history.jsonl"), "a"
-        ) as f:
+        with open(history_path, "a") as f:
+            if rejected is not None:
+                loser = dict(rejected)
+                loser["utc"] = utc
+                # carry sf so comparability filtering still works
+                loser.setdefault("sf", out.get("sf"))
+                f.write(json.dumps(loser, sort_keys=True) + "\n")
             f.write(json.dumps(stamped, sort_keys=True) + "\n")
     except OSError as exc:
         print(f"detail write failed: {exc!r}", file=sys.stderr)

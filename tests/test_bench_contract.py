@@ -117,3 +117,98 @@ def test_median_of_completed_fault_isolation():
     finally:
         _t.perf_counter = real
     assert got2 == 4.0  # completed [4.0, 9.0] -> lower middle
+
+
+# ── acceptance gate (r11, VERDICT r10 rec #1) ──────────────────────────
+
+
+def _hist_entry(value, ext_each, stream, sf=0.1, **kw):
+    q = {n: 0.1 for n in HEADLINE}
+    q.update({f"ext_{i}": ext_each for i in range(10)})
+    q.update({"stream_a": stream / 2, "stream_b": stream / 2})
+    e = {"value": value, "queries": q, "streaming_total": stream, "sf": sf}
+    e.update(kw)
+    return e
+
+
+def test_extensions_total_recomputed_from_queries():
+    from bench import extensions_total_of
+
+    e = _hist_entry(3.0, 2.0, 10.0)
+    # 10 extension queries at 2.0 each; headline + stream_ excluded
+    assert extensions_total_of(e, HEADLINE) == 20.0
+
+
+def test_history_medians_filter_and_median(tmp_path):
+    from bench import history_group_medians
+
+    p = tmp_path / "hist.jsonl"
+    lines = [
+        _hist_entry(3.0, 2.0, 40.0),
+        _hist_entry(2.8, 2.1, 44.0),
+        _hist_entry(2.9, 1.9, 42.0),
+        # non-comparable rows the gate must skip:
+        _hist_entry(9.9, 9.9, 99.0, sf=0.01),  # other sf
+        _hist_entry(9.9, 9.9, 99.0, contaminated=True),  # flagged
+    ]
+    p.write_text("\n".join(json.dumps(e) for e in lines) + "\nnot json\n")
+    m = history_group_medians(str(p), 0.1, HEADLINE)
+    assert m["n_passes"] == 3
+    assert m["value"] == 2.9
+    assert m["streaming_total"] == 42.0
+    assert m["extensions_total"] == 20.0  # 10 queries x median 2.0
+
+
+def test_history_medians_insufficient_passes(tmp_path):
+    from bench import history_group_medians
+
+    p = tmp_path / "hist.jsonl"
+    p.write_text(json.dumps(_hist_entry(3.0, 2.0, 40.0)) + "\n")
+    assert history_group_medians(str(p), 0.1, HEADLINE) is None
+    assert history_group_medians(str(tmp_path / "absent"), 0.1, HEADLINE) is None
+
+
+def test_gate_deviations_slow_direction_only():
+    from bench import gate_deviations
+
+    med = {"value": 2.9, "extensions_total": 350.0, "streaming_total": 42.0}
+    # the r10 exhibit: 4.476 s headline / 80.5 s streaming vs 2.9 / 42
+    dev = gate_deviations(
+        {"value": 4.476, "extensions_total": 393.2, "streaming_total": 80.5},
+        med,
+    )
+    assert set(dev) == {"value", "streaming_total"}
+    assert dev["value"] == round(4.476 / 2.9, 3)
+    # a faster-than-history pass is a better record, not contamination
+    assert (
+        gate_deviations(
+            {"value": 2.0, "extensions_total": 300.0, "streaming_total": 30.0},
+            med,
+        )
+        == {}
+    )
+    # no medians -> unconditionally accepted
+    assert gate_deviations({"value": 99.0}, None) == {}
+
+
+def test_worst_ratio_picks_the_max_group():
+    from bench import worst_ratio
+
+    med = {"value": 2.0, "extensions_total": 100.0, "streaming_total": 40.0}
+    w = worst_ratio(
+        {"value": 2.2, "extensions_total": 110.0, "streaming_total": 80.0},
+        med,
+    )
+    assert w == 2.0  # streaming 80/40 dominates
+    assert worst_ratio({"value": 2.2}, None) == 0.0
+
+
+def test_summary_carries_gate_and_mid_probes():
+    out, extras = _fake_out()
+    out["calib_mid_sec"] = [0.62, 0.66]
+    out["accept"] = {"status": "ok", "worst_ratio": 1.02}
+    s = build_summary(out, HEADLINE, extras, "/tmp/d.json")
+    assert s["calib_mid_sec"] == [0.62, 0.66]
+    assert s["accept"] == {"status": "ok", "worst_ratio": 1.02}
+    # and the summary still fits the driver tail with the new fields
+    assert len(json.dumps(s).encode()) < DRIVER_TAIL_BYTES // 2
