@@ -198,63 +198,82 @@ def _load_all() -> None:
 # rows (the quantization/recall matrix is flagship LLM-pipeline
 # surface), the two r5 streaming-lifecycle sinks (timings drift round
 # to round), and curation_perplexity_filter.
+# Round-11 rotation (VERDICT r10 rec #3 + ADVICE r10): changed-twin
+# rows lead, then the entire remaining r5-vintage block, then the
+# stalest churned-module r6 rows.
+#
+# 1-14: every query whose TWIN CHANGED this round AFTER its latest
+#   official row — the props.$.k alignment (ADVICE r10 medium: DuckDB
+#   TRY_CAST rounds '12.7'→13 where Spark try_cast yields NULL; all 13
+#   reader oracles now guard the varchar cast with an integral regex,
+#   and the VARIANT/from_json twins branch on json_type to mirror
+#   try_variant_get's truncate/bool coercion and from_json's
+#   bare-integers-only strictness, both measured r11) plus
+#   eval_auc_quality_gate (wide_product on the rank-sum numerator,
+#   ADVICE r10 low, and the NULL-lang → negative-class alignment the
+#   r11 dirty-fixture audit caught). Vintage spread r5-r10; certified
+#   green under tools/driver_sim.py at sf0.01 AND (value-aligned where
+#   in-contract) on the extended dirty fixture this session.
+# 15-42: the 28 remaining r5-vintage rows (the staleness ledger's
+#   entire pre-r6 residue — after this window no official row predates
+#   r6; the four r5 graph rows already lead as changed-twin slots).
+# 43-50: the 8 stalest r6 rows on churned modules: six corpus_ops.py
+#   rows (trainer break-guards landed r10 after their r6 rows) and the
+#   two operators/dedup.py rows (overflow_buckets boundary churned r9).
 DRIVER_WINDOW = [
-    # ── all 33 r4-vintage rows (the last pre-r5 certifications) ──
-    "corpus_mix_weights",
-    "corpus_zipf_slope",
-    "curation_chunk_plan",
-    "curation_decontaminate",
-    "dau_wau_stickiness",
-    "doc_ngram_novelty",
-    "embedding_quantize_int8",
-    "events_pivot_daily",
-    "events_user_rolling_7d",
-    "geo_cell_hotspots",
-    "inverted_index_postings",
-    "monthly_ticket_growth",
-    "multimodal_decode_arrow",
-    "observed_etl_metrics",
-    "paged_api_pushdown_agg",
-    "paged_api_source_agg",
-    "sink_semantics_diff",
-    "sql_parameterized_qb",
-    "sql_scripting_month_loop",
-    "text_repetition_ratio",
-    "user_entropy_histogram",
+    # ── changed-twin refreshes (props.$.k oracle alignment + AUC) ──
     "variant_props_extract",
-    "tpch_q4_order_priority",
-    "tpch_q5_local_supplier_volume",
-    "tpch_q7_nation_volume",
-    "tpch_q8_market_share",
-    "tpch_q10_returned_items",
-    "tpch_q13_customer_distribution",
-    "tpch_q14_promo_effect",
-    "tpch_q15_top_supplier",
-    "tpch_q17_small_quantity_revenue",
-    "tpch_q19_bracket_predicates",
-    "tpch_q22_rich_inactive_customers",
-    # ── r5-vintage refreshes on code churned since (corpus_ops.py: the
-    #    r10 degenerate-corpus guard touches both trainer loops) ──
-    "corpus_bpe_train_merges",
-    "corpus_bpe_encode_lengths",
-    "corpus_vocab_encode",
-    "corpus_bigram_lm_nll",
-    # ── r5-vintage refreshes on operators/dedup.py (churned r9) ──
-    "dedup_incremental_signatures",
-    "dedup_minhash_recall",
-    "dedup_prefix_filter_pairs",
-    # ── r5-vintage ANN quantization/recall matrix refreshes ──
-    "similarity_ivf_recall",
-    "similarity_ivf_nprobe2_recall",
-    "similarity_ivfpq_recall",
-    "similarity_ivfpq_topk",
-    "similarity_pq_adc_topk",
-    "similarity_pq_recall",
-    "similarity_matryoshka_recall",
-    # ── r5-vintage streaming-lifecycle sinks + curation refresh ──
-    "stream_file_sink_exactly_once",
-    "stream_py_sink_roundtrip",
-    "curation_perplexity_filter",
+    "events_json_extract",
+    "events_decayed_leaderboard",
+    "scd2_user_attribute_history",
+    "events_value_k_corr_direction",
+    "graph_kcore_peel",
+    "graph_hits_bipartite",
+    "eval_auc_quality_gate",
+    "graph_triangle_census",
+    "graph_pagerank_coclick",
+    "graph_cc_incremental",
+    "graph_bfs_seed_distance",
+    "graph_label_propagation",
+    "graph_degree_assortativity",
+    # ── the 28 remaining r5-vintage rows ──
+    "approx_distinct_error_audit",
+    "bloom_pruned_fact_join",
+    "bucketed_join_zero_shuffle",
+    "cdc_merge_matrix",
+    "feature_store_pit_labels",
+    "geo_ward_point_in_polygon",
+    "hll_union_rollup_audit",
+    "mining_contrastive_triples",
+    "multimodal_ahash_near_dup",
+    "multimodal_bmp_decode_real",
+    "multimodal_png_decode_real",
+    "multimodal_wav_decode_real",
+    "multimodal_y4m_decode_real",
+    "quantile_sketch_audit",
+    "retrieval_rrf_hybrid",
+    "snapshot_time_travel_diff",
+    "stream_occ_snapshot_rollup",
+    "stream_rate_limited_backfill",
+    "text_bm25_scores",
+    "topk_sketch_audit",
+    "tpch_q2_min_cost_supplier",
+    "tpch_q9_product_type_profit",
+    "tpch_q11_important_stock",
+    "tpch_q12_priority_by_bucket",
+    "tpch_q16_supplier_part_count",
+    "tpch_q20_halfconsumed_stock",
+    "tpch_q21_sole_returned_supplier",
+    "wap_publish_gate",
+    # ── stalest r6 rows on churned modules ──
+    "corpus_mix_temperature",
+    "corpus_pipeline_end2end",
+    "corpus_shuffle_mix_audit",
+    "corpus_skipgram_pairs",
+    "corpus_span_corruption_plan",
+    "corpus_weighted_sample",
+    "dedup_sorted_neighborhood",
+    "dedup_substring_span_coverage",
 ]
 
 

@@ -358,6 +358,45 @@ def main() -> None:
         "post-AQE executed plan; the annotation states the property the",
         "plan must exhibit (enforced by tests/test_plans.py where noted).",
         "",
+        "## Plan-authoring rules (hard-won, r10/r11)",
+        "",
+        "Rules distilled from review catches — apply when writing or",
+        "auditing any operator plan (VERDICT r10 rec #7):",
+        "",
+        "1. **pushFilters whitelists PHYSICAL columns only.** A Python",
+        "   DataSource must never claim a filter on a COMPUTED column as",
+        "   absorbed: the source can only honor predicates over columns",
+        "   that physically exist in its layout; claiming a derived",
+        "   column silently drops the predicate (r10 review caught this",
+        "   in sources/paged_api.py — the whitelist is now explicit and",
+        "   everything else is returned to Spark for re-evaluation).",
+        "",
+        "2. **Page/partition identity is carried PER ROW, never inferred",
+        "   from position.** With gapped key layouts, a fetch plan that",
+        "   derives page membership from row offsets breaks the moment a",
+        "   page is empty or split; stamp each row with its page_id at",
+        "   generation time so coalescing/splitting fetch groups cannot",
+        "   reassign rows (r10 paged-API planner rewrite — also the fix",
+        "   that killed the 100x fixed-width key-domain OOM).",
+        "",
+        "3. **try_-expression overhead matters only when the",
+        "   try-expression IS the scan's work.** Blanket-replacing every",
+        "   cast/divide with its try_ form is safe in reduced/aggregate",
+        "   positions (measured ~0 cost), but in the hot scan path a",
+        "   TryEval wrapper can disable codegen for the whole expression",
+        "   - measure the specific scan (the r10 try_cast re-measurement",
+        "   on the props readers showed scan-position cost within noise,",
+        "   which is why ANSI-safety wins there too).",
+        "",
+        "4. **A tolerant read path must be mirrored by semantics, not by",
+        "   spell.** Spark's three JSON read paths coerce differently",
+        "   (try_cast: trimmed integral strings only; try_variant_get:",
+        "   doubles truncate toward zero, bools map to 1/0; from_json",
+        "   typed: bare integers only) and DuckDB's bare TRY_CAST rounds",
+        "   varchar numerics - every twin must encode the MEASURED",
+        "   coercion table of its exact Spark path, pinned by a battery",
+        "   test (tests/test_dirty_props.py, ADVICE r10).",
+        "",
     ]
     for name, claim in AUDITED:
         df = QUERIES[name].build(spark, SF_DIR)
