@@ -678,19 +678,30 @@ def _udtf_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     class GapStats:
         def __init__(self):
             self.user = None
+            self.seen = False  # distinct from user None: a NULL
+            # user_id is a REAL partition (SQL GROUP BY keeps the NULL
+            # group) - guarding terminate on `user is not None`
+            # silently dropped it (r11 dirty-fixture catch)
             self.n = 0
             self.prev = None
             self.mx = 0
 
         def eval(self, row):
             self.user = row.user_id
+            self.seen = True
             self.n += 1
+            if row.ts_us is None:
+                # a NULL ts contributes no gap on either side of the
+                # chain - the declarative twin's lag() yields NULL
+                # there and max() skips it; arithmetic on None would
+                # kill the partition instead
+                return
             if self.prev is not None and row.ts_us - self.prev > self.mx:
                 self.mx = row.ts_us - self.prev
             self.prev = row.ts_us
 
         def terminate(self):
-            if self.user is not None:
+            if self.seen:
                 yield self.user, self.n, self.mx
 
     spark.udtf.register("user_gap_stats_udtf", GapStats)

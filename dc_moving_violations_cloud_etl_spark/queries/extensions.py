@@ -47,9 +47,19 @@ docs_n AS (
   SELECT doc_id, lang, norm,
          md5(norm) AS text_hash,
          md5(substr(norm, 1, 40)) AS fp40,
-         list_distinct(list_transform(
-           generate_series(1, greatest(len(norm) - 2, 1)),
-           i -> substr(norm, i, 3))) AS sh,
+         -- NULL norm propagates: Spark's shingles of NULL is NULL,
+         -- while the bare generate_series spell manufactured a
+         -- non-NULL list from NULL input (r11 dirty-fixture
+         -- alignment). Short texts (len < 3) correctly pin to ONE
+         -- whole-string shingle on both engines: substr(norm, 1, 3)
+         -- of a 0-2 char norm IS the whole norm, matching the Spark
+         -- side's explicit when(length < n, array(norm)) guard
+         -- (operators/text.py shingles_raw)
+         CASE WHEN norm IS NULL THEN NULL
+              ELSE list_distinct(list_transform(
+                     generate_series(1, greatest(len(norm) - 2, 1)),
+                     i -> substr(norm, i, 3)))
+         END AS sh,
          string_split(norm, ' ') AS toks
   FROM _d0
 )

@@ -1359,9 +1359,17 @@ def _mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     ``quantile_sketch_audit``. Partition-wise the windows are keyed by
     event_type (5 groups locally; a high-cardinality key keeps windows
     bounded)."""
-    ev = _events(spark, sf_dir).select(
-        "event_type",
-        F.round(F.col("value") * 100, 0).cast("long").alias("xi"),
+    ev = (
+        _events(spark, sf_dir)
+        .select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("long").alias("xi"),
+        )
+        # an unmeasured event (NULL value) has no magnitude: it cannot
+        # be an outlier and must not occupy a median rank — unfiltered,
+        # the NULL xi sorts FIRST on Spark and LAST on DuckDB, shifting
+        # every rank-selected median by one (r11 dirty-fixture catch)
+        .where(F.col("xi").isNotNull())
     )
     wt = Window.partitionBy("event_type").orderBy("xi")
     ranked = ev.withColumn("rn", F.row_number().over(wt))
@@ -1417,7 +1425,10 @@ register(
         _mad_outliers,
         """
 WITH ev AS (
+  -- NULL values excluded on BOTH engines: an unmeasured event has no
+  -- magnitude and must not occupy a median rank (see the Spark twin)
   SELECT event_type, CAST(round(value * 100) AS BIGINT) AS xi FROM events
+  WHERE value IS NOT NULL
 ),
 cnt AS (
   SELECT event_type, CAST(count(*) AS BIGINT) AS n FROM ev GROUP BY 1

@@ -217,9 +217,16 @@ def _load_all() -> None:
 # 15-42: the 28 remaining r5-vintage rows (the staleness ledger's
 #   entire pre-r6 residue — after this window no official row predates
 #   r6; the four r5 graph rows already lead as changed-twin slots).
-# 43-50: the 8 stalest r6 rows on churned modules: six corpus_ops.py
-#   rows (trainer break-guards landed r10 after their r6 rows) and the
-#   two operators/dedup.py rows (overflow_buckets boundary churned r9).
+# 43-50: the SECOND r11 change wave — the dirty-fixture NULL-semantics
+#   sweep fixed eight more twins mid-round (GDPR NULL-key keep,
+#   fingerprint serialization totality, UDTF NULL-partition/NULL-ts,
+#   MAD NULL-rank exclusion, full-outer side-presence, schema-evolution
+#   NULL-set mirror, NULL-text shingles, -0 normalization; all
+#   clean-neutral, re-certified on both fixtures). Changed rows
+#   outrank merely-stale rows per the pinned policy, so they take the
+#   final slots; the six corpus_ops.py r6 rows (trainer guards churned
+#   r10) and two operators/dedup.py r6 rows (overflow boundary churned
+#   r9) they displaced lead the r12 refresh queue instead.
 DRIVER_WINDOW = [
     # ── changed-twin refreshes (props.$.k oracle alignment + AUC) ──
     "variant_props_extract",
@@ -265,15 +272,15 @@ DRIVER_WINDOW = [
     "tpch_q20_halfconsumed_stock",
     "tpch_q21_sole_returned_supplier",
     "wap_publish_gate",
-    # ── stalest r6 rows on churned modules ──
-    "corpus_mix_temperature",
-    "corpus_pipeline_end2end",
-    "corpus_shuffle_mix_audit",
-    "corpus_skipgram_pairs",
-    "corpus_span_corruption_plan",
-    "corpus_weighted_sample",
-    "dedup_sorted_neighborhood",
-    "dedup_substring_span_coverage",
+    # ── second change wave: dirty-fixture NULL-semantics sweep ──
+    "timeseries_seasonal_decompose",
+    "udtf_partitioned_gap_stats",
+    "events_mad_outliers",
+    "gdpr_forget_users_audit",
+    "table_fingerprint_audit",
+    "full_outer_reconciliation",
+    "parquet_schema_evolution_audit",
+    "text_repetition_ratio",
 ]
 
 

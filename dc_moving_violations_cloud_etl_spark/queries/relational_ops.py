@@ -73,8 +73,14 @@ WITH per_user AS (
   FROM events GROUP BY user_id
 )
 SELECT CASE
-         WHEN p.user_id IS NOT NULL AND c.c_custkey IS NOT NULL THEN 'both'
-         WHEN p.user_id IS NOT NULL THEN 'events_only'
+         -- side presence by PAYLOAD columns, not key nullness: the
+         -- events side can contribute a NULL-user aggregate row whose
+         -- KEY is NULL yet whose side is present - key-as-proxy
+         -- misfiled it as customer_only (r11 dirty-fixture alignment;
+         -- matches the Spark twin's n_events/mktsegment test)
+         WHEN p.n_events IS NOT NULL AND c.c_mktsegment IS NOT NULL
+           THEN 'both'
+         WHEN p.n_events IS NOT NULL THEN 'events_only'
          ELSE 'customer_only'
        END AS presence,
        CAST(count(*) AS BIGINT) AS n_keys,

@@ -252,12 +252,19 @@ register(
         """
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_rows,
-       CAST(count(*) FILTER (WHERE event_id % 2 = 0) AS BIGINT)
-         AS n_pre_evolution,
+       -- the merged table's NULL set is every v1 row PLUS any v2 row
+       -- whose ORIGINAL value was NULL - an even-ids-only filter
+       -- undercounts when a v2 source row carries NULL (r11
+       -- dirty-fixture alignment)
+       CAST(count(*) FILTER (WHERE event_id % 2 = 0 OR value IS NULL)
+            AS BIGINT) AS n_pre_evolution,
        CAST(sum(CAST(value AS DECIMAL(18,2)))
               FILTER (WHERE event_id % 2 = 1) AS DOUBLE)
          AS evolved_value_sum
 FROM events
+-- a NULL event_id row belongs to NEITHER staged generation (both
+-- writer predicates are NULL), so it never reaches the merged table
+WHERE event_id IS NOT NULL
 GROUP BY event_type ORDER BY event_type
 """,
         doc="parquet schema evolution via mergeSchema over two staged "

@@ -474,8 +474,12 @@ def _seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("d", "yyyy-MM-dd").alias("day_s"),
             F.col("n").cast("long").alias("n_events"),
             F.round("trend", 6).alias("trend_r6"),
-            F.round("seasonal", 6).alias("seasonal_r6"),
-            F.round(F.col("det") - F.col("seasonal"), 6).alias(
+            # + 0.0 normalizes IEEE negative zero: a detrended value
+            # rounding to -0.0 stringifies as '-0' on one engine and
+            # '0' on the other (r11 dirty-fixture catch); adding +0.0
+            # maps -0.0 -> +0.0 and is a no-op everywhere else
+            (F.round("seasonal", 6) + F.lit(0.0)).alias("seasonal_r6"),
+            (F.round(F.col("det") - F.col("seasonal"), 6) + F.lit(0.0)).alias(
                 "residual_r6"
             ),
         )
@@ -511,8 +515,8 @@ eff AS (
 SELECT strftime(t.d, '%Y-%m-%d') AS day_s,
        CAST(t.n AS BIGINT) AS n_events,
        round(t.trend, 6) AS trend_r6,
-       round(eff.seasonal, 6) AS seasonal_r6,
-       round(t.det - eff.seasonal, 6) AS residual_r6
+       round(eff.seasonal, 6) + 0.0 AS seasonal_r6,
+       round(t.det - eff.seasonal, 6) + 0.0 AS residual_r6
 FROM t JOIN eff USING (wd) ORDER BY day_s
 """,
         doc="classical additive seasonal decomposition of daily event "

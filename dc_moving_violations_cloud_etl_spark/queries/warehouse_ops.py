@@ -800,13 +800,24 @@ def _table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     engines implement it identically, which is the whole point of a
     CROSS-engine fingerprint."""
     ev = catalog.base(spark, sf_dir, "events")
+    # EVERY nullable component is coalesced to '' so the serialization
+    # is TOTAL: concat_ws silently SKIPS a NULL component (shifting the
+    # field layout) while the twin's '||' chain nullifies the whole row
+    # string and drops the row's hash from the sum — a replica whose
+    # only difference is a NULL field would fingerprint-match (r11
+    # dirty-fixture catch; only props was coalesced before)
     row_str = F.concat_ws(
         "|",
-        F.col("event_id").cast("string"),
-        F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"),
-        F.col("user_id").cast("string"),
-        F.col("event_type"),
-        F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+        F.coalesce(F.col("event_id").cast("string"), F.lit("")),
+        F.coalesce(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS"), F.lit("")
+        ),
+        F.coalesce(F.col("user_id").cast("string"), F.lit("")),
+        F.coalesce(F.col("event_type"), F.lit("")),
+        F.coalesce(
+            F.round(F.col("value") * 100, 0).cast("long").cast("string"),
+            F.lit(""),
+        ),
         F.coalesce(F.col("props"), F.lit("")),
     )
     h = F.conv(F.substring(F.md5(row_str), 1, 8), 16, 10).cast("long")
@@ -827,12 +838,15 @@ register(
         """
 SELECT strftime(ts, '%Y-%m') AS month,
        CAST(count(*) AS BIGINT) AS n_rows,
+       -- every component coalesced: one NULL field must perturb the
+       -- fingerprint, not NULL the whole row string out of the sum
        CAST(sum(CAST(('0x' || substr(md5(
-              event_id || '|' ||
-              strftime(ts, '%Y-%m-%d %H:%M:%S.%f') || '|' ||
-              user_id || '|' ||
-              event_type || '|' ||
-              CAST(round(value * 100) AS BIGINT) || '|' ||
+              coalesce(CAST(event_id AS VARCHAR), '') || '|' ||
+              coalesce(strftime(ts, '%Y-%m-%d %H:%M:%S.%f'), '') || '|' ||
+              coalesce(CAST(user_id AS VARCHAR), '') || '|' ||
+              coalesce(event_type, '') || '|' ||
+              coalesce(CAST(CAST(round(value * 100) AS BIGINT)
+                            AS VARCHAR), '') || '|' ||
               coalesce(props, '')), 1, 8)) AS BIGINT)) AS BIGINT)
          AS fingerprint
 FROM events
@@ -1063,8 +1077,14 @@ def _gdpr_forget(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale posture: the deletion list broadcasts (it is always tiny
     relative to the corpus); each table pays one scan + anti-join, no
-    shuffle of the fact side."""
-    forget = F.col("user_id") % 37 == 0
+    shuffle of the fact side.
+
+    NULL-key rule (r11 dirty-fixture catch): a NULL user_id is NOT in
+    the forget set, so it must be KEPT — the bare ``~(user_id % 37 =
+    0)`` predicate is NULL for it, which silently dropped the row from
+    BOTH the removed and the kept counts (a real deletion pipeline
+    would lose data). coalesce(False) makes membership two-valued."""
+    forget = F.coalesce(F.col("user_id") % 37 == 0, F.lit(False))
     ev = catalog.base(spark, sf_dir, "events").select("user_id")
     cu = catalog.base(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id")

@@ -397,6 +397,15 @@ def main() -> None:
         "   coercion table of its exact Spark path, pinned by a battery",
         "   test (tests/test_dirty_props.py, ADVICE r10).",
         "",
+        "5. **Hashed output must be TOTAL over NULLs and normalized over",
+        "   IEEE edge values.** Canonical serializations coalesce every",
+        "   nullable component (Spark concat_ws SKIPS a NULL slot while",
+        "   SQL `||` NULLs the whole string); rank/median selection",
+        "   excludes NULL measurements (NULLS FIRST vs LAST shifts",
+        "   selected ranks between engines); rounded doubles that can",
+        "   reach zero add `+ 0.0` so -0.0 and +0.0 stringify",
+        "   identically (r11 dirty-fixture sweep: eight twins fixed).",
+        "",
     ]
     for name, claim in AUDITED:
         df = QUERIES[name].build(spark, SF_DIR)
