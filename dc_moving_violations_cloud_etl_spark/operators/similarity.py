@@ -100,8 +100,16 @@ def centroids(embeddings: DataFrame) -> DataFrame:
     per ``label`` (the fixture's stand-in for a trained k-means — in
     production the quantizer is trained offline and broadcast, exactly
     as here). Means go through decimal sums so both engines produce
-    bit-identical centroids regardless of aggregation order."""
-    ex = _fan_out(embeddings).select(
+    bit-identical centroids regardless of aggregation order.
+
+    NULL labels are excluded: a trained quantizer has no NULL cell.
+    An unlabeled vector may still be INDEXED (ivf_assign sends it to
+    its nearest real centroid) but must not spawn a phantom centroid —
+    a NULL cell_id in the argmax tie-break orders differently per
+    engine (Spark ASC = NULLS FIRST vs DuckDB NULLS LAST) and its
+    self-centroid swallowed the vector into an unjoinable NULL cell
+    (r11 dirty-fixture catch)."""
+    ex = _fan_out(embeddings.where(F.col("label").isNotNull())).select(
         "label", F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v")
     )
     per_dim = ex.groupBy("label", "pos").agg(
@@ -315,8 +323,11 @@ def pq_codebooks(embeddings: DataFrame) -> DataFrame:
     decimal sums for aggregation-order-independent bits (same trained-
     offline stand-in as ``centroids()``, sliced into PQ_M subspaces).
     Output: (sub, code, cw array<double>[PQ_DSUB], cwn2 = ||cw||^2).
-    """
-    ex = _fan_out(embeddings).select(
+
+    NULL labels excluded, same rule as ``centroids()``: unlabeled
+    vectors are encoded against the trained codebook, never spawn a
+    phantom codeword (r11)."""
+    ex = _fan_out(embeddings.where(F.col("label").isNotNull())).select(
         "label",
         F.posexplode(_as_double(F.col("embedding"))).alias("pos", "v"),
     )

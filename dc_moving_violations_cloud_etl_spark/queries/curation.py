@@ -23,7 +23,7 @@ from ..operators.text import (
     text_hash,
     tokens,
 )
-from .extensions import _DOCS_CTE, _docs
+from .extensions import _DOCS_CTE, _docs, _emb
 from .registry import QuerySpec, register
 
 
@@ -257,9 +257,9 @@ def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    from .. import catalog
-
-    emb = catalog.base(spark, sf_dir, "embeddings")
+    # _emb applies the ingestion-validation filter (NULL/off-dim
+    # vectors excluded; oracle carries the identical guard - r11)
+    emb = _emb(spark, sf_dir)
     return (
         emb.withColumn("amax", amax)
         .withColumn("scale", scale)
@@ -292,6 +292,7 @@ WITH e AS (
   SELECT vec_id,
          list_transform(embedding, x -> CAST(x AS DOUBLE)) AS ed
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 s AS (
   SELECT vec_id, ed,
@@ -1420,7 +1421,7 @@ def _rrf_hybrid(spark: SparkSession, sf_dir: str) -> DataFrame:
     lexr = global_rank(
         lex, F.desc("bm25"), F.asc("doc_id"), alias="lex_rank"
     ).select("doc_id", "lex_rank")
-    emb = _sim.with_norm(_catalog.base(spark, sf_dir, "embeddings"))
+    emb = _sim.with_norm(_emb(spark, sf_dir))
     qv = emb.where(F.col("vec_id") == 0).select(
         F.col("e").alias("qe"), F.col("norm").alias("qnorm")
     )
@@ -1508,6 +1509,7 @@ lexr AS (
 ),
 ecorpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 en AS (
   SELECT vec_id, e,

@@ -73,8 +73,28 @@ def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup._fan_out(catalog.base(spark, sf_dir, "documents"))
 
 
+# declared embedding dimensionality (fixture contract; the PCA Gram
+# pass pinned it first - eval_ops._PCA_DIM)
+EMB_DIM = 64
+
+
 def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return catalog.base(spark, sf_dir, "embeddings")
+    """Embeddings with INGESTION VALIDATION: NULL or off-dimension
+    vectors are excluded before any consumer sees them — at 100 TB an
+    index build validates dimensionality at ingestion; letting a
+    2-dim vector into a 64-dim ranking is meaningless on any engine
+    and each engine made it meaningless DIFFERENTLY (zip products vs
+    out-of-bounds NULL indexing), which is why the whole ANN family
+    diverged on the r11 dirty fixture. Every oracle twin that reads
+    the embeddings table carries the identical
+    ``WHERE embedding IS NOT NULL AND len(embedding) = 64`` guard
+    (clean-neutral: the clean fixture is 100% 64-dim non-NULL,
+    verified). In-dimension edge values (zero-norm vectors, NULL
+    labels) deliberately STAY IN - their try_divide/NULL-ordering
+    handling is part of the certified surface."""
+    return catalog.base(spark, sf_dir, "embeddings").where(
+        F.col("embedding").isNotNull() & (F.size("embedding") == EMB_DIM)
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -500,6 +520,7 @@ register(
         """
 WITH corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 normed AS (
   SELECT vec_id, e,
@@ -553,7 +574,10 @@ ORDER BY a_vec_id, b_vec_id
 
 _EMB_CTE = """
 WITH corpus AS (
+  -- ingestion validation, mirroring _emb(): NULL/off-dimension
+  -- vectors never reach an index or ranking (r11)
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 normed AS (
   SELECT vec_id, e,
@@ -643,7 +667,14 @@ ORDER BY query_vec_id, rank
 # scoring), shared by the top-k oracle and the recall oracle
 _IVF_CHAIN_SQL = """
 , corpus_l AS (
+  -- label IS NOT NULL: a trained coarse quantizer has no NULL cell -
+  -- an unlabeled vector may be INDEXED (it still gets assigned to its
+  -- nearest real centroid) but must not SPAWN a phantom centroid,
+  -- whose NULL cell_id the argmax tie-break orders differently per
+  -- engine (Spark ASC = NULLS FIRST, DuckDB = NULLS LAST; r11)
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
+    AND label IS NOT NULL
 ),
 exd AS (
   SELECT label, unnest(generate_series(1, len(e))) AS pos, e FROM corpus_l
@@ -725,6 +756,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -910,6 +945,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -1204,6 +1243,7 @@ register(
         """
 WITH RECURSIVE corpus AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 normed AS (
   SELECT vec_id, e,
@@ -1294,6 +1334,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -1343,6 +1387,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -1387,6 +1435,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -1431,6 +1483,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -1541,6 +1597,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,
@@ -2202,12 +2262,15 @@ _PQ_DSUB = similarity.PQ_DSUB
 _PQ_CHAIN_SQL = f"""
 , corpus_pq AS (
   SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 pq_per_dim AS (
+  -- NULL labels never spawn a phantom codeword (pq_codebooks rule)
   SELECT label, (t.pos - 1) // {_PQ_DSUB} AS sub, t.pos AS pos,
          CAST(sum(CAST(e[t.pos] AS DECIMAL(28,12))) AS DOUBLE) / count(*)
            AS m
   FROM corpus_pq, unnest(generate_series(1, 64)) t(pos)
+  WHERE label IS NOT NULL
   GROUP BY 1, 2, 3
 ),
 pq_cb AS (
@@ -2543,6 +2606,10 @@ WITH d AS (
   SELECT doc_id,
          md5(lower(regexp_replace(trim(text), '\s+', ' ', 'g'))) AS h
   FROM documents
+  -- NULL text carries no media payload: with_payload/_digest_bytes_col
+  -- exclude it on the engine side (operators/multimodal.py), so the
+  -- payload CTE mirrors the WHERE (r11 dirty-fixture alignment)
+  WHERE text IS NOT NULL
 ),
 b AS (
   SELECT doc_id,

@@ -857,7 +857,9 @@ def _kmeans_core(spark: SparkSession, sf_dir: str):
     """Shared exact-k-means core over the fixture embeddings: returns
     ``(q, a2)`` — the persisted quantized component table and the
     round-2 cluster assignment."""
-    return kmeans_assign(catalog.base(spark, sf_dir, "embeddings"))
+    from .extensions import _emb
+
+    return kmeans_assign(_emb(spark, sf_dir))
 
 
 def kmeans_assign(emb: DataFrame):
@@ -977,6 +979,7 @@ WITH qt AS (
   SELECT vec_id, generate_subscripts(embedding, 1) - 1 AS pos,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 c0 AS (
   SELECT CAST(vec_id AS INTEGER) AS cluster, pos, q AS c
@@ -1120,9 +1123,9 @@ def _kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Seed trace + coverage: each selected center with its selection
     radius and the size of its nearest-center cell (ties → earliest
     round, mirroring the oracle's ``row_number`` over ``(d2, round)``)."""
-    qv, seeds, centers = kcenter_seeds(
-        catalog.base(spark, sf_dir, "embeddings")
-    )
+    from .extensions import _emb
+
+    qv, seeds, centers = kcenter_seeds(_emb(spark, sf_dir))
     darr = F.array(*[_kc_d2(c) for c in centers])
     assigned = qv.select(
         "vec_id",
@@ -1160,6 +1163,7 @@ WITH qt AS (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 c0 AS (SELECT min(vec_id) AS cid FROM qt),
 d0 AS (
@@ -1505,8 +1509,10 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     co-clustered pairs."""
     from ..operators.similarity import _as_double, _dot
 
+    from .extensions import _emb
+
     _, a2 = _kmeans_core(spark, sf_dir)
-    emb = catalog.base(spark, sf_dir, "embeddings").select(
+    emb = _emb(spark, sf_dir).select(
         "vec_id", _as_double(F.col("embedding")).alias("e")
     )
     normed = emb.select(
@@ -1559,6 +1565,7 @@ register(
         + """
 , corpus_d AS (
   SELECT vec_id, CAST(embedding AS DOUBLE[]) AS e FROM embeddings
+  WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 normd AS (
   SELECT vec_id, e,

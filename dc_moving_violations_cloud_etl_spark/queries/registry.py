@@ -227,6 +227,21 @@ def _load_all() -> None:
 #   final slots; the six corpus_ops.py r6 rows (trainer guards churned
 #   r10) and two operators/dedup.py r6 rows (overflow boundary churned
 #   r9) they displaced lead the r12 refresh queue instead.
+#
+# r11 THIRD change wave (embeddings ingestion validation): _emb() and
+# every embeddings-reading oracle now exclude NULL/off-dimension
+# vectors up front (the PCA Gram pass's r10 filter, promoted to the
+# whole family — each engine made off-dimension scoring meaningless
+# DIFFERENTLY, diverging all 16 ANN rows on the dirty fixture), and
+# the IVF/PQ coarse quantizers drop NULL labels (a phantom NULL
+# centroid/codeword cell whose argmax tie-break Spark orders NULLS
+# FIRST and DuckDB NULLS LAST). The full ANN/similarity/embedding
+# family re-certified 25/25 green on BOTH fixtures the same session;
+# the changed-twin ANN rows NOT already in this window
+# (cosine/lsh/ivf topk, binary_hamming, kmeans_exact, kcenter_seeds,
+# quantize_int8, dedup_embedding/cosine/components, semdedup, rerank,
+# contrastive/preference, dsir/perplexity consumers) lead the r12
+# window with the displaced corpus/dedup r6 rows behind them.
 DRIVER_WINDOW = [
     # ── changed-twin refreshes (props.$.k oracle alignment + AUC) ──
     "variant_props_extract",

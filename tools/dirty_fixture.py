@@ -4,8 +4,14 @@ clean fixture's implicit contracts —
 
 - documents: NULL text, empty text, single char, whitespace-only,
   multibyte;
-- embeddings: all-zero vector, ragged (<64-dim) vector, NULL embedding,
-  NULL label;
+- embeddings: a FULL-dimension all-zero vector (zero norm — stays
+  inside the index and exercises the try_divide cosine path), a
+  full-dimension vector with NULL label, plus ragged (<64-dim) and
+  NULL vectors (r11: these are now EXCLUDED by the ingestion-
+  validation filter `embedding IS NOT NULL AND len = 64` that _emb()
+  and every embeddings oracle apply — each engine used to make
+  off-dimension scoring meaningless DIFFERENTLY, diverging the whole
+  ANN family);
 - events: NULL value/props/user_id/event_type, malformed JSON props,
   non-numeric ``$.k``, and (r11, ADVICE r10) numeric-but-non-integral
   ``$.k`` payloads — ``12.7`` / ``1e3`` / ``true`` / ``" 12 "`` /
@@ -91,10 +97,16 @@ def build(dst: str) -> None:
   (SELECT * FROM read_parquet('{SRC}/embeddings.parquet') LIMIT 120)
   UNION ALL
   SELECT * FROM (VALUES
-    (900100, CAST([0.0,0.0,0.0,0.0] AS FLOAT[]), 0),
+    -- full 64-dim zero vector: passes ingestion validation, zero norm
+    (900100, CAST(list_transform(generate_series(1, 64), i -> 0.0)
+             AS FLOAT[]), 0),
+    -- ragged vector: must be EXCLUDED by the dim filter
     (900200, CAST([1.0,-1.0,0.5] AS FLOAT[]), 1),
+    -- NULL vector: must be EXCLUDED
     (900300, NULL, 2),
-    (900400, CAST([0.5,0.25] AS FLOAT[]), NULL)
+    -- full 64-dim valid vector with NULL label: stays in
+    (900400, CAST(list_transform(generate_series(1, 64),
+             i -> CAST(i AS DOUBLE) / 64.0 - 0.5) AS FLOAT[]), NULL)
   ) t(vec_id, embedding, label)
 ) TO '{dst}/embeddings.parquet' (FORMAT PARQUET)"""
     )
