@@ -235,13 +235,16 @@ FROM docs_n GROUP BY 1 ORDER BY 1
 # ---------------------------------------------------------------------------
 
 
-def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+def quantize_int8_frame(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 quantization (the storage/serving
     format for 100 TB embedding tables): scale = max|x| / 127,
     q_i = floor(x_i/scale + 0.5) clamped to [-127, 127]. Every step is
     a single IEEE flop or exact integer op, so the DuckDB twin matches
     bit-for-bit; ``floor(x+0.5)`` avoids engine-dependent round-half
-    behavior. Per-row projection — no shuffle."""
+    behavior. Per-row projection — no shuffle. Factored over a generic
+    ``(vec_id, embedding)`` DataFrame so unit tests can feed edge-case
+    vectors of ANY dimensionality (the registered query applies the
+    64-dim ingestion-validation filter via ``_emb``, r11)."""
     e = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     amax = F.array_max(F.transform(e, F.abs))
     scale = amax / F.lit(127.0)
@@ -257,9 +260,6 @@ def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ),
     )
-    # _emb applies the ingestion-validation filter (NULL/off-dim
-    # vectors excluded; oracle carries the identical guard - r11)
-    emb = _emb(spark, sf_dir)
     return (
         emb.withColumn("amax", amax)
         .withColumn("scale", scale)
@@ -281,6 +281,12 @@ def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+def _quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # _emb applies the ingestion-validation filter (NULL/off-dim
+    # vectors excluded; oracle carries the identical guard - r11)
+    return quantize_int8_frame(_emb(spark, sf_dir))
 
 
 register(

@@ -43,24 +43,21 @@ def test_foreachbatch_merge_state_is_associative(spark, sf_dir):
 def test_quantize_int8_edges(spark, sf_dir, tmp_path):
     """Zero vectors quantize to all-zero (no div-by-zero); values at the
     scale extreme hit exactly ±127; reconstruction stays within scale/2."""
-    import pandas as pd
-
-    from dc_moving_violations_cloud_etl_spark.queries.curation import _quantize_int8
-
-    pdf = pd.DataFrame(
-        {
-            "vec_id": [1, 2, 3],
-            "embedding": [
-                [0.0, 0.0, 0.0],  # zero vector
-                [1.0, -1.0, 0.5],  # symmetric extremes
-                [0.1, 0.2, -0.4],
-            ],
-            "label": [0, 0, 0],
-        }
+    from dc_moving_violations_cloud_etl_spark.queries.curation import (
+        quantize_int8_frame,
     )
-    path = str(tmp_path / "embeddings.parquet")
-    pdf.to_parquet(path)
-    out = {r["vec_id"]: r for r in _quantize_int8(spark, str(tmp_path)).collect()}
+
+    # the frame-level core accepts any dimensionality; the registered
+    # query's 64-dim ingestion filter is covered by the driver sims
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),  # zero vector
+            (2, [1.0, -1.0, 0.5]),  # symmetric extremes
+            (3, [0.1, 0.2, -0.4]),
+        ],
+        "vec_id long, embedding array<double>",
+    )
+    out = {r["vec_id"]: r for r in quantize_int8_frame(emb).collect()}
 
     assert out[1]["q_sum"] == 0 and out[1]["q_min"] == 0 and out[1]["q_max"] == 0
     # [1, -1, 0.5] at scale 1/127 → [127, -127, 64 (63.5 rounds up)]
