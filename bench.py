@@ -34,15 +34,23 @@ window. Two defenses now:
 1. MID-RUN probes: the CPU calibration probe also runs between query
    groups (after headline, after extensions), recorded as
    ``calib_mid_sec`` — a contention window inside the run is visible.
-2. ACCEPTANCE gate: after the measured pass, the three group totals
-   (headline ``value`` / ``extensions_total`` / ``streaming_total``)
-   are compared against the per-group MEDIANS of the most recent
-   comparable passes in BENCH_DETAIL_history.jsonl (same sf, >= 3
-   passes). If any group exceeds its history median by > 25%, the whole
+2. ACCEPTANCE gate: after the measured pass, each query group
+   (headline / extensions / streaming) is compared against the most
+   recent comparable passes in BENCH_DETAIL_history.jsonl (same sf,
+   >= 3 passes) by the MEDIAN of per-query ratios over the
+   intersection of query names (r12, ADVICE r11: raw group-total sums
+   tripped a guaranteed spurious re-run whenever the catalog changed,
+   and a single contention-hypersensitive query could 1.6x a group on
+   its own). If any group's ratio median exceeds 1.25, the whole
    measurement re-runs ONCE; the pass with the smaller worst-group
    ratio becomes the official record and BOTH passes land in the
-   history with ``accepted``/``contaminated`` flags. The summary
-   carries the machine-readable ``accept`` record either way.
+   history with ``accepted``/``contaminated`` flags. If the KEPT pass
+   is still deviant (sustained host load), its deviant groups are
+   stamped into ``accept.kept_deviations`` and every query in them is
+   listed under ``untrusted_queries`` in the detail/history records —
+   never presented as unqualified latest readings (VERDICT r11
+   rec #2) — and the history line carries ``gate_deviant`` so future
+   acceptance medians skip it (ADVICE r11).
 """
 
 from __future__ import annotations
@@ -147,18 +155,31 @@ def extensions_total_of(entry: dict, headline: list[str]) -> float:
     )
 
 
-def history_group_medians(
+def group_of(name: str, headline: list[str]) -> str:
+    """The gate group a per-query timing belongs to: headline queries
+    feed ``value``, ``stream_*`` lifecycle queries feed
+    ``streaming_total``, everything else is an extension."""
+    if name in headline:
+        return "value"
+    if name.startswith("stream_"):
+        return "streaming_total"
+    return "extensions_total"
+
+
+def comparable_history_entries(
     history_path: str,
     sf: float,
-    headline: list[str],
     min_passes: int = 3,
     max_passes: int = 6,
-) -> dict | None:
-    """Per-group medians (value / extensions_total / streaming_total) of
-    the most recent comparable history passes: same sf, not flagged
-    contaminated, complete groups. Returns None when fewer than
-    ``min_passes`` comparable passes exist — the gate then accepts
-    unconditionally (nothing trustworthy to diff against)."""
+) -> list[dict] | None:
+    """The most recent comparable history passes: same sf, not flagged
+    ``contaminated`` (gate-rejected loser) or ``gate_deviant``
+    (accepted-but-still-deviant under sustained load, ADVICE r11 —
+    letting those into the baseline would drag the acceptance medians
+    upward and weaken the gate they feed), complete groups. Returns
+    None when fewer than ``min_passes`` comparable passes exist — the
+    gate then accepts unconditionally (nothing trustworthy to diff
+    against)."""
     entries = []
     try:
         with open(history_path) as f:
@@ -173,6 +194,7 @@ def history_group_medians(
                 if (
                     e.get("sf") == sf
                     and not e.get("contaminated")
+                    and not e.get("gate_deviant")
                     and isinstance(e.get("value"), (int, float))
                     and isinstance(e.get("streaming_total"), (int, float))
                     and e.get("queries")
@@ -181,56 +203,90 @@ def history_group_medians(
     except OSError:
         return None
     entries = entries[-max_passes:]
-    if len(entries) < min_passes:
-        return None
+    return entries if len(entries) >= min_passes else None
 
-    def med(vals: list[float]) -> float:
-        vals = sorted(vals)
-        n = len(vals)
-        return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
 
+def _median(vals: list[float]) -> float:
+    vals = sorted(vals)
+    n = len(vals)
+    return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
+
+
+def per_query_history_medians(entries: list[dict]) -> dict[str, float]:
+    """Median timing per query name across the comparable history
+    passes (a query contributes wherever it appears — the intersection
+    with the current pass is taken later, per ADVICE r11: comparing raw
+    group SUMS across rounds with different query sets guaranteed a
+    spurious re-run whenever the catalog gained or lost a query)."""
+    by_name: dict[str, list[float]] = {}
+    for e in entries:
+        for n, v in e.get("queries", {}).items():
+            if isinstance(v, (int, float)) and v > 0:
+                by_name.setdefault(n, []).append(v)
+    return {n: _median(vs) for n, vs in by_name.items()}
+
+
+def group_ratio_medians(
+    cur_queries: dict,
+    pq_medians: dict | None,
+    headline: list[str],
+    min_common: int = 3,
+) -> dict:
+    """Per-group MEDIAN of per-query ratios (current / history median)
+    over the intersection of query names (ADVICE r11). Two properties
+    the old sum-of-group-totals comparison lacked:
+
+    - catalog drift immunity: a query added or removed since the last
+      round simply drops out of the intersection instead of shifting
+      the group total and tripping a guaranteed ~10-minute re-run;
+    - outlier robustness: one contention-hypersensitive query (the r11
+      exhibit: stream_rate_limited_backfill swinging 1.1 -> 19.9 s,
+      1.6x-ing streaming_total on its own) cannot trip the group —
+      a real contamination window slows the whole group together.
+
+    Groups with fewer than ``min_common`` shared queries are skipped
+    (no trustworthy signal)."""
+    if not pq_medians:
+        return {}
+    ratios: dict[str, list[float]] = {}
+    for n, v in cur_queries.items():
+        base = pq_medians.get(n)
+        if base and isinstance(v, (int, float)) and v > 0:
+            ratios.setdefault(group_of(n, headline), []).append(v / base)
     return {
-        "value": med([e["value"] for e in entries]),
-        "extensions_total": med(
-            [extensions_total_of(e, headline) for e in entries]
-        ),
-        "streaming_total": med([e["streaming_total"] for e in entries]),
-        "n_passes": len(entries),
+        g: round(_median(rs), 3)
+        for g, rs in ratios.items()
+        if len(rs) >= min_common
     }
 
 
-def gate_deviations(
-    groups: dict, medians: dict | None, threshold: float = 1.25
-) -> dict:
-    """Group totals exceeding their history median by more than
-    ``threshold`` (slow direction only — a faster-than-history pass is
-    a better record, not a contaminated one). Returns {group: ratio};
-    empty dict = pass accepted. Pure so the gate is unit-testable."""
-    if not medians:
-        return {}
-    out = {}
-    for g in ("value", "extensions_total", "streaming_total"):
-        base = medians.get(g)
-        cur = groups.get(g)
-        if not base or cur is None:
-            continue
-        ratio = cur / base
-        if ratio > threshold:
-            out[g] = round(ratio, 3)
-    return out
+def mark_untrusted(out: dict, kept_dev: dict, headline: list[str]) -> None:
+    """Stamp a kept-but-still-deviant pass (VERDICT r11 rec #2): the
+    deviant groups land in ``accept.kept_deviations``, every query in
+    them is listed under ``untrusted_queries`` in the detail/history
+    records (so per-query diff tooling never treats them as clean
+    latest readings), and ``gate_deviant`` keeps the history line out
+    of future acceptance medians (ADVICE r11)."""
+    out["accept"]["kept_deviations"] = kept_dev
+    out["gate_deviant"] = True
+    out["untrusted_groups"] = sorted(kept_dev)
+    out["untrusted_queries"] = sorted(
+        n for n in out["queries"] if group_of(n, headline) in kept_dev
+    )
 
 
-def worst_ratio(groups: dict, medians: dict | None) -> float:
-    """Max group ratio vs history medians — the retry winner is the
-    pass with the SMALLER worst-group ratio."""
-    if not medians:
-        return 0.0
-    ratios = [
-        groups[g] / medians[g]
-        for g in ("value", "extensions_total", "streaming_total")
-        if medians.get(g) and groups.get(g) is not None
-    ]
-    return max(ratios) if ratios else 0.0
+def gate_deviations(ratios: dict, threshold: float = 1.25) -> dict:
+    """Groups whose per-query ratio median exceeds ``threshold`` (slow
+    direction only — a faster-than-history pass is a better record, not
+    a contaminated one). Returns {group: ratio}; empty dict = pass
+    accepted. Pure so the gate is unit-testable."""
+    return {g: r for g, r in ratios.items() if r > threshold}
+
+
+def worst_ratio(ratios: dict) -> float:
+    """Max group ratio median — the retry winner is the pass with the
+    SMALLER worst-group ratio."""
+    return max(ratios.values()) if ratios else 0.0
 
 
 def build_summary(
@@ -358,47 +414,42 @@ def main() -> None:
 
     out = measure(spark, queries, names, extras, streaming, sf_dir)
 
-    # ── acceptance gate (VERDICT r10 rec #1) ──────────────────────────
+    # ── acceptance gate (VERDICT r10 rec #1; r12: per-query ratio
+    # medians over the history intersection, ADVICE r11) ──────────────
     here = os.path.dirname(os.path.abspath(__file__))
     history_path = os.path.join(here, "BENCH_DETAIL_history.jsonl")
-    medians = history_group_medians(history_path, sf, names)
-    groups1 = {
-        "value": out["value"],
-        "extensions_total": extensions_total_of(out, names),
-        "streaming_total": out["streaming_total"],
-    }
-    dev1 = gate_deviations(groups1, medians)
+    entries = comparable_history_entries(history_path, sf)
+    pq_med = per_query_history_medians(entries) if entries else None
+    ratios1 = group_ratio_medians(out["queries"], pq_med, names)
+    dev1 = gate_deviations(ratios1)
     rejected = None
-    if not medians:
+    if not entries:
         out["accept"] = {"status": "no_history"}
     elif not dev1:
         out["accept"] = {
             "status": "ok",
-            "worst_ratio": round(worst_ratio(groups1, medians), 3),
+            "worst_ratio": round(worst_ratio(ratios1), 3),
         }
     else:
-        # the measured pass is >25% above the history median on at
-        # least one group: re-run ONCE and keep the pass with the
-        # smaller worst-group ratio; the loser is recorded in the
-        # history flagged contaminated, never silently dropped
+        # the measured pass's per-query ratio median is >25% above
+        # history on at least one group: re-run ONCE and keep the pass
+        # with the smaller worst-group ratio; the loser is recorded in
+        # the history flagged contaminated, never silently dropped
         print(
-            f"acceptance gate: deviant groups {dev1} vs history medians "
-            f"({medians['n_passes']} passes) — re-running once",
+            f"acceptance gate: deviant groups {dev1} vs per-query "
+            f"history medians ({len(entries)} passes) — re-running once",
             file=sys.stderr,
         )
         out2 = measure(spark, queries, names, extras, streaming, sf_dir)
-        groups2 = {
-            "value": out2["value"],
-            "extensions_total": extensions_total_of(out2, names),
-            "streaming_total": out2["streaming_total"],
-        }
-        w1, w2 = worst_ratio(groups1, medians), worst_ratio(groups2, medians)
+        ratios2 = group_ratio_medians(out2["queries"], pq_med, names)
+        w1, w2 = worst_ratio(ratios1), worst_ratio(ratios2)
         if w2 <= w1:
             rejected, out = out, out2
-            kept_groups = groups2
+            kept_ratios = ratios2
         else:
             rejected = out2
-            kept_groups = groups1
+            kept_ratios = ratios1
+        kept_dev = gate_deviations(kept_ratios)
         out["accept"] = {
             "status": "retried",
             "first_deviations": dev1,
@@ -406,8 +457,15 @@ def main() -> None:
             "kept_worst_ratio": round(min(w1, w2), 3),
             # both passes deviant → likely sustained load; the record
             # says so instead of pretending the retry cleaned it
-            "kept_still_deviant": bool(gate_deviations(kept_groups, medians)),
+            "kept_still_deviant": bool(kept_dev),
         }
+        if kept_dev:
+            # VERDICT r11 rec #2: a kept-but-still-deviant pass must
+            # never present its deviant groups' per-query numbers as
+            # unqualified latest readings (the r11 exhibit: a 23.7 s
+            # similarity_ivfpq_recall vs a 3.4-4.9 s ten-pass band
+            # landing in BENCH_DETAIL_latest.json)
+            mark_untrusted(out, kept_dev, names)
         rejected["contaminated"] = True
         rejected["accepted"] = False
 

@@ -139,8 +139,8 @@ def test_extensions_total_recomputed_from_queries():
     assert extensions_total_of(e, HEADLINE) == 20.0
 
 
-def test_history_medians_filter_and_median(tmp_path):
-    from bench import history_group_medians
+def test_comparable_history_filters(tmp_path):
+    from bench import comparable_history_entries, per_query_history_medians
 
     p = tmp_path / "hist.jsonl"
     lines = [
@@ -149,58 +149,90 @@ def test_history_medians_filter_and_median(tmp_path):
         _hist_entry(2.9, 1.9, 42.0),
         # non-comparable rows the gate must skip:
         _hist_entry(9.9, 9.9, 99.0, sf=0.01),  # other sf
-        _hist_entry(9.9, 9.9, 99.0, contaminated=True),  # flagged
+        _hist_entry(9.9, 9.9, 99.0, contaminated=True),  # gate loser
+        # accepted under sustained load: stays out of future medians
+        # (ADVICE r11)
+        _hist_entry(9.9, 9.9, 99.0, gate_deviant=True),
     ]
     p.write_text("\n".join(json.dumps(e) for e in lines) + "\nnot json\n")
-    m = history_group_medians(str(p), 0.1, HEADLINE)
-    assert m["n_passes"] == 3
-    assert m["value"] == 2.9
-    assert m["streaming_total"] == 42.0
-    assert m["extensions_total"] == 20.0  # 10 queries x median 2.0
+    entries = comparable_history_entries(str(p), 0.1)
+    assert len(entries) == 3
+    pq = per_query_history_medians(entries)
+    assert pq["ext_0"] == 2.0  # median of 2.0 / 2.1 / 1.9
+    assert pq["stream_a"] == 21.0  # median of 20 / 22 / 21
 
 
-def test_history_medians_insufficient_passes(tmp_path):
-    from bench import history_group_medians
+def test_comparable_history_insufficient_passes(tmp_path):
+    from bench import comparable_history_entries
 
     p = tmp_path / "hist.jsonl"
     p.write_text(json.dumps(_hist_entry(3.0, 2.0, 40.0)) + "\n")
-    assert history_group_medians(str(p), 0.1, HEADLINE) is None
-    assert history_group_medians(str(tmp_path / "absent"), 0.1, HEADLINE) is None
+    assert comparable_history_entries(str(p), 0.1) is None
+    assert comparable_history_entries(str(tmp_path / "absent"), 0.1) is None
+
+
+def test_group_ratio_medians_intersection_and_outliers():
+    """ADVICE r11: the gate compares per-query ratio MEDIANS over the
+    name intersection — catalog drift (added/removed queries) and one
+    contention-hypersensitive outlier must both be unable to trip a
+    group."""
+    from bench import group_ratio_medians, per_query_history_medians
+
+    base = _hist_entry(3.0, 2.0, 40.0)
+    base["queries"]["stream_c"] = 20.0
+    hist = per_query_history_medians([base, base, base])
+    cur = {n: 0.1 for n in HEADLINE}
+    cur.update({f"ext_{i}": 2.0 for i in range(9)})
+    cur["ext_brand_new_query"] = 500.0  # not in history: must drop out
+    # the r11 exhibit: one stream query 15x slow, its siblings in-band
+    cur.update({"stream_a": 20.0 * 15, "stream_b": 20.0, "stream_c": 20.0})
+    ratios = group_ratio_medians(cur, hist, HEADLINE)
+    assert ratios["value"] == 1.0
+    assert ratios["extensions_total"] == 1.0  # outlier name intersected away
+    # one 15x outlier among three stream queries: median 1.0 — the
+    # group no longer trips on a single hypersensitive query
+    assert ratios["streaming_total"] == 1.0
+    # a group with fewer than min_common shared names is skipped
+    assert "streaming_total" not in group_ratio_medians(
+        {"stream_a": 300.0, "stream_b": 20.0}, hist, HEADLINE
+    )
+    # no history -> no ratios -> unconditional accept
+    assert group_ratio_medians(cur, None, HEADLINE) == {}
+
+
+def test_mark_untrusted_stamps_kept_still_deviant():
+    """VERDICT r11 rec #2: when BOTH gate passes deviate, the kept
+    record must carry the deviant groups and their queries as
+    untrusted — a 23.7 s similarity_ivfpq_recall must never land in
+    BENCH_DETAIL_latest.json as an unqualified latest reading — and
+    the history line must be excluded from future acceptance medians."""
+    from bench import mark_untrusted
+
+    out, _ = _fake_out(n_extras=2)
+    out["queries"]["stream_a"] = 19.91
+    out["accept"] = {"status": "retried", "kept_still_deviant": True}
+    mark_untrusted(out, {"streaming_total": 1.602}, HEADLINE)
+    assert out["accept"]["kept_deviations"] == {"streaming_total": 1.602}
+    assert out["gate_deviant"] is True
+    assert out["untrusted_groups"] == ["streaming_total"]
+    assert out["untrusted_queries"] == ["stream_a"]
+    # headline/extension queries stay trusted
+    assert HEADLINE[0] not in out["untrusted_queries"]
 
 
 def test_gate_deviations_slow_direction_only():
-    from bench import gate_deviations
+    from bench import gate_deviations, worst_ratio
 
-    med = {"value": 2.9, "extensions_total": 350.0, "streaming_total": 42.0}
-    # the r10 exhibit: 4.476 s headline / 80.5 s streaming vs 2.9 / 42
     dev = gate_deviations(
-        {"value": 4.476, "extensions_total": 393.2, "streaming_total": 80.5},
-        med,
+        {"value": 1.543, "extensions_total": 1.12, "streaming_total": 1.917}
     )
     assert set(dev) == {"value", "streaming_total"}
-    assert dev["value"] == round(4.476 / 2.9, 3)
     # a faster-than-history pass is a better record, not contamination
-    assert (
-        gate_deviations(
-            {"value": 2.0, "extensions_total": 300.0, "streaming_total": 30.0},
-            med,
-        )
-        == {}
-    )
-    # no medians -> unconditionally accepted
-    assert gate_deviations({"value": 99.0}, None) == {}
-
-
-def test_worst_ratio_picks_the_max_group():
-    from bench import worst_ratio
-
-    med = {"value": 2.0, "extensions_total": 100.0, "streaming_total": 40.0}
-    w = worst_ratio(
-        {"value": 2.2, "extensions_total": 110.0, "streaming_total": 80.0},
-        med,
-    )
-    assert w == 2.0  # streaming 80/40 dominates
-    assert worst_ratio({"value": 2.2}, None) == 0.0
+    assert gate_deviations(
+        {"value": 0.69, "extensions_total": 0.86, "streaming_total": 0.71}
+    ) == {}
+    assert worst_ratio({"value": 1.1, "streaming_total": 1.917}) == 1.917
+    assert worst_ratio({}) == 0.0
 
 
 def test_summary_carries_gate_and_mid_probes():
