@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from ..catalog import normalize_event_ts, read_parquet
-from .daily import _SCRATCH_ROOT, _run_to_completion
+from .daily import PROGRESS_LEDGER, _SCRATCH_ROOT, _run_to_completion
 
 N_BACKFILL_FILES = 4
 
@@ -64,10 +64,21 @@ def rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Drain a 4-file backlog at maxFilesPerTrigger=1 and report the
     pacing: exactly one non-empty micro-batch per file, total rows
     equal to the batch-count sum (nothing dropped or duplicated), and
-    every batch strictly smaller than the backlog (the bound held)."""
+    every batch strictly smaller than the backlog (the bound held).
+
+    The pacing telemetry comes from the engine's own progress trail
+    (``numInputRows`` per micro-batch, the same evidence a production
+    backfill monitors) over a noop sink. The earlier form counted each
+    batch inside ``foreachBatch``, adding a driver-side py4j callback
+    plus a SECOND job per micro-batch — synchronous round-trips that
+    stretched this query 1.1 -> 19.9 s under co-tenant host load
+    (VERDICT r11 rec #3: the property here is batch-count arithmetic,
+    not callback throughput, so the extra per-batch work was pure
+    contention surface)."""
     path = f"{sf_dir}/events.parquet"
     stage = _stage_multifile(spark, path, "backfill")
     tag = hashlib.md5(f"backfill:{sf_dir}".encode()).hexdigest()[:8]
+    qname = f"rate_limited_backfill_{tag}"
 
     schema = read_parquet(spark, path).schema
     stream = normalize_event_ts(
@@ -75,13 +86,6 @@ def rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("maxFilesPerTrigger", "1")
         .parquet(stage)
     )
-
-    batches: list[tuple[int, int]] = []
-
-    def _count_batch(batch_df: DataFrame, batch_id: int) -> None:
-        n = batch_df.count()
-        if n > 0:
-            batches.append((batch_id, n))
 
     # fresh checkpoint per run: this query MEASURES the drain pacing, so
     # a warm checkpoint (which would legitimately process zero batches)
@@ -96,20 +100,30 @@ def rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     try:
         _run_to_completion(
             spark,
-            stream.writeStream.foreachBatch(_count_batch)
+            stream.writeStream.format("noop")
+            .queryName(qname)
             .option("checkpointLocation", ckpt)
             .trigger(availableNow=True),
         )
     finally:
         shutil.rmtree(ckpt, ignore_errors=True)
 
-    total = sum(n for _, n in batches)
+    # most recent trail for this query name (latedrop.py pattern)
+    trail = next(
+        (t for n, t in reversed(PROGRESS_LEDGER) if n == qname), []
+    )
+    batches = [
+        int(p["numInputRows"])
+        for p in trail
+        if p.get("numInputRows", 0) > 0
+    ]
+    total = sum(batches)
     out = spark.createDataFrame(
         [
             (
                 len(batches),
                 total,
-                bool(batches) and all(n < total for _, n in batches),
+                bool(batches) and all(n < total for n in batches),
             )
         ],
         "n_batches int, n_events long, batches_bounded boolean",
