@@ -1096,10 +1096,10 @@ register(
         _decayed_leaderboard,
         """
 WITH ev AS (
-  SELECT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d
   FROM events
-  WHERE TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) IS NOT NULL
 ),
 ref AS (SELECT max(d) AS ref_d FROM ev)
 SELECT k,

@@ -528,10 +528,10 @@ def _hits_oracle() -> str:
         """
 WITH e AS (
   SELECT DISTINCT user_id AS u,
-         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k
   FROM events
   WHERE event_type = 'click'
-    AND TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
+    AND TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) IS NOT NULL
 ),
 h0 AS (SELECT DISTINCT u, 1.0 AS h FROM e)"""
     ]

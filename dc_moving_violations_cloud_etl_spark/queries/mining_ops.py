@@ -146,7 +146,7 @@ register(
         _triangle_census,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -686,9 +686,9 @@ register(
 WITH x AS (
   SELECT event_type,
          CAST(round(value * 100) AS BIGINT) AS x,
-         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS y
+         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS y
   FROM events
-  WHERE TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) IS NOT NULL
+  WHERE TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) IS NOT NULL
 )
 SELECT event_type,
        CAST(count(*) AS BIGINT) AS n_events,
@@ -809,7 +809,7 @@ register(
         _pagerank_coclick,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1306,7 +1306,7 @@ register(
         _cc_incremental,
         """
 WITH RECURSIVE uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1663,7 +1663,7 @@ register(
         _bfs_seed_distance,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -1967,7 +1967,7 @@ register(
         _label_propagation,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -2072,7 +2072,7 @@ register(
         _degree_assortativity,
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),
@@ -2190,7 +2190,7 @@ def _kcore_sql() -> str:
     parts = [
         """
 WITH uk AS (
-  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k,
+  SELECT DISTINCT TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k,
          CAST(ts AS DATE) AS d, user_id
   FROM events WHERE event_type = 'click'
 ),

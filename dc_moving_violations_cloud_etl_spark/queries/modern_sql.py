@@ -83,8 +83,10 @@ FROM (
                    WHEN 'true' THEN 1 WHEN 'false' THEN 0 END)
            WHEN json_type(props, '$.k') = 'VARCHAR'
                 AND regexp_matches(json_extract_string(props, '$.k'),
-                                   '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$')
-             THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                                   '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$')
+             THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                                          '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$',
+                                          '', 'g') AS BIGINT)
          END AS k
   FROM events
 )

@@ -84,7 +84,7 @@ register(
         """
 WITH ev AS (
   SELECT user_id, ts, event_id,
-         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') THEN json_extract_string(props, '$.k') END AS BIGINT) AS k
+         TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$') THEN regexp_replace(json_extract_string(props, '$.k'), '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$', '', 'g') END AS BIGINT) AS k
   FROM events
 ),
 changes AS (

@@ -17,6 +17,8 @@ a 20-value battery, on both engines, without staging a fixture.
 
 from __future__ import annotations
 
+import re
+
 from pyspark.sql import functions as F
 
 # (event_id, props, expected get_json_object+try_cast('long'),
@@ -44,14 +46,29 @@ _BATTERY = [
     (18, '{"k": "99999999999999999999"}', None, None),  # str overflow
     (19, '{"k": [1]}', None, None),  # non-scalar path values
     (20, "{}", None, None),  # missing key
+    # control-char padding (ADVICE r11): Spark's string-to-long trim
+    # (UTF8String.trimAll) strips the MEASURED class [\x00-\x20\x7f] —
+    # ASCII controls, space, and DEL — but NOT U+0085/U+00A0/U+200B+
+    # (probed on Spark 4.1, r12 session; both the try_cast and the
+    # try_variant_get path agree). DuckDB's TRY_CAST strips none of the
+    # sub-0x21 controls, so the guarded spell must regexp_replace them
+    # away before casting.
+    (21, '{"k": "\\u000112"}', 12, 12),  # SOH pad: both engines trim
+    (22, '{"k": "\\u007f12"}', 12, 12),  # DEL pads too (beyond 0x20!)
+    (23, '{"k": "\\u008512"}', None, None),  # NEL: NOT trimmed
+    (24, '{"k": "\\u00a012"}', None, None),  # NBSP: NOT trimmed
+    (25, '{"k": "\\u200b12"}', None, None),  # zero-width: NOT trimmed
+    (26, '{"k": "\\u000b-42\\u001f"}', -42, -42),  # mixed ends + sign
 ]
 
 # the guarded varchar spell every props.$.k oracle twin now uses
 GUARDED_CAST_SQL = (
     "TRY_CAST(CASE WHEN json_valid(props) AND regexp_matches("
     "json_extract_string(props, '$.k'), "
-    "'^[[:space:]]*[+-]?[0-9]+[[:space:]]*$') "
-    "THEN json_extract_string(props, '$.k') END AS BIGINT)"
+    r"'^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$') "
+    "THEN regexp_replace(json_extract_string(props, '$.k'), "
+    r"'^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$', '', 'g') "
+    "END AS BIGINT)"
 )
 
 # the VARIANT-twin mirror: one branch per json_type, matching
@@ -68,8 +85,10 @@ VARIANT_MIRROR_SQL = """CASE
           WHEN 'true' THEN 1 WHEN 'false' THEN 0 END)
   WHEN json_type(props, '$.k') = 'VARCHAR'
        AND regexp_matches(json_extract_string(props, '$.k'),
-                          '^[[:space:]]*[+-]?[0-9]+[[:space:]]*$')
-    THEN TRY_CAST(json_extract_string(props, '$.k') AS BIGINT)
+                          '^[\\x00-\\x20\\x7f]*[+-]?[0-9]+[\\x00-\\x20\\x7f]*$')
+    THEN TRY_CAST(regexp_replace(json_extract_string(props, '$.k'),
+                                 '^[\\x00-\\x20\\x7f]+|[\\x00-\\x20\\x7f]+$',
+                                 '', 'g') AS BIGINT)
 END"""
 
 
@@ -167,6 +186,31 @@ def test_no_unguarded_props_cast_in_registered_oracles():
         get_oracles,
     )
 
-    bare = "WHEN json_valid(props) THEN json_extract_string"
-    offenders = [n for n, sql in get_oracles().items() if bare in sql]
+    # whitespace-tolerant: a reformatted guard (newline between tokens)
+    # must not evade the check (ADVICE r11)
+    bare = re.compile(
+        r"WHEN\s+json_valid\(props\)\s+THEN\s+json_extract_string"
+    )
+    offenders = [n for n, sql in get_oracles().items() if bare.search(sql)]
     assert not offenders, f"unguarded props casts: {offenders}"
+
+
+def test_no_narrow_space_guard_in_registered_oracles():
+    """The r11 guard class '[[:space:]]' was narrower than Spark's
+    string-to-long trim (which also strips sub-0x21 controls and DEL,
+    ADVICE r11): every oracle must carry the widened class, and every
+    widened guard must strip before casting (DuckDB's TRY_CAST does
+    NOT trim control chars, so guard-without-strip still diverges)."""
+    from dc_moving_violations_cloud_etl_spark.queries.registry import (
+        get_oracles,
+    )
+
+    narrow = re.compile(r"\[\[:space:\]\]\s*\*\s*\[\+-\]")
+    offenders = [n for n, sql in get_oracles().items() if narrow.search(sql)]
+    assert not offenders, f"narrow [[:space:]] guards remain: {offenders}"
+    guard = r"'^[\x00-\x20\x7f]*[+-]?[0-9]+[\x00-\x20\x7f]*$'"
+    strip = r"'^[\x00-\x20\x7f]+|[\x00-\x20\x7f]+$'"
+    for n, sql in get_oracles().items():
+        assert sql.count(guard) == sql.count(strip), (
+            f"{n}: widened guard without a matching strip-before-cast"
+        )

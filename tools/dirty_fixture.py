@@ -133,7 +133,14 @@ def build(dst: str) -> None:
     (900009, TIMESTAMP '2024-01-06 11:05:00', 9, 'click', 5.0,
      '{{"k": " 12 "}}'),
     (900010, TIMESTAMP '2024-01-06 11:06:00', 11, 'click', 6.0,
-     '{{"k": -3.9}}')
+     '{{"k": -3.9}}'),
+    -- control-char padding (r12, ADVICE r11): Spark's string-to-long
+    -- trim strips [x00-x20 + DEL]; the guarded twins regexp_replace
+    -- the same class away before DuckDB's TRY_CAST (which trims none)
+    (900011, TIMESTAMP '2024-01-06 11:07:00', 11, 'click', 7.0,
+     '{{"k": "\\u000112"}}'),
+    (900012, TIMESTAMP '2024-01-06 11:08:00', 7, 'click', 8.0,
+     '{{"k": "\\u00a012"}}')
   ) t(event_id, ts, user_id, event_type, value, props)
 ) TO '{dst}/events.parquet' (FORMAT PARQUET)"""
     )
