@@ -242,60 +242,85 @@ def _load_all() -> None:
 # quantize_int8, dedup_embedding/cosine/components, semdedup, rerank,
 # contrastive/preference, dsir/perplexity consumers) lead the r12
 # window with the displaced corpus/dedup r6 rows behind them.
+#
+# Round-12 rotation (VERDICT r11 rec #4): the window goes STALEST-FIRST
+# — the entire 46-row r6-vintage tranche rotates in at once (after this
+# round no official row predates r7), which ALSO covers most of the
+# r11 third-wave changed-ANN twins (int8/binary topk+recall, rerank,
+# preference_pairs, kmeans_exact, semdedup) and the displaced
+# corpus/dedup r6 rows the r11 plan queued. The 4 spare slots, changed
+# rows outranking merely-stale rows per the pinned policy:
+#   1. stream_rate_limited_backfill — REIMPLEMENTED this round
+#      (VERDICT r11 rec #3: noop sink + engine progress-trail counts
+#      instead of per-batch foreachBatch callbacks; oracle unchanged,
+#      sim-certified this session);
+#   2-3. embedding_kcenter_seeds + corpus_dsir_importance_weights —
+#      both r7-stale AND r11 changed-ANN twins;
+#   4. similarity_cosine_topk — r8 changed-ANN twin, the family's
+#      brute-force baseline.
+# The r12 props.$.k guard widening (ADVICE r11: Spark trims
+# [\x00-\x20\x7f], measured; oracles now guard on that class and
+# strip before TRY_CAST) changed 13 oracle texts but is proven
+# byte-identical on the clean sf0.01 fixture (old-vs-new SQL compared
+# row-for-row this session), so those rows' r11 greens remain valid
+# and take no slots. Remaining changed-ANN rows at r8-r10 vintage
+# (lsh/ivf/ivfpq/pq_adc topk+recalls, quantize_int8,
+# dedup_embedding_cosine_pairs/components, perplexity) stay locally
+# certified (r11 eighth full sim) and lead the r13 refresh queue.
 DRIVER_WINDOW = [
-    # ── changed-twin refreshes (props.$.k oracle alignment + AUC) ──
-    "variant_props_extract",
-    "events_json_extract",
-    "events_decayed_leaderboard",
-    "scd2_user_attribute_history",
-    "events_value_k_corr_direction",
-    "graph_kcore_peel",
-    "graph_hits_bipartite",
-    "eval_auc_quality_gate",
-    "graph_triangle_census",
-    "graph_pagerank_coclick",
-    "graph_cc_incremental",
-    "graph_bfs_seed_distance",
-    "graph_label_propagation",
-    "graph_degree_assortativity",
-    # ── the 28 remaining r5-vintage rows ──
-    "approx_distinct_error_audit",
-    "bloom_pruned_fact_join",
-    "bucketed_join_zero_shuffle",
-    "cdc_merge_matrix",
-    "feature_store_pit_labels",
-    "geo_ward_point_in_polygon",
-    "hll_union_rollup_audit",
-    "mining_contrastive_triples",
-    "multimodal_ahash_near_dup",
-    "multimodal_bmp_decode_real",
-    "multimodal_png_decode_real",
-    "multimodal_wav_decode_real",
-    "multimodal_y4m_decode_real",
-    "quantile_sketch_audit",
-    "retrieval_rrf_hybrid",
-    "snapshot_time_travel_diff",
-    "stream_occ_snapshot_rollup",
+    # ── changed this round (r12): backfill reimplementation ──
     "stream_rate_limited_backfill",
-    "text_bm25_scores",
-    "topk_sketch_audit",
-    "tpch_q2_min_cost_supplier",
-    "tpch_q9_product_type_profit",
-    "tpch_q11_important_stock",
-    "tpch_q12_priority_by_bucket",
-    "tpch_q16_supplier_part_count",
-    "tpch_q20_halfconsumed_stock",
-    "tpch_q21_sole_returned_supplier",
-    "wap_publish_gate",
-    # ── second change wave: dirty-fixture NULL-semantics sweep ──
-    "timeseries_seasonal_decompose",
-    "udtf_partitioned_gap_stats",
-    "events_mad_outliers",
-    "gdpr_forget_users_audit",
-    "table_fingerprint_audit",
-    "full_outer_reconciliation",
-    "parquet_schema_evolution_audit",
-    "text_repetition_ratio",
+    # ── the entire r6-vintage tranche (46 rows, stalest-first) ──
+    "similarity_int8_topk",
+    "similarity_int8_recall",
+    "similarity_binary_hamming_topk",
+    "similarity_binary_recall",
+    "retrieval_two_stage_rerank",
+    "mining_preference_pairs",
+    "curation_decontaminate_neardup",
+    "curation_split_leakage_audit",
+    "corpus_shuffle_mix_audit",
+    "corpus_skipgram_pairs",
+    "corpus_span_corruption_plan",
+    "corpus_weighted_sample",
+    "corpus_mix_temperature",
+    "corpus_pipeline_end2end",
+    "dedup_substring_span_coverage",
+    "dedup_sorted_neighborhood",
+    "incremental_agg_maintenance",
+    "events_touch_attribution",
+    "events_bot_user_audit",
+    "layout_zorder_pruning_audit",
+    "orc_source_roundtrip_agg",
+    "xml_source_roundtrip_agg",
+    "py_sink_roundtrip_agg",
+    "partitioned_month_layer_agg",
+    "metadata_agg_pushdown",
+    "timeseries_gapfill_interpolate",
+    "embedding_kmeans_exact",
+    "semdedup_cluster_pairs",
+    "logreg_gd_train",
+    "udaf_grouped_median",
+    "nested_hof_order_amounts",
+    "sql_recursive_month_spine",
+    "sql_lateral_topk_days",
+    "sql_pipe_syntax_daily",
+    "sql_ntile_price_deciles",
+    "execute_immediate_profile",
+    "sql_udf_weather_flags",
+    "sql_collated_group_by",
+    "sql_ansi_try_functions",
+    "stream_state_metadata_read",
+    "stream_outer_join_sealed",
+    "stream_full_outer_sealed",
+    "stream_semi_join_matched",
+    "stream_right_outer_sealed",
+    "stream_chained_pipeline",
+    "stream_hopping_window",
+    # ── changed-ANN twins, stalest-first (r7, r7, r8) ──
+    "embedding_kcenter_seeds",
+    "corpus_dsir_importance_weights",
+    "similarity_cosine_topk",
 ]
 
 
