@@ -429,6 +429,10 @@ def main() -> None:
         out["accept"] = {
             "status": "ok",
             "worst_ratio": round(worst_ratio(ratios1), 3),
+            # which groups the gate actually compared — a group with
+            # fewer than min_common shared query names is SKIPPED, and
+            # the record must say so rather than imply it was checked
+            "groups_compared": sorted(ratios1),
         }
     else:
         # the measured pass's per-query ratio median is >25% above
@@ -455,6 +459,7 @@ def main() -> None:
             "first_deviations": dev1,
             "kept": "rerun" if rejected is not out2 else "first",
             "kept_worst_ratio": round(min(w1, w2), 3),
+            "groups_compared": sorted(kept_ratios),
             # both passes deviant → likely sustained load; the record
             # says so instead of pretending the retry cleaned it
             "kept_still_deviant": bool(kept_dev),

@@ -238,9 +238,16 @@ def test_gate_deviations_slow_direction_only():
 def test_summary_carries_gate_and_mid_probes():
     out, extras = _fake_out()
     out["calib_mid_sec"] = [0.62, 0.66]
-    out["accept"] = {"status": "ok", "worst_ratio": 1.02}
+    out["accept"] = {
+        "status": "ok",
+        "worst_ratio": 1.02,
+        "groups_compared": ["extensions_total", "streaming_total", "value"],
+    }
     s = build_summary(out, HEADLINE, extras, "/tmp/d.json")
     assert s["calib_mid_sec"] == [0.62, 0.66]
-    assert s["accept"] == {"status": "ok", "worst_ratio": 1.02}
+    assert s["accept"]["worst_ratio"] == 1.02
+    assert s["accept"]["groups_compared"] == [
+        "extensions_total", "streaming_total", "value",
+    ]
     # and the summary still fits the driver tail with the new fields
     assert len(json.dumps(s).encode()) < DRIVER_TAIL_BYTES // 2
