@@ -267,6 +267,17 @@ def _load_all() -> None:
 # (lsh/ivf/ivfpq/pq_adc topk+recalls, quantize_int8,
 # dedup_embedding_cosine_pairs/components, perplexity) stay locally
 # certified (r11 eighth full sim) and lead the r13 refresh queue.
+#
+# r13 rotation plan (computed at r12 close): after the r12 driver run
+# the ledger reads r7x40, r8x48, r9x47, r10x48, r11x49, r12x50. The 15
+# embeddings-reading changed-twin rows still carrying pre-r11-change
+# official rows lead (changed outranks stale): lsh_topk/lsh_recall/
+# ivf_topk/dedup_embedding_cosine_pairs/dedup_components (r8),
+# embedding_dup_components (r9), ivf_recall/ivf_nprobe2_recall/
+# ivfpq_topk/ivfpq_recall/pq_adc_topk/pq_recall/matryoshka_recall/
+# quantize_int8/perplexity_filter (r10) — all re-certified locally on
+# the post-change tree (r12 full sims, 282/282 twice). The remaining
+# 35 slots take the stalest r7 rows; the 5 r7 rows left over lead r14.
 DRIVER_WINDOW = [
     # ── changed this round (r12): backfill reimplementation ──
     "stream_rate_limited_backfill",
