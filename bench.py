@@ -29,8 +29,17 @@ CONTAMINATION ACCEPTANCE GATE (r11, VERDICT r10 rec #1): the official
 r10 artifact captured a load-contaminated pass — every query ~1.7x slow
 vs five same-day calibrated passes with zero code delta — and the
 start/end probes (in band) bracketed but never SAMPLED the ~10-minute
-window. Two defenses now:
+window. Defenses, in run order:
 
+0. COOLDOWN gate (r13, VERDICT r12 rec #1): two consecutive official
+   runs landed inside co-tenant load windows because the close-out
+   bench starts at whatever load the round end hits. Before the first
+   measured pass (and again before a gate retry) the CPU probe must
+   read under ``SPARK_GRAFT_BENCH_CALIB_MAX`` (default 0.85 s; idle
+   band is ~0.5-0.7 s) — otherwise sleep and re-probe, bounded at
+   ``SPARK_GRAFT_BENCH_COOLDOWN_TRIES`` attempts so the driver is
+   never blocked indefinitely. All probes are recorded
+   (``calib_cooldown_sec``), including a timed-out wait.
 1. MID-RUN probes: the CPU calibration probe also runs between query
    groups (after headline, after extensions), recorded as
    ``calib_mid_sec`` — a contention window inside the run is visible.
@@ -41,16 +50,32 @@ window. Two defenses now:
    intersection of query names (r12, ADVICE r11: raw group-total sums
    tripped a guaranteed spurious re-run whenever the catalog changed,
    and a single contention-hypersensitive query could 1.6x a group on
-   its own). If any group's ratio median exceeds 1.25, the whole
-   measurement re-runs ONCE; the pass with the smaller worst-group
-   ratio becomes the official record and BOTH passes land in the
-   history with ``accepted``/``contaminated`` flags. If the KEPT pass
-   is still deviant (sustained host load), its deviant groups are
-   stamped into ``accept.kept_deviations`` and every query in them is
-   listed under ``untrusted_queries`` in the detail/history records —
-   never presented as unqualified latest readings (VERDICT r11
-   rec #2) — and the history line carries ``gate_deviant`` so future
-   acceptance medians skip it (ADVICE r11).
+   its own; a name must appear in >= 2 history passes to contribute,
+   ADVICE r12). If any group's ratio median exceeds 1.25, ONLY the
+   deviant groups re-run once after a cooldown (r13, VERDICT r12
+   rec #7: a full-pass retry re-timed ~8 minutes of clean extension
+   queries to re-judge a 30-second headline; group-scoped retries keep
+   the close-out cycle under 15 minutes) and each deviant group keeps
+   whichever measurement has the smaller ratio median. The full first
+   pass lands in the history flagged ``contaminated`` whenever any of
+   its groups were replaced.
+3. SPLICE fallback (r13, VERDICT r12 rec #1): a group deviant on BOTH
+   measurements (sustained host load) is stamped into
+   ``accept.kept_deviations`` / ``untrusted_queries`` as before
+   (VERDICT r11 rec #2) and then REPLACED with the same group's
+   per-query block from the most recent in-band history pass, labeled
+   ``accept.spliced_groups`` (``from_utc``) + top-level
+   ``spliced_queries``; the displaced measurements stay auditable in
+   ``replaced_measurements``. The headline ``value`` therefore always
+   reflects an in-band reading — measured this run when possible, the
+   last clean pass otherwise, never a load artifact. The history line
+   keeps ``gate_deviant`` so spliced (copied) numbers never feed
+   future acceptance medians (ADVICE r11).
+4. PER-QUERY outlier stamp (r13, ADVICE r12): independent of group
+   medians, any single query > 3x its history median is appended to
+   ``untrusted_queries`` (ratios in ``per_query_outliers``) so a lone
+   contaminated reading inside an in-band group is still flagged for
+   per-query diff tooling.
 """
 
 from __future__ import annotations
@@ -99,6 +124,33 @@ def load_calibration(iters: int = 1_500_000) -> float:
     for _ in range(iters):
         h = hashlib.sha256(h).digest()
     return round(time.perf_counter() - t0, 4)
+
+
+def cooldown(
+    max_calib: float,
+    attempts: int,
+    sleep_s: float,
+    probe=load_calibration,
+    sleep=time.sleep,
+) -> list[float]:
+    """Load-probe cooldown gate (VERDICT r12 rec #1): probe host load
+    and, while the probe reads above ``max_calib``, sleep and re-probe
+    up to ``attempts`` extra times. Returns every probe reading (the
+    last one is the reading the run starts under). Bounded so a
+    sustained-load box delays the official run by at most
+    ``attempts * sleep_s`` instead of blocking the driver; a timed-out
+    wait is visible as a final probe still above the threshold."""
+    probes = [probe()]
+    while probes[-1] > max_calib and len(probes) <= attempts:
+        print(
+            f"cooldown: calibration probe {probes[-1]:.3f}s > "
+            f"{max_calib}s — sleeping {sleep_s:.0f}s "
+            f"({len(probes)}/{attempts})",
+            file=sys.stderr,
+        )
+        sleep(sleep_s)
+        probes.append(probe())
+    return [round(p, 4) for p in probes]
 
 
 def median_of_completed(
@@ -212,18 +264,59 @@ def _median(vals: list[float]) -> float:
     return vals[n // 2] if n % 2 else (vals[n // 2 - 1] + vals[n // 2]) / 2
 
 
-def per_query_history_medians(entries: list[dict]) -> dict[str, float]:
+def per_query_history_medians(
+    entries: list[dict], min_appearances: int = 2
+) -> dict[str, float]:
     """Median timing per query name across the comparable history
     passes (a query contributes wherever it appears — the intersection
     with the current pass is taken later, per ADVICE r11: comparing raw
     group SUMS across rounds with different query sets guaranteed a
-    spurious re-run whenever the catalog gained or lost a query)."""
+    spurious re-run whenever the catalog gained or lost a query). A
+    name must appear in at least ``min_appearances`` passes to
+    contribute (ADVICE r12: a 1-sample "median" from a single noisy
+    historical pass dilutes the ratio pool in both directions —
+    mirrors the ``min_common`` guard on the group side)."""
     by_name: dict[str, list[float]] = {}
     for e in entries:
         for n, v in e.get("queries", {}).items():
             if isinstance(v, (int, float)) and v > 0:
                 by_name.setdefault(n, []).append(v)
-    return {n: _median(vs) for n, vs in by_name.items()}
+    return {
+        n: _median(vs)
+        for n, vs in by_name.items()
+        if len(vs) >= min_appearances
+    }
+
+
+def per_query_outliers(
+    cur_queries: dict,
+    pq_medians: dict | None,
+    threshold: float = 3.0,
+    skip: set | None = None,
+) -> dict[str, float]:
+    """Single-query contamination stamp (ADVICE r12): the group-median
+    gate deliberately ignores lone spikes, so a 23.7 s reading inside
+    an otherwise in-band group could still land as an unqualified
+    latest reading. Any query whose current/history-median ratio
+    exceeds ``threshold`` is returned (name -> ratio) for appending to
+    ``untrusted_queries`` even when no group median trips. ``skip``
+    names (e.g. history-spliced values, which are not this run's
+    measurements) are excluded."""
+    if not pq_medians:
+        return {}
+    skip = skip or set()
+    out = {}
+    for n, v in cur_queries.items():
+        base = pq_medians.get(n)
+        if (
+            n not in skip
+            and base
+            and isinstance(v, (int, float))
+            and v > 0
+            and v / base > threshold
+        ):
+            out[n] = round(v / base, 3)
+    return out
 
 
 def group_ratio_medians(
@@ -275,6 +368,115 @@ def mark_untrusted(out: dict, kept_dev: dict, headline: list[str]) -> None:
     )
 
 
+def merge_groups(
+    base: dict, retry: dict, groups: set, headline: list[str]
+) -> dict:
+    """Merge a group-scoped retry into the first pass: for each group
+    in ``groups`` the retry's per-query timings (and group total)
+    replace the first pass's; every other group keeps its measured
+    values — they passed the gate, so re-timing them would only add
+    ~8 minutes of clean-measurement churn per retry (VERDICT r12
+    rec #7). Pure so the merge arithmetic is unit-testable."""
+    merged = dict(base)
+    q = {
+        n: v
+        for n, v in base.get("queries", {}).items()
+        if group_of(n, headline) not in groups
+    }
+    q.update(
+        {
+            n: v
+            for n, v in retry.get("queries", {}).items()
+            if group_of(n, headline) in groups
+        }
+    )
+    merged["queries"] = q
+    if "value" in groups:
+        merged["value"] = retry["value"]
+    if "streaming_total" in groups:
+        merged["streaming_total"] = retry["streaming_total"]
+    for key in ("errors", "degraded_medians"):
+        kept = {
+            n: v
+            for n, v in base.get(key, {}).items()
+            if group_of(n, headline) not in groups
+        }
+        kept.update(
+            {
+                n: v
+                for n, v in retry.get(key, {}).items()
+                if group_of(n, headline) in groups
+            }
+        )
+        if kept:
+            merged[key] = kept
+        else:
+            merged.pop(key, None)
+    # first-pass probes stay authoritative for the run bracket; the
+    # retry's own mid-probes ride along for the audit trail
+    if retry.get("calib_mid_sec"):
+        merged["retry_calib_mid_sec"] = retry["calib_mid_sec"]
+    return merged
+
+
+def splice_from_history(
+    out: dict, kept_dev: dict, donor: dict, headline: list[str]
+) -> None:
+    """SPLICE fallback (VERDICT r12 rec #1): a group deviant on both
+    measurements is sustained-load damage — its per-query block is
+    replaced with the most recent in-band history pass's values so the
+    official headline always reflects an in-band reading. Clearly
+    labeled: ``accept.spliced_groups`` carries the donor's ``from_utc``
+    per group, the replaced names land in top-level ``spliced_queries``,
+    and the displaced measurements stay auditable in
+    ``replaced_measurements``. Group names with no donor value keep
+    their measured (deviant) reading and REMAIN in
+    ``untrusted_queries``; spliced names leave it (their values are
+    clean history, not untrusted measurements). The caller must have
+    stamped ``gate_deviant`` already (mark_untrusted) so the spliced
+    line — whose numbers are copies of the donor's — never feeds
+    future acceptance medians."""
+    donor_q = donor.get("queries", {})
+    spliced: list[str] = []
+    leftover: list[str] = []
+    replaced: dict[str, float] = {}
+    for g in kept_dev:
+        for n in [
+            n for n in out["queries"] if group_of(n, headline) == g
+        ]:
+            dv = donor_q.get(n)
+            if isinstance(dv, (int, float)) and dv > 0:
+                replaced[n] = out["queries"][n]
+                out["queries"][n] = dv
+                spliced.append(n)
+            else:
+                leftover.append(n)
+    if "value" in kept_dev:
+        out["value"] = round(
+            sum(
+                v
+                for n, v in out["queries"].items()
+                if n in set(headline)
+            ),
+            4,
+        )
+    if "streaming_total" in kept_dev:
+        out["streaming_total"] = round(
+            sum(
+                v
+                for n, v in out["queries"].items()
+                if group_of(n, headline) == "streaming_total"
+            ),
+            4,
+        )
+    out["accept"]["spliced_groups"] = {
+        g: {"from_utc": donor.get("utc")} for g in sorted(kept_dev)
+    }
+    out["spliced_queries"] = sorted(spliced)
+    out["replaced_measurements"] = replaced
+    out["untrusted_queries"] = sorted(leftover)
+
+
 def gate_deviations(ratios: dict, threshold: float = 1.25) -> dict:
     """Groups whose per-query ratio median exceeds ``threshold`` (slow
     direction only — a faster-than-history pass is a better record, not
@@ -317,6 +519,10 @@ def build_summary(
         # median-of-3 queries that fell back to fewer passes (per-query
         # reasons in the detail file's degraded_medians map)
         "n_degraded_medians": len(out.get("degraded_medians", {})),
+        # cooldown-gate probe trail (VERDICT r12 rec #1): the run
+        # started only after the last probe — or after the bounded wait
+        # timed out, visible as a final probe above the threshold
+        "calib_cooldown_sec": out.get("calib_cooldown_sec"),
         "calib_start_sec": out.get("calib_start_sec"),
         # mid-run probes (after headline / after extensions): a
         # contention window INSIDE the run is visible, not just at the
@@ -335,12 +541,134 @@ def build_summary(
     }
 
 
+def run_gate(
+    out: dict,
+    entries: list[dict] | None,
+    names: list[str],
+    remeasure,
+    recool,
+) -> tuple[dict, dict | None]:
+    """The full acceptance decision for one measured pass: compare per
+    group against history, group-scoped retry on deviation, keep the
+    better measurement per group, splice sustained-load groups from the
+    last in-band pass, and stamp per-query outliers. Pure logic over
+    injected effects (``remeasure(groups) -> measure() dict``,
+    ``recool() -> probe list``) so the exact code path the unattended
+    official close-out run takes is unit-testable end-to-end — a crash
+    here would lose the round's official artifact. Returns
+    ``(accepted_record, rejected_full_pass_or_None)``."""
+    pq_med = per_query_history_medians(entries) if entries else None
+    ratios1 = group_ratio_medians(out["queries"], pq_med, names)
+    dev1 = gate_deviations(ratios1)
+    rejected = None
+    if not entries:
+        out["accept"] = {"status": "no_history"}
+    elif not dev1:
+        out["accept"] = {
+            "status": "ok",
+            "worst_ratio": round(worst_ratio(ratios1), 3),
+            # which groups the gate actually compared — a group with
+            # fewer than min_common shared query names is SKIPPED, and
+            # the record must say so rather than imply it was checked
+            "groups_compared": sorted(ratios1),
+        }
+    else:
+        # the measured pass's per-query ratio median is >25% above
+        # history on at least one group: cool down, re-measure ONLY the
+        # deviant groups (VERDICT r12 rec #7 — a full-pass retry
+        # re-timed ~8 min of clean extensions to re-judge a 30 s
+        # headline), and keep each group's smaller-ratio measurement.
+        # The full first pass lands in the history flagged contaminated
+        # whenever any of its groups were replaced.
+        print(
+            f"acceptance gate: deviant groups {dev1} vs per-query "
+            f"history medians ({len(entries)} passes) — cooling down, "
+            f"re-measuring only {sorted(dev1)}",
+            file=sys.stderr,
+        )
+        retry_probes = recool()
+        retry = remeasure(set(dev1))
+        ratios2 = group_ratio_medians(retry["queries"], pq_med, names)
+        improved = {
+            g for g in dev1
+            if ratios2.get(g, float("inf")) < ratios1[g]
+        }
+        if improved:
+            rejected = dict(out)
+            rejected["contaminated"] = True
+            rejected["accepted"] = False
+            out = merge_groups(out, retry, improved, names)
+        kept_ratios = dict(ratios1)
+        for g in improved:
+            kept_ratios[g] = ratios2[g]
+        # retry readings that LOST (first pass kept for their group)
+        # stay auditable in the detail record; winning retry groups'
+        # displaced first-pass values live in the contaminated history
+        # line written alongside
+        lost = {
+            n: v
+            for n, v in retry.get("queries", {}).items()
+            if group_of(n, names) not in improved
+        }
+        if lost:
+            out["retry_measurements"] = lost
+        kept_dev = gate_deviations(kept_ratios)
+        out["accept"] = {
+            "status": "retried",
+            "first_deviations": dev1,
+            "retried_groups": sorted(dev1),
+            "retry_ratios": ratios2,
+            "retry_cooldown_probes": retry_probes,
+            "groups_from_retry": sorted(improved),
+            "kept_worst_ratio": round(worst_ratio(kept_ratios), 3),
+            "groups_compared": sorted(kept_ratios),
+            # a group deviant on BOTH measurements → likely sustained
+            # load; the record says so instead of pretending the retry
+            # cleaned it
+            "kept_still_deviant": bool(kept_dev),
+        }
+        if kept_dev:
+            # VERDICT r11 rec #2: a kept-but-still-deviant pass must
+            # never present its deviant groups' per-query numbers as
+            # unqualified latest readings (the r11 exhibit: a 23.7 s
+            # similarity_ivfpq_recall vs a 3.4-4.9 s ten-pass band
+            # landing in BENCH_DETAIL_latest.json)
+            mark_untrusted(out, kept_dev, names)
+            # SPLICE fallback (VERDICT r12 rec #1): replace the
+            # sustained-load groups with the most recent in-band
+            # history pass's block, clearly labeled, so the official
+            # headline is never a load artifact
+            splice_from_history(out, kept_dev, entries[-1], names)
+
+    # per-query outlier stamp (ADVICE r12): a lone >3x spike inside an
+    # in-band group is still flagged for per-query diff tooling
+    if pq_med:
+        outl = per_query_outliers(
+            out["queries"], pq_med,
+            skip=set(out.get("spliced_queries", [])),
+        )
+        if outl:
+            out.setdefault("accept", {})["n_per_query_outliers"] = len(outl)
+            out["per_query_outliers"] = outl
+            out["untrusted_queries"] = sorted(
+                set(out.get("untrusted_queries", [])) | set(outl)
+            )
+    return out, rejected
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
 
-    calib_start = load_calibration()
+    # cooldown gate (VERDICT r12 rec #1): never START an official run
+    # inside a known load window. SPARK_GRAFT_BENCH_COOLDOWN_TRIES=0
+    # disables the wait (single probe, start immediately).
+    cool_max = float(os.environ.get("SPARK_GRAFT_BENCH_CALIB_MAX", "0.85"))
+    cool_tries = int(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_TRIES", "5"))
+    cool_sleep = float(os.environ.get("SPARK_GRAFT_BENCH_COOLDOWN_SLEEP", "20"))
+    cool_probes = cooldown(cool_max, cool_tries, cool_sleep)
+    calib_start = cool_probes[-1]
     spark = get_spark(app_name="bench")
     queries = get_queries()
     names = [n for n in HEADLINE if n in queries]
@@ -415,65 +743,30 @@ def main() -> None:
     out = measure(spark, queries, names, extras, streaming, sf_dir)
 
     # ── acceptance gate (VERDICT r10 rec #1; r12: per-query ratio
-    # medians over the history intersection, ADVICE r11) ──────────────
+    # medians over the history intersection, ADVICE r11; r13:
+    # group-scoped retry + splice fallback + per-query outlier stamp,
+    # VERDICT r12 rec #1/#7 + ADVICE r12) ──────────────────────────────
     here = os.path.dirname(os.path.abspath(__file__))
     history_path = os.path.join(here, "BENCH_DETAIL_history.jsonl")
     entries = comparable_history_entries(history_path, sf)
-    pq_med = per_query_history_medians(entries) if entries else None
-    ratios1 = group_ratio_medians(out["queries"], pq_med, names)
-    dev1 = gate_deviations(ratios1)
-    rejected = None
-    if not entries:
-        out["accept"] = {"status": "no_history"}
-    elif not dev1:
-        out["accept"] = {
-            "status": "ok",
-            "worst_ratio": round(worst_ratio(ratios1), 3),
-            # which groups the gate actually compared — a group with
-            # fewer than min_common shared query names is SKIPPED, and
-            # the record must say so rather than imply it was checked
-            "groups_compared": sorted(ratios1),
-        }
-    else:
-        # the measured pass's per-query ratio median is >25% above
-        # history on at least one group: re-run ONCE and keep the pass
-        # with the smaller worst-group ratio; the loser is recorded in
-        # the history flagged contaminated, never silently dropped
-        print(
-            f"acceptance gate: deviant groups {dev1} vs per-query "
-            f"history medians ({len(entries)} passes) — re-running once",
-            file=sys.stderr,
-        )
-        out2 = measure(spark, queries, names, extras, streaming, sf_dir)
-        ratios2 = group_ratio_medians(out2["queries"], pq_med, names)
-        w1, w2 = worst_ratio(ratios1), worst_ratio(ratios2)
-        if w2 <= w1:
-            rejected, out = out, out2
-            kept_ratios = ratios2
-        else:
-            rejected = out2
-            kept_ratios = ratios1
-        kept_dev = gate_deviations(kept_ratios)
-        out["accept"] = {
-            "status": "retried",
-            "first_deviations": dev1,
-            "kept": "rerun" if rejected is not out2 else "first",
-            "kept_worst_ratio": round(min(w1, w2), 3),
-            "groups_compared": sorted(kept_ratios),
-            # both passes deviant → likely sustained load; the record
-            # says so instead of pretending the retry cleaned it
-            "kept_still_deviant": bool(kept_dev),
-        }
-        if kept_dev:
-            # VERDICT r11 rec #2: a kept-but-still-deviant pass must
-            # never present its deviant groups' per-query numbers as
-            # unqualified latest readings (the r11 exhibit: a 23.7 s
-            # similarity_ivfpq_recall vs a 3.4-4.9 s ten-pass band
-            # landing in BENCH_DETAIL_latest.json)
-            mark_untrusted(out, kept_dev, names)
-        rejected["contaminated"] = True
-        rejected["accepted"] = False
+    out, rejected = run_gate(
+        out,
+        entries,
+        names,
+        remeasure=lambda gs: measure(
+            spark, queries, names, extras, streaming, sf_dir,
+            only_groups=gs,
+        ),
+        # the retry cooldown gets a 3x budget vs startup (worst ~5 min
+        # at defaults): a deviation means a contention window is LIVE
+        # right now, and waiting it out is cheaper than falling through
+        # to the history splice
+        recool=lambda: cooldown(
+            cool_max, 2 * cool_tries, 1.5 * cool_sleep
+        ),
+    )
 
+    out["calib_cooldown_sec"] = cool_probes
     calib_end = load_calibration()
     out["calib_start_sec"] = calib_start
     out["calib_end_sec"] = calib_end
@@ -488,18 +781,33 @@ def measure(
     extras: list[str],
     streaming: list[str],
     sf_dir: str,
+    only_groups: set | None = None,
 ) -> dict:
-    """One full measured pass over the three query groups, with a
-    mid-run calibration probe after each of the first two groups
+    """One measured pass over the three query groups, with a mid-run
+    calibration probe after each measured group but the last
     (``calib_mid_sec``) so host contention INSIDE the ~10-minute run is
-    sampled, not just bracketed (VERDICT r10 rec #1)."""
+    sampled, not just bracketed (VERDICT r10 rec #1). ``only_groups``
+    (gate-group names, see ``group_of``) restricts the pass to the
+    named groups — the group-scoped acceptance retry (VERDICT r12
+    rec #7) re-times just the deviant groups instead of doubling the
+    whole ~10-minute run."""
     per_query: dict[str, float] = {}
     errors: dict[str, str] = {}
     degraded: dict[str, str] = {}  # median-of-3 queries that fell back
     total = 0.0
     streaming_total = 0.0
     calib_mid: list[float] = []
-    for gi, group in enumerate((names, extras, streaming)):
+    ordered = [
+        ("value", names),
+        ("extensions_total", extras),
+        ("streaming_total", streaming),
+    ]
+    measured = [
+        (g, qs)
+        for g, qs in ordered
+        if only_groups is None or g in only_groups
+    ]
+    for gi, (_gname, group) in enumerate(measured):
         for name in group:
             t0 = time.perf_counter()
             try:
@@ -564,7 +872,7 @@ def measure(
                     # persists pinned and contaminate every later
                     # timing (ADVICE r3).
                     caching.release_tracked()
-        if gi < 2:
+        if gi < len(measured) - 1:
             # mid-run probe at the group boundary (headline→extensions,
             # extensions→streaming): samples the middle of the run the
             # start/end bracket cannot see (VERDICT r10 rec #1)

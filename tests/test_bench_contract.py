@@ -7,6 +7,8 @@ rec #3). Pure-Python: no Spark session involved.
 
 import json
 
+import pytest
+
 from bench import HEADLINE, build_summary
 
 DRIVER_TAIL_BYTES = 2000
@@ -233,6 +235,294 @@ def test_gate_deviations_slow_direction_only():
     ) == {}
     assert worst_ratio({"value": 1.1, "streaming_total": 1.917}) == 1.917
     assert worst_ratio({}) == 0.0
+
+
+def test_cooldown_waits_until_under_threshold_and_is_bounded():
+    """VERDICT r12 rec #1: the official run must not START inside a
+    load window — probe, sleep, re-probe, but BOUNDED so a sustained-
+    load box never blocks the driver."""
+    from bench import cooldown
+
+    slept = []
+    # load subsides on the third probe
+    readings = iter([1.4, 1.1, 0.62])
+    probes = cooldown(
+        0.85, attempts=5, sleep_s=20,
+        probe=lambda: next(readings), sleep=slept.append,
+    )
+    assert probes == [1.4, 1.1, 0.62] and slept == [20, 20]
+
+    # sustained load: exactly `attempts` sleeps, then start anyway —
+    # the final probe above threshold is the visible timeout record
+    probes = cooldown(
+        0.85, attempts=3, sleep_s=5,
+        probe=lambda: 2.0, sleep=slept.append,
+    )
+    assert probes == [2.0] * 4 and slept == [20, 20, 5, 5, 5]
+
+    # idle box: single probe, zero sleeps
+    assert cooldown(
+        0.85, attempts=5, sleep_s=20,
+        probe=lambda: 0.55, sleep=lambda s: (_ for _ in ()).throw(
+            AssertionError("must not sleep")),
+    ) == [0.55]
+
+
+def test_per_query_history_medians_min_appearances():
+    """ADVICE r12: a name seen in only ONE comparable pass must not
+    contribute a 1-sample 'median' to the ratio pool."""
+    from bench import per_query_history_medians
+
+    e1 = {"queries": {"a": 1.0, "b": 2.0}}
+    e2 = {"queries": {"a": 3.0, "only_once": 9.0}}
+    pq = per_query_history_medians([e1, e2])
+    assert pq == {"a": 2.0}  # b and only_once each appear once
+    # opt-out for callers that want every sample
+    assert per_query_history_medians([e1, e2], min_appearances=1) == {
+        "a": 2.0, "b": 2.0, "only_once": 9.0,
+    }
+
+
+def test_per_query_outliers_stamps_lone_spikes():
+    """ADVICE r12: the group-median gate ignores lone spikes by design;
+    the per-query stamp must still flag a >3x reading (the r11 exhibit:
+    a 23.7 s similarity_ivfpq_recall inside an in-band group)."""
+    from bench import per_query_outliers
+
+    hist = {"ivfpq_recall": 4.0, "ok_query": 1.0, "spliced_q": 1.0}
+    cur = {
+        "ivfpq_recall": 23.7,       # 5.9x -> flagged
+        "ok_query": 1.2,            # in band
+        "spliced_q": 50.0,          # skipped (history-spliced value)
+        "brand_new": 99.0,          # no history -> cannot be judged
+    }
+    got = per_query_outliers(cur, hist, skip={"spliced_q"})
+    assert got == {"ivfpq_recall": 5.925}
+    assert per_query_outliers(cur, None) == {}
+
+
+def _two_passes():
+    """A first pass with a contaminated headline + one slow stream
+    query, and a headline-scoped retry."""
+    first = {
+        "value": 9.0,
+        "streaming_total": 30.0,
+        "queries": {HEADLINE[0]: 4.5, HEADLINE[1]: 4.5,
+                    "ext_a": 2.0, "stream_a": 30.0},
+        "errors": {HEADLINE[0]: "boom", "ext_a": "kept"},
+        "degraded_medians": {"stream_a": "2/3 passes"},
+        "calib_mid_sec": [0.6, 0.7],
+    }
+    retry = {
+        "value": 2.0,
+        "streaming_total": 0.0,
+        "queries": {HEADLINE[0]: 1.0, HEADLINE[1]: 1.0},
+        "errors": {},
+        "calib_mid_sec": [],
+    }
+    return first, retry
+
+
+def test_merge_groups_group_scoped():
+    """VERDICT r12 rec #7: the retry replaces ONLY the deviant groups'
+    timings/totals/errors; clean groups keep their measured values."""
+    from bench import merge_groups
+
+    first, retry = _two_passes()
+    merged = merge_groups(first, retry, {"value"}, HEADLINE)
+    assert merged["value"] == 2.0  # headline from retry
+    assert merged["streaming_total"] == 30.0  # untouched group
+    assert merged["queries"][HEADLINE[0]] == 1.0
+    assert merged["queries"]["ext_a"] == 2.0
+    assert merged["queries"]["stream_a"] == 30.0
+    # headline error replaced by the retry's clean slate; others kept
+    assert merged["errors"] == {"ext_a": "kept"}
+    assert merged["degraded_medians"] == {"stream_a": "2/3 passes"}
+    # first-pass probes stay authoritative
+    assert merged["calib_mid_sec"] == [0.6, 0.7]
+    # the original dicts are not mutated
+    assert first["queries"][HEADLINE[0]] == 4.5
+
+
+def test_splice_from_history_labels_and_recomputes():
+    """VERDICT r12 rec #1: a group deviant on both measurements is
+    replaced by the last in-band history pass's block, clearly labeled;
+    the headline value then reflects the in-band reading and the
+    displaced measurements stay auditable."""
+    from bench import mark_untrusted, splice_from_history
+
+    out = {
+        "value": 9.0,
+        "streaming_total": 30.0,
+        "queries": {HEADLINE[0]: 4.5, HEADLINE[1]: 4.5,
+                    "ext_a": 2.0, "stream_a": 30.0},
+        "accept": {"status": "retried", "kept_still_deviant": True},
+    }
+    donor = {
+        "utc": "2026-08-16T00:00:00Z",
+        "queries": {HEADLINE[0]: 1.1, "stream_a": 1.0},
+    }
+    kept_dev = {"value": 3.2}
+    mark_untrusted(out, kept_dev, HEADLINE)
+    splice_from_history(out, kept_dev, donor, HEADLINE)
+    # HEADLINE[0] spliced from the donor; HEADLINE[1] has no donor row
+    # so its measured reading stays and remains untrusted
+    assert out["queries"][HEADLINE[0]] == 1.1
+    assert out["queries"][HEADLINE[1]] == 4.5
+    assert out["value"] == 5.6  # 1.1 + 4.5 recomputed
+    assert out["streaming_total"] == 30.0  # non-deviant group untouched
+    assert out["spliced_queries"] == [HEADLINE[0]]
+    assert out["untrusted_queries"] == [HEADLINE[1]]
+    assert out["replaced_measurements"] == {HEADLINE[0]: 4.5}
+    assert out["accept"]["spliced_groups"] == {
+        "value": {"from_utc": "2026-08-16T00:00:00Z"}
+    }
+    # the line stays out of future acceptance medians (copied numbers)
+    assert out["gate_deviant"] is True
+
+
+# ── run_gate end-to-end (r13): the exact code path the unattended
+# official close-out run takes, driven with fake measure/cooldown ──────
+
+
+def _gate_history(n=3, hl=0.2, ext=2.0, stream=10.0):
+    """n comparable history passes with 4 ext and 3 stream queries."""
+    q = {name: hl for name in HEADLINE}
+    q.update({f"ext_{i}": ext for i in range(4)})
+    q.update({f"stream_{i}": stream for i in range(3)})
+    return [
+        {"utc": f"2026-08-1{i}T00:00:00Z", "queries": dict(q),
+         "value": hl * len(HEADLINE), "streaming_total": stream * 3,
+         "sf": 0.1}
+        for i in range(n)
+    ]
+
+
+def _gate_pass(hl_scale=1.0, ext_scale=1.0, stream_scale=1.0):
+    """A measured pass scaled per group against _gate_history bands."""
+    q = {name: 0.2 * hl_scale for name in HEADLINE}
+    q.update({f"ext_{i}": 2.0 * ext_scale for i in range(4)})
+    q.update({f"stream_{i}": 10.0 * stream_scale for i in range(3)})
+    return {
+        "value": round(0.2 * hl_scale * len(HEADLINE), 4),
+        "streaming_total": round(10.0 * stream_scale * 3, 4),
+        "queries": q,
+        "calib_mid_sec": [0.6, 0.6],
+    }
+
+
+def _no_call(_groups=None):
+    raise AssertionError("must not be called on this path")
+
+
+def test_run_gate_ok_path_no_retry():
+    from bench import run_gate
+
+    out, rejected = run_gate(
+        _gate_pass(), _gate_history(), HEADLINE,
+        remeasure=_no_call, recool=_no_call,
+    )
+    assert rejected is None
+    assert out["accept"]["status"] == "ok"
+    assert out["accept"]["worst_ratio"] == 1.0
+    assert "untrusted_queries" not in out
+
+
+def test_run_gate_no_history_accepts_unconditionally():
+    from bench import run_gate
+
+    out, rejected = run_gate(
+        _gate_pass(hl_scale=50), None, HEADLINE,
+        remeasure=_no_call, recool=_no_call,
+    )
+    assert rejected is None and out["accept"] == {"status": "no_history"}
+
+
+def test_run_gate_retry_improves_deviant_group_only():
+    """A contaminated headline re-measures ONLY the headline; the clean
+    extension/streaming measurements are kept, the full first pass is
+    the contaminated history line."""
+    from bench import run_gate
+
+    retried_groups = []
+
+    def remeasure(groups):
+        retried_groups.append(sorted(groups))
+        r = _gate_pass()  # clean retry
+        # group-scoped measure() returns only the requested groups
+        r["queries"] = {n: v for n, v in r["queries"].items()
+                        if n in HEADLINE}
+        r["streaming_total"] = 0.0
+        return r
+
+    first = _gate_pass(hl_scale=3.5)
+    out, rejected = run_gate(
+        first, _gate_history(), HEADLINE,
+        remeasure=remeasure, recool=lambda: [0.6],
+    )
+    assert retried_groups == [["value"]]
+    assert rejected["contaminated"] is True
+    assert rejected["queries"][HEADLINE[0]] == pytest.approx(0.7)  # 0.2*3.5
+    assert out["queries"][HEADLINE[0]] == 0.2  # retry kept
+    assert out["queries"]["ext_0"] == 2.0  # clean group untouched
+    assert out["value"] == round(0.2 * len(HEADLINE), 4)
+    assert out["accept"]["status"] == "retried"
+    assert out["accept"]["groups_from_retry"] == ["value"]
+    assert out["accept"]["kept_still_deviant"] is False
+    assert "gate_deviant" not in out
+
+
+def test_run_gate_sustained_load_splices_from_history():
+    """Both measurements deviant on the headline → the official record
+    carries the last in-band pass's headline block, clearly labeled,
+    and stays out of future acceptance medians."""
+    from bench import run_gate
+
+    def remeasure(groups):
+        r = _gate_pass(hl_scale=3.0)  # still contaminated (improved
+        r["queries"] = {n: v for n, v in r["queries"].items()  # 3.5→3.0)
+                        if n in HEADLINE}
+        r["streaming_total"] = 0.0
+        return r
+
+    hist = _gate_history()
+    out, rejected = run_gate(
+        _gate_pass(hl_scale=3.5), hist, HEADLINE,
+        remeasure=remeasure, recool=lambda: [1.2, 1.1, 1.0],
+    )
+    # retry improved 3.5→3.0 so it was merged (first pass rejected),
+    # then the still-deviant group was spliced from the newest donor
+    assert rejected is not None
+    assert out["accept"]["kept_still_deviant"] is True
+    assert out["gate_deviant"] is True
+    assert out["accept"]["spliced_groups"]["value"]["from_utc"] == (
+        hist[-1]["utc"]
+    )
+    # every headline query now carries the donor's in-band reading and
+    # the headline value is recomputed from it
+    assert all(out["queries"][n] == 0.2 for n in HEADLINE)
+    assert out["value"] == round(0.2 * len(HEADLINE), 4)
+    assert out["spliced_queries"] == sorted(HEADLINE)
+    assert out["untrusted_queries"] == []
+    # the displaced (measured, deviant) retry values stay auditable
+    assert out["replaced_measurements"][HEADLINE[0]] == pytest.approx(0.6)  # 0.2*3.0
+
+
+def test_run_gate_outlier_stamp_on_ok_path():
+    """ADVICE r12: one >3x spike inside an in-band group must land in
+    untrusted_queries even though no group median trips."""
+    from bench import run_gate
+
+    first = _gate_pass()
+    first["queries"]["ext_0"] = 2.0 * 12  # lone spike, median untouched
+    out, rejected = run_gate(
+        first, _gate_history(), HEADLINE,
+        remeasure=_no_call, recool=_no_call,
+    )
+    assert rejected is None and out["accept"]["status"] == "ok"
+    assert out["untrusted_queries"] == ["ext_0"]
+    assert out["per_query_outliers"] == {"ext_0": 12.0}
+    assert out["accept"]["n_per_query_outliers"] == 1
 
 
 def test_summary_carries_gate_and_mid_probes():
