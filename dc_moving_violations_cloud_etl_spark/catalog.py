@@ -82,7 +82,11 @@ def normalize_event_ts(df: DataFrame) -> DataFrame:
       TimestampType and raise EVENT_TIME_IS_NOT_ON_TIMESTAMP_TYPE on NTZ.
 
     Single choke point: both the batch catalog (``base``) and every
-    streaming reader normalize through here.
+    streaming reader that CONSUMES ``ts`` normalize through here. One
+    intentional exception (ADVICE r12): streaming/backfill.py reads the
+    raw fixture schema and prunes to a constant column — its plan never
+    touches ts, and the raw schema is what lets the vectorized reader
+    serve row counts from parquet footer metadata.
     """
     t = dict(df.dtypes).get("ts")
     if t == "bigint":

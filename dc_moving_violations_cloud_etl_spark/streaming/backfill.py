@@ -23,6 +23,14 @@ from .daily import PROGRESS_LEDGER, _SCRATCH_ROOT, _run_to_completion
 
 N_BACKFILL_FILES = 4
 
+# per-invocation suffix for the streaming query name: record_progress
+# is best-effort (it swallows exceptions), so a qname reused across
+# runs could silently report a STALE trail from an earlier median-of-3
+# pass as this run's pacing (ADVICE r12). A unique qname makes a
+# missing trail surface as n_batches=0 — loudly wrong — instead of
+# stale-but-plausible counts.
+_RUN_SEQ = iter(range(1, 1 << 30))
+
 
 def _stage_multifile(spark: SparkSession, path: str, tag: str) -> str:
     """Stage the single-file fixture as N_BACKFILL_FILES parquet parts
@@ -78,8 +86,14 @@ def rate_limited_backfill(spark: SparkSession, sf_dir: str) -> DataFrame:
     path = f"{sf_dir}/events.parquet"
     stage = _stage_multifile(spark, path, "backfill")
     tag = hashlib.md5(f"backfill:{sf_dir}".encode()).hexdigest()[:8]
-    qname = f"rate_limited_backfill_{tag}"
+    qname = f"rate_limited_backfill_{tag}_{next(_RUN_SEQ)}"
 
+    # INTENTIONAL normalize_event_ts exception (ADVICE r12): every
+    # other streaming reader routes events through catalog.
+    # normalize_event_ts (the ts-dtype choke point), but this stream is
+    # count-only — the plan prunes to a constant column before the sink,
+    # so ts never reaches an event-time operator and the raw fixture
+    # schema is the correct one for footer-metadata row counts.
     schema = read_parquet(spark, path).schema
     # numInputRows is a SOURCE-side count, so the sink plan prunes to a
     # constant column: the vectorized parquet reader then serves row
