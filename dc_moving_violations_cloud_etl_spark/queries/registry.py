@@ -278,60 +278,78 @@ def _load_all() -> None:
 # quantize_int8/perplexity_filter (r10) — all re-certified locally on
 # the post-change tree (r12 full sims, 282/282 twice). The remaining
 # 35 slots take the stalest r7 rows; the 5 r7 rows left over lead r14.
+#
+# Round-13 rotation (executes the plan above, VERDICT r12 rec #2): the
+# 15 changed embedding twins first, stalest-vintage-first within; then
+# 35 of the 40 r7-vintage rows, same-vintage ties broken
+# ALPHABETICALLY (a mechanical, auditable rule — no cherry-picking).
+# The 5 alphabetically-last r7 rows are deferred and LEAD the r14
+# window (VERDICT r12 rec #4: after r14's driver run no official row
+# may predate r8): rollup_serving_qa, stream_late_drop_audit,
+# stream_statestore_read, user_activity_streaks, watermark_incremental.
+# stream_rate_limited_backfill changed again this round (unique
+# per-run query name, ADVICE r12) but got its official green row in
+# the r12 driver run on the progress-trail form and the qname suffix
+# is measurement plumbing, not result semantics (oracle + result
+# schema byte-identical), so it keeps its r12 certification and takes
+# no slot.
 DRIVER_WINDOW = [
-    # ── changed this round (r12): backfill reimplementation ──
-    "stream_rate_limited_backfill",
-    # ── the entire r6-vintage tranche (46 rows, stalest-first) ──
-    "similarity_int8_topk",
-    "similarity_int8_recall",
-    "similarity_binary_hamming_topk",
-    "similarity_binary_recall",
-    "retrieval_two_stage_rerank",
-    "mining_preference_pairs",
-    "curation_decontaminate_neardup",
-    "curation_split_leakage_audit",
-    "corpus_shuffle_mix_audit",
-    "corpus_skipgram_pairs",
-    "corpus_span_corruption_plan",
-    "corpus_weighted_sample",
-    "corpus_mix_temperature",
-    "corpus_pipeline_end2end",
-    "dedup_substring_span_coverage",
-    "dedup_sorted_neighborhood",
-    "incremental_agg_maintenance",
-    "events_touch_attribution",
-    "events_bot_user_audit",
-    "layout_zorder_pruning_audit",
-    "orc_source_roundtrip_agg",
-    "xml_source_roundtrip_agg",
-    "py_sink_roundtrip_agg",
-    "partitioned_month_layer_agg",
-    "metadata_agg_pushdown",
-    "timeseries_gapfill_interpolate",
-    "embedding_kmeans_exact",
-    "semdedup_cluster_pairs",
-    "logreg_gd_train",
-    "udaf_grouped_median",
-    "nested_hof_order_amounts",
-    "sql_recursive_month_spine",
-    "sql_lateral_topk_days",
-    "sql_pipe_syntax_daily",
-    "sql_ntile_price_deciles",
-    "execute_immediate_profile",
-    "sql_udf_weather_flags",
-    "sql_collated_group_by",
-    "sql_ansi_try_functions",
-    "stream_state_metadata_read",
-    "stream_outer_join_sealed",
-    "stream_full_outer_sealed",
-    "stream_semi_join_matched",
-    "stream_right_outer_sealed",
-    "stream_chained_pipeline",
-    "stream_hopping_window",
-    # ── changed-ANN twins, stalest-first (r7, r7, r8) ──
-    "embedding_kcenter_seeds",
-    "corpus_dsir_importance_weights",
-    "similarity_cosine_topk",
+    # ── changed embedding twins still on pre-r11-change official rows,
+    #    stalest-first: r8 vintage ──
+    "similarity_lsh_topk",
+    "similarity_lsh_recall",
+    "similarity_ivf_topk",
+    "dedup_embedding_cosine_pairs",
+    "dedup_components",
+    # ── r9 vintage ──
+    "embedding_dup_components",
+    # ── r10 vintage ──
+    "similarity_ivf_recall",
+    "similarity_ivf_nprobe2_recall",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall",
+    "similarity_pq_adc_topk",
+    "similarity_pq_recall",
+    "similarity_matryoshka_recall",
+    "embedding_quantize_int8",
+    "curation_perplexity_filter",
+    # ── 35 stalest r7 rows (alphabetical; the 5 alphabetically-last
+    #    r7 rows lead r14) ──
+    "basket_type_lift",
+    "binaryfile_source_stats",
+    "compaction_bin_packing",
+    "corpus_dataset_datasheet",
+    "corpus_kneser_ney_bigram",
+    "corpus_negative_samples",
+    "corpus_seqlen_histogram",
+    "corpus_suffix_array_doubling",
+    "corpus_tokenizer_fertility",
+    "corpus_unigram_seed_vocab",
+    "corpus_unigram_viterbi_encode",
+    "curation_calibration_ece",
+    "curation_gopher_rules",
+    "curation_naive_bayes_langid",
+    "dedup_lsh_band_tradeoff",
+    "dedup_minhash_lsh_pairs",
+    "dp_noisy_histogram_release",
+    "embedding_pca_power_iteration",
+    "eval_ndcg_mrr",
+    "eval_pass_at_k",
+    "eval_rouge2_pairs",
+    "eval_spearman_signals",
+    "events_grouping_sets_matrix",
+    "events_local_day_rollup",
+    "events_value_drift_audit",
+    "events_zscore_outliers",
+    "fk_cardinality_profile",
+    "funnel_conversion_window_24h",
+    "geo_radius_join_hotspots",
+    "mining_best_of_n_gains",
+    "phrase_search_positional",
+    "privacy_k_anonymity_audit",
+    "q0_flagship_rainy_count",
+    "qa_monthly_agency_tickets",
+    "qd_rainy_day_tickets",
 ]
 
 
