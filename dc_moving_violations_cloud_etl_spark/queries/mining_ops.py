@@ -1156,17 +1156,23 @@ def _kcenter_seeds(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _kc_sql() -> str:
     """Unrolled farthest-point chain (k=5) in DuckDB — same milli-unit
-    quantization/tie-breaks as the Spark path."""
+    quantization/tie-breaks as the Spark path. Every chain level is
+    ``AS MATERIALIZED`` (the house rule for CTE chains whose level r
+    references level r-1 more than once — s{r} and d{r} both read
+    d{r-1}, and qt feeds every level twice): left inline, DuckDB's
+    optimizer re-expanded the chain and this oracle ground for 506 s
+    SOLO on an idle box at sf0.01; materialized it runs in 12 s with
+    byte-identical rows (measured r13, both variants row-compared)."""
     parts = [
         """
-WITH qt AS (
+WITH qt AS MATERIALIZED (
   SELECT vec_id, generate_subscripts(embedding, 1) AS pos,
          CAST(round(CAST(unnest(embedding) AS DOUBLE) * 1000) AS BIGINT) AS q
   FROM embeddings
   WHERE embedding IS NOT NULL AND len(embedding) = 64
 ),
 c0 AS (SELECT min(vec_id) AS cid FROM qt),
-d0 AS (
+d0 AS MATERIALIZED (
   SELECT a.vec_id, sum((a.q - b.q) * (a.q - b.q)) AS min_d2
   FROM qt a JOIN qt b ON a.pos = b.pos
   WHERE b.vec_id = (SELECT cid FROM c0)
@@ -1176,11 +1182,11 @@ d0 AS (
     for r in range(1, _KC_K):
         parts.append(
             f""",
-s{r} AS (
+s{r} AS MATERIALIZED (
   SELECT vec_id AS cid, min_d2 AS d2 FROM d{r - 1}
   ORDER BY min_d2 DESC, vec_id ASC LIMIT 1
 ),
-d{r} AS (
+d{r} AS MATERIALIZED (
   SELECT a.vec_id, least(p.min_d2, sum((a.q - b.q) * (a.q - b.q))) AS min_d2
   FROM qt a JOIN qt b ON a.pos = b.pos
   JOIN d{r - 1} p ON p.vec_id = a.vec_id
