@@ -293,6 +293,19 @@ def _load_all() -> None:
 # is measurement plumbing, not result semantics (oracle + result
 # schema byte-identical), so it keeps its r12 certification and takes
 # no slot.
+#
+# r14 rotation plan (computed at r13 close, assuming the window below
+# certifies 50/50): the ledger then reads r7x5, r8x43, r9x46, r10x39,
+# r11x49, r12x50, r13x50. Changed-this-round rows lead (changed
+# outranks stale): stream_rate_limited_backfill (unique per-run qname)
+# and embedding_kcenter_seeds (oracle chain materialized; rows proven
+# byte-identical, sim-green, but the official row predates the text).
+# Then the 5 deferred r7 rows (rollup_serving_qa,
+# stream_late_drop_audit, stream_statestore_read,
+# user_activity_streaks, watermark_incremental), then the 43 remaining
+# r8 rows — 2+5+43 = 50 exactly, retiring BOTH the r7 and r8 tranches
+# in one window (VERDICT r12 rec #4 asked for min vintage >= r8 after
+# r14; this plan delivers >= r9).
 DRIVER_WINDOW = [
     # ── changed embedding twins still on pre-r11-change official rows,
     #    stalest-first: r8 vintage ──
