@@ -587,7 +587,15 @@ def run_gate(
             file=sys.stderr,
         )
         retry_probes = recool()
-        retry = remeasure(set(dev1))
+        try:
+            retry = remeasure(set(dev1))
+        except Exception as exc:  # noqa: BLE001 - salvage the first pass
+            # a dying retry must never lose the round's only measured
+            # record: keep the first pass, stamp its deviant groups
+            # untrusted, and fall through to the splice fallback
+            print(f"gate retry failed (keeping first pass): {exc!r}",
+                  file=sys.stderr)
+            retry = {"queries": {}}
         ratios2 = group_ratio_medians(retry["queries"], pq_med, names)
         improved = {
             g for g in dev1

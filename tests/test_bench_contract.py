@@ -508,6 +508,29 @@ def test_run_gate_sustained_load_splices_from_history():
     assert out["replaced_measurements"][HEADLINE[0]] == pytest.approx(0.6)  # 0.2*3.0
 
 
+def test_run_gate_survives_a_dying_retry():
+    """A retry that raises must never lose the round's only measured
+    record: the first pass is kept, its deviant groups stamped
+    untrusted and spliced from history."""
+    from bench import run_gate
+
+    def remeasure(groups):
+        raise RuntimeError("spark session died mid-retry")
+
+    hist = _gate_history()
+    out, rejected = run_gate(
+        _gate_pass(hl_scale=4.0), hist, HEADLINE,
+        remeasure=remeasure, recool=lambda: [0.7],
+    )
+    assert rejected is None
+    assert out["accept"]["status"] == "retried"
+    assert out["accept"]["retry_ratios"] == {}
+    assert out["accept"]["kept_still_deviant"] is True
+    # spliced from the newest donor: headline back to in-band values
+    assert all(out["queries"][n] == 0.2 for n in HEADLINE)
+    assert out["gate_deviant"] is True
+
+
 def test_run_gate_outlier_stamp_on_ok_path():
     """ADVICE r12: one >3x spike inside an in-band group must land in
     untrusted_queries even though no group median trips."""
