@@ -278,8 +278,15 @@ def per_query_history_medians(
     mirrors the ``min_common`` guard on the group side)."""
     by_name: dict[str, list[float]] = {}
     for e in entries:
+        # an accepted line may still carry per-query readings flagged
+        # untrusted (the lone->3x outlier stamp, or a deviant group on
+        # a kept pass) — those values are known-contaminated and must
+        # not inflate the medians future gates fire on (r13: one
+        # load-burst pass stamped 25 outliers while every group median
+        # held; feeding them back would legitimize the next burst)
+        bad = set(e.get("untrusted_queries", []))
         for n, v in e.get("queries", {}).items():
-            if isinstance(v, (int, float)) and v > 0:
+            if n not in bad and isinstance(v, (int, float)) and v > 0:
                 by_name.setdefault(n, []).append(v)
     return {
         n: _median(vs)

@@ -283,6 +283,21 @@ def test_per_query_history_medians_min_appearances():
     }
 
 
+def test_per_query_history_medians_skip_untrusted_readings():
+    """A query reading flagged untrusted in its own history line (lone
+    spike or kept-deviant group) must not contribute to the medians
+    future gates compare against."""
+    from bench import per_query_history_medians
+
+    e1 = {"queries": {"a": 1.0, "b": 2.0}}
+    e2 = {"queries": {"a": 30.0, "b": 2.2},
+          "untrusted_queries": ["a"]}
+    e3 = {"queries": {"a": 1.2, "b": 2.4}}
+    pq = per_query_history_medians([e1, e2, e3])
+    assert pq["a"] == 1.1  # median of 1.0/1.2 — the 30.0 spike skipped
+    assert pq["b"] == 2.2
+
+
 def test_per_query_outliers_stamps_lone_spikes():
     """ADVICE r12: the group-median gate ignores lone spikes by design;
     the per-query stamp must still flag a >3x reading (the r11 exhibit:
