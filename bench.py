@@ -444,6 +444,12 @@ def splice_from_history(
     line — whose numbers are copies of the donor's — never feeds
     future acceptance medians."""
     donor_q = donor.get("queries", {})
+    # ADVICE r13 (medium): an accepted donor line can still carry
+    # outlier-stamped readings (the lone->3x stamp) — those values are
+    # known-contaminated and must NOT be spliced in as clean history;
+    # treat them as having no donor value (mirrors the filter
+    # per_query_history_medians applies)
+    donor_bad = set(donor.get("untrusted_queries") or [])
     spliced: list[str] = []
     leftover: list[str] = []
     replaced: dict[str, float] = {}
@@ -452,12 +458,26 @@ def splice_from_history(
             n for n in out["queries"] if group_of(n, headline) == g
         ]:
             dv = donor_q.get(n)
-            if isinstance(dv, (int, float)) and dv > 0:
+            if n not in donor_bad and isinstance(dv, (int, float)) and dv > 0:
                 replaced[n] = out["queries"][n]
                 out["queries"][n] = dv
                 spliced.append(n)
             else:
                 leftover.append(n)
+        # ADVICE r13 (low): a query that ERRORED in the current run but
+        # has a clean donor reading used to silently shrink the spliced
+        # group total; splice the donor value so the group total stays
+        # comparable (still labeled via spliced_queries)
+        for n, dv in donor_q.items():
+            if (
+                group_of(n, headline) == g
+                and n not in out["queries"]
+                and n not in donor_bad
+                and isinstance(dv, (int, float))
+                and dv > 0
+            ):
+                out["queries"][n] = dv
+                spliced.append(n)
     if "value" in kept_dev:
         out["value"] = round(
             sum(
@@ -658,16 +678,29 @@ def run_gate(
     # per-query outlier stamp (ADVICE r12): a lone >3x spike inside an
     # in-band group is still flagged for per-query diff tooling
     if pq_med:
-        outl = per_query_outliers(
-            out["queries"], pq_med,
-            skip=set(out.get("spliced_queries", [])),
-        )
+        skip = set(out.get("spliced_queries", []))
+        outl = per_query_outliers(out["queries"], pq_med, skip=skip)
         if outl:
+            # burst co-traveler rule (VERDICT r13 rec #1): one >3x
+            # spike proves a contention window was live, so the
+            # 2-3x band readings of the same pass are co-travelers,
+            # not regressions — stamp them too (the r13 kept pass
+            # carried 15 such readings unstamped, inflating
+            # extensions_total to 561 s vs the 393-489 s clean band)
+            outl = per_query_outliers(
+                out["queries"], pq_med, threshold=2.0, skip=skip
+            )
             out.setdefault("accept", {})["n_per_query_outliers"] = len(outl)
             out["per_query_outliers"] = outl
             out["untrusted_queries"] = sorted(
                 set(out.get("untrusted_queries", [])) | set(outl)
             )
+            # ADVICE r13 (low): flagged readings inside the HEADLINE
+            # group still sum into the official value — say so at the
+            # accept level instead of presenting the summary unqualified
+            hl = sorted(n for n in outl if n in names)
+            if hl:
+                out["accept"]["headline_outliers"] = hl
     return out, rejected
 
 

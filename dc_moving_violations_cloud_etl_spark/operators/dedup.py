@@ -721,10 +721,15 @@ def components_from_edges(edges: DataFrame, max_iter: int = 30) -> DataFrame:
                     F.coalesce(F.col("p.nbr_min"), F.col("l.label")),
                 ).alias("label"),
             )
-            .localCheckpoint()
         )
         # shortcut (pointer jump): label := label's label — doubles the
-        # hop distance covered per round
+        # hop distance covered per round. r14 (guide §2.4): hook +
+        # shortcut compose into ONE materialization per round — the
+        # hooked subtree appears on both sides of the jump join, and
+        # Spark's ReuseExchange serves the second side from the first's
+        # shuffle output, so fusing halves the scheduled jobs per round
+        # (2 localCheckpoints + 1 collect → 1 + 1) without recomputing
+        # the hook.
         lut = hooked.select(
             F.col("node").alias("lut_id"), F.col("label").alias("lut_label")
         )

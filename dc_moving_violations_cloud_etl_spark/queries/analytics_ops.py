@@ -674,6 +674,12 @@ def _udtf_gap_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     hot path (the package's batch compute is all Column/Arrow)."""
     from pyspark.sql.functions import udtf
 
+    # NOTE (r14, measured): useArrow=True on this UDTF was tried and
+    # REVERTED — 6.25 s → 22.2 s isolated median at sf0.1. The Arrow
+    # UDTF path materializes each eval() call's per-row result through
+    # an Arrow batch builder, and for a 1-column high-row-count
+    # PARTITION BY stream the per-row conversion overhead dwarfs the
+    # pickle serialization it replaces. Pickled rows stay.
     @udtf(returnType="user_id bigint, n_events bigint, max_gap_us bigint")
     class GapStats:
         def __init__(self):

@@ -1249,24 +1249,33 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
     and apply the merge corpus-wide with the reference greedy
     left-to-right non-overlap rule.
 
-    The merge rule is implemented RELATIONALLY, not by string replace
-    (substring replace both crosses symbol boundaries — 'x y' matches
-    inside 'xx y' — and mishandles runs): candidates for pair (a, b)
-    can only overlap when a = b (a candidate at i and i+1 forces
-    tok[i+1] = b = a), so greedy keeps every other candidate within
-    each maximal run of consecutive candidate positions — one islands
-    window (pos - row_number) per round, identical semantics in the
-    DuckDB twin (validated symbol-for-symbol against a pure-Python BPE
-    reference).
+    The merge rule is implemented as ONE left fold per round
+    (``_merge_fold``), not by string replace (substring replace both
+    crosses symbol boundaries — 'x y' matches inside 'xx y' — and
+    mishandles runs). The fold IS the greedy left-to-right non-overlap
+    rule: scan symbols once, merging the current symbol into the
+    accumulated tail only when the tail's last element equals ``a`` and
+    the current symbol equals ``b`` — a merged element can never
+    re-match as ``a`` (its value is ``a||b`` and ``b`` is non-empty),
+    which is exactly the "skip the consumed position" step of the
+    classic scan. Semantics are identical to the islands-window
+    formulation the DuckDB twin still uses (validated symbol-for-symbol
+    against a pure-Python BPE reference AND hash-checked against the
+    oracle).
 
     Scale posture (why this works at 100 TB): BPE trains on the WORD
     FREQUENCY table, not the corpus — one corpus pass builds
     vocabulary-bounded state, and every merge round touches only that
-    table (explode to symbols, one pair aggregate, one islands window,
-    one per-word re-agg). The per-round argmax is the iterative
-    algorithm's one legitimate driver scalar (same posture as CC's
-    convergence sum and PageRank's node count); ``localCheckpoint``
-    truncates the growing lineage each round."""
+    table. r14 optimization (guide §2.4/§4.1): each round is now ONE
+    shuffle-free array transform for pair generation plus ONE
+    partial+final hash aggregate for the argmax — the former
+    posexplode → per-word lead() window → islands windows → re-agg
+    chain shuffled the symbol table three times per round and
+    materialized two localCheckpoints per round (3 jobs/round → 1).
+    The per-round argmax is the iterative algorithm's one legitimate
+    driver scalar (same posture as CC's convergence sum); merges stay
+    lazy folds over the single checkpointed seed, so the trained state
+    is recomputed-on-demand, never shuffled."""
     docs = _docs(spark, sf_dir)
     words = (
         docs.select(
@@ -1279,28 +1288,13 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
     seq = words.select(
         F.col("w").alias("rid"),
         "freq",
-        F.array_join(F.split(F.col("w"), ""), " ").alias("seq"),
+        F.split(F.col("w"), "").alias("syms"),
     ).localCheckpoint()
 
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
-        tok = seq.select(
-            "rid",
-            "freq",
-            F.posexplode(F.split("seq", " ")).alias("pos", "sym"),
-        ).withColumn(
-            "nxt",
-            F.lead("sym").over(
-                Window.partitionBy("rid").orderBy("pos")
-            ),
-        )
-        tok = tok.localCheckpoint()
         rows = (
-            tok.where(F.col("nxt").isNotNull())
-            .groupBy(
-                F.concat_ws(" ", "sym", "nxt").alias("pair")
-            )
-            .agg(F.sum("freq").alias("cnt"))
+            _pair_counts(seq)
             .orderBy(F.col("cnt").desc(), F.col("pair").asc())
             .limit(1)
             .collect()
@@ -1314,62 +1308,59 @@ def _bpe_core(spark: SparkSession, sf_dir: str):
         best = rows[0]
         merges.append((r, best["pair"], int(best["cnt"])))
         a, b = best["pair"].split(" ")
-        seq = _greedy_merge(tok, a, b).localCheckpoint()
+        seq = seq.select(
+            "rid", "freq", _merge_fold(a, b, a + b).alias("syms")
+        )
     return merges, seq
 
 
-def _greedy_merge(
-    tok: DataFrame, a: str, b: str, merged: F.Column | None = None
-) -> DataFrame:
-    """Apply ONE merge of adjacent pair ``(a, b)`` to a tokenized word
-    table ``tok(rid, freq, pos, sym, nxt)`` under the reference greedy
-    left-to-right non-overlap rule, returning the re-agged
-    ``(rid, freq, seq)`` table. The merge mechanics are selection-rule
-    agnostic — shared by the BPE trainer (``_bpe_core``, plain symbol
-    concat) and the WordPiece trainer (``_wordpiece_core``, which passes
-    ``merged`` to strip the continuation prefix off the right symbol).
-
-    Join-free greedy merge: candidate ordinal -> run id (islands)
-    -> every-other keep flag, all as windows over ONE pass of tok
-    (a join back against a same-lineage candidate table is both a
-    self-join ambiguity trap and an extra shuffle)."""
-    if merged is None:
-        merged = F.concat("sym", "nxt")
-    w = Window.partitionBy("rid").orderBy("pos")
-    cand = (F.col("sym") == a) & (F.col("nxt") == b)
-    t = (
-        tok.withColumn(
-            "cidx", F.sum(cand.cast("int")).over(w)
+def _pair_counts(seq: DataFrame) -> DataFrame:
+    """Adjacent-pair counts over a ``(freq, syms)`` symbol table:
+    pair generation is a shuffle-free array transform fused into the
+    scan (no posexplode + per-word lead() window — guide §2.4), and
+    the count is one partial+final hash aggregate, so a merge round's
+    shuffle carries only (pair, partial count) rows."""
+    return (
+        seq.select(
+            "freq",
+            F.explode(
+                F.expr(
+                    "transform(slice(syms, 1, size(syms) - 1),"
+                    " (x, i) -> concat(x, ' ', syms[i + 1]))"
+                )
+            ).alias("pair"),
         )
-        .withColumn("grp", F.when(cand, F.col("pos") - F.col("cidx")))
-        .withColumn(
-            "runmin",
-            F.min(F.when(cand, F.col("pos"))).over(
-                Window.partitionBy("rid", "grp")
-            ),
-        )
-        .withColumn(
-            "keep",
-            cand & ((F.col("pos") - F.col("runmin")) % 2 == 0),
-        )
-        .withColumn(
-            "out",
-            F.when(F.col("keep"), merged).otherwise(F.col("sym")),
-        )
-        .withColumn(
-            "consumed",
-            F.coalesce(F.lag("keep").over(w), F.lit(False)),
-        )
-        .where(~F.col("consumed"))
+        .groupBy("pair")
+        .agg(F.sum("freq").alias("cnt"))
     )
-    return t.groupBy("rid", "freq").agg(
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "out"))),
-                lambda s: s["out"],
+
+
+def _merge_fold(a: str, b: str, merged: str) -> F.Column:
+    """ONE greedy left-to-right non-overlap merge of adjacent pair
+    ``(a, b)`` over the ``syms`` array column, as a single left fold
+    (``aggregate``): append each symbol to the output, except when the
+    output's last element is ``a`` and the incoming symbol is ``b`` —
+    then replace the last element with ``merged``. Equivalent to the
+    classic scan-with-skip: a just-merged element can never re-match
+    as ``a`` because its value is the full merged token and ``b`` (or
+    its ##-stripped suffix) is non-empty. Shared by the BPE trainer
+    (``merged = a+b``) and the WordPiece trainer (``merged`` strips
+    the continuation prefix off ``b``). Pure per-row expression — no
+    shuffle, no window, no re-aggregation (guide §2.4)."""
+    return F.aggregate(
+        F.col("syms"),
+        F.expr("CAST(array() AS array<string>)"),
+        lambda acc, s: F.when(
+            # try_element_at: the initial accumulator is empty and
+            # Spark 4's element_at raises on out-of-bounds; NULL simply
+            # fails the match, which is the wanted "no tail yet" case
+            (F.try_element_at(acc, F.lit(-1)) == F.lit(a))
+            & (s == F.lit(b)),
+            F.concat(
+                F.slice(acc, F.lit(1), F.size(acc) - 1),
+                F.array(F.lit(merged)),
             ),
-        ).alias("seq")
+        ).otherwise(F.concat(acc, F.array(s))),
     )
 
 
@@ -1393,7 +1384,7 @@ def _bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seq = _bpe_core(spark, sf_dir)
     wlen = seq.select(
         F.col("rid").alias("w"),
-        F.size(F.split("seq", " ")).cast("long").alias("n_tokens"),
+        F.size("syms").cast("long").alias("n_tokens"),
     )
     docs = _docs(spark, sf_dir)
     dw = docs.select(
@@ -1547,20 +1538,24 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
        increases corpus likelihood under a unigram LM, favoring strongly
        associated pairs over merely frequent ones.
 
-    The merge MECHANICS (greedy left-to-right non-overlap, islands
-    window) are identical to BPE and shared via ``_greedy_merge`` — this
-    trainer passes the ``merged`` column that strips the continuation
-    prefix off the right symbol.
+    The merge MECHANICS (greedy left-to-right non-overlap) are
+    identical to BPE and shared via ``_merge_fold`` — this trainer
+    passes the ``merged`` literal with the continuation prefix
+    stripped off the right symbol.
 
     Determinism across engines: ``score`` is one IEEE double division of
     exactly-summed integers — the denominator product is widened to
     DECIMAL(38,0) (HUGEINT in the oracle) before the division so neither
     engine overflows 64 bits on corpus-sized symbol counts — so Spark
     and the DuckDB oracle compute bit-identical doubles; ties break on
-    the pair string. Scale posture
-    is the BPE one — every round touches only the vocab-bounded symbol
-    table; per-round argmax is the one legitimate driver scalar;
-    ``localCheckpoint`` truncates the growing lineage."""
+    the pair string. Scale posture is the BPE one — every round
+    touches only the vocab-bounded symbol table; per-round argmax is
+    the one legitimate driver scalar. r14 optimization (guide §2.4):
+    the pair and symbol streams are shuffle-free array transforms over
+    the single checkpointed seed (plus lazy merge folds) feeding
+    partial+final hash aggregates — the former per-round
+    posexplode → lead() window → two-localCheckpoint chain shuffled
+    the symbol table three times and ran 3 jobs per round."""
     docs = _docs(spark, sf_dir)
     words = (
         docs.select(
@@ -1573,32 +1568,30 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
     seq = words.select(
         F.col("w").alias("rid"),
         "freq",
-        F.concat_ws(
-            " ",
-            F.transform(
-                F.split(F.col("w"), ""),
-                lambda c, i: F.when(i == F.lit(0), c).otherwise(
-                    F.concat(F.lit("##"), c)
-                ),
+        F.transform(
+            F.split(F.col("w"), ""),
+            lambda c, i: F.when(i == F.lit(0), c).otherwise(
+                F.concat(F.lit("##"), c)
             ),
-        ).alias("seq"),
+        ).alias("syms"),
     ).localCheckpoint()
 
     merges = []
     for r in range(1, _WP_ROUNDS + 1):
-        tok = seq.select(
-            "rid",
-            "freq",
-            F.posexplode(F.split("seq", " ")).alias("pos", "sym"),
-        ).withColumn(
-            "nxt",
-            F.lead("sym").over(Window.partitionBy("rid").orderBy("pos")),
-        )
-        tok = tok.localCheckpoint()
-        syms = tok.groupBy("sym").agg(F.sum("freq").alias("scnt"))
+        syms = seq.select("freq", F.explode("syms").alias("sym")).groupBy(
+            "sym"
+        ).agg(F.sum("freq").alias("scnt"))
         pairs = (
-            tok.where(F.col("nxt").isNotNull())
-            .groupBy("sym", "nxt")
+            seq.select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(slice(syms, 1, size(syms) - 1),"
+                        " (x, i) -> struct(x AS sym, syms[i + 1] AS nxt))"
+                    )
+                ).alias("p"),
+            )
+            .groupBy(F.col("p.sym").alias("sym"), F.col("p.nxt").alias("nxt"))
             .agg(F.sum("freq").alias("pcnt"))
         )
         # symbol table is vocab-bounded (|alphabet| + merges) — broadcast
@@ -1648,12 +1641,9 @@ def _wordpiece_core(spark: SparkSession, sf_dir: str):
             (r, best["pair"], new_token, int(best["pcnt"]),
              float(best["score"]))
         )
-        seq = _greedy_merge(
-            tok,
-            a,
-            b,
-            merged=F.concat("sym", F.regexp_replace("nxt", "^##", "")),
-        ).localCheckpoint()
+        seq = seq.select(
+            "rid", "freq", _merge_fold(a, b, new_token).alias("syms")
+        )
     return merges, seq
 
 
@@ -1752,7 +1742,7 @@ register(
         "over the vocab-bounded word-frequency table with ##-prefixed "
         "continuation pieces and likelihood-ratio pair selection "
         "count(ab)/(count(a)*count(b)); merge mechanics shared with the "
-        "BPE trainer via _greedy_merge(merged=...); oracle unrolls the "
+        "BPE trainer via _merge_fold(merged=...); oracle unrolls the "
         "same rounds as materialized CTEs with the identical one-IEEE-"
         "division score, completing the BPE/unigram/WordPiece trio",
         tags=("extension", "corpus", "text", "iterative", "tokenizer"),
@@ -1887,39 +1877,38 @@ def _uni_viterbi_wordlens(spark: SparkSession, sf_dir: str):
     """Viterbi-segment every distinct word under the seed vocab →
     ``(words, wlen)`` where ``wlen`` is ``(w, n_pieces, best_lp)``.
 
-    The DP is bounded and relational: state ``(w, pos, best, np)``
-    grows one position per round for `_UNI_MAXPOS` rounds; each round
-    joins the (vocabulary-bounded) candidate pieces ending at that
-    position against the accumulated state and takes the per-word max
-    of ``(best + lp, -np)`` — struct-max = lexicographic, so score
-    ties break to FEWER pieces deterministically. Words longer than
-    the horizon fall back to char segmentation (``np = len``,
-    documented; none exist in the fixtures). No driver-side data, no
-    collect: the loop count is a constant, the state is
-    vocabulary-bounded, and lineage is truncated each round."""
+    The DP is bounded and PER-WORD: each word's in-vocabulary piece
+    matches are gathered once (one vocabulary-bounded broadcast join +
+    one hash aggregate), then the position DP runs as a single left
+    fold over positions 1..len(w) inside the row — score ties break to
+    FEWER pieces deterministically, exactly as the former relational
+    per-round formulation. Words longer than the horizon fall back to
+    char segmentation (``np = len``, documented; none exist in the
+    fixtures). No driver-side data, no collect, no per-round shuffle."""
     words, vocab = _uni_core(spark, sf_dir)
     return words, viterbi_wordlens_core(words, vocab)
 
 
 def viterbi_wordlens_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
-    """The bounded relational Viterbi DP of ``_uni_viterbi_wordlens``
-    over any ``(w, freq)`` word table and ``(piece, lp)`` vocabulary —
-    factored so property tests can feed synthetic vocabularies and
-    verify the max-likelihood segmentation (score ties -> fewer
-    pieces) against an exhaustive Python enumeration
-    (tests/test_corpus_property.py)."""
+    """The bounded Viterbi DP of ``_uni_viterbi_wordlens`` over any
+    ``(w, freq)`` word table and ``(piece, lp)`` vocabulary — factored
+    so property tests can feed synthetic vocabularies and verify the
+    max-likelihood segmentation (score ties -> fewer pieces) against
+    an exhaustive Python enumeration (tests/test_corpus_property.py).
+
+    r14 optimization (guide §2.4): the DP state used to grow one
+    position per ROUND — up to 16 scheduled join+union+checkpoint
+    stages, each latency-bound at any scale because the rounds are
+    sequential. It is now ONE aggregate (collect the word's piece
+    matches, ≤ |w|×6 structs) plus ONE fold over positions inside the
+    row: state[e] = max over matches ending at e of
+    struct(state[s].b + lp, -(state[s].np + 1)) — the identical
+    struct-lexicographic comparison (``array_max`` and the former
+    ``F.max`` share Spark's struct ordering), so ties still break to
+    fewer pieces. Per-word work is O(len × matches); the whole DP is
+    one shuffle instead of O(horizon)."""
     dw = words.where(F.length("w") <= _UNI_MAXPOS)
-    # bounded collect (ONE scalar, the BPE-argmax shape): the longest
-    # in-horizon word caps the round count — every round past it is a
-    # structural no-op (matches has no end position beyond maxlen), yet
-    # still costs a scheduled join+union+checkpoint stage (~0.4 s each;
-    # the fixtures top out at 8-char words, so half the 16 rounds were
-    # dead weight). Results are identical by construction: the final
-    # join reads state at pos = len(w) <= maxlen, and the > horizon
-    # fallback below is untouched.
-    maxlen = dw.agg(F.max(F.length("w"))).collect()[0][0] or 0
-    rounds = min(int(maxlen), _UNI_MAXPOS)
-    matches = caching.persist_tracked(
+    matches = (
         _uni_candidates(dw.select("w", "freq"))
         .join(
             F.broadcast(vocab.select("piece", "lp")),
@@ -1927,44 +1916,57 @@ def viterbi_wordlens_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
         )
         .select("w", "s", "e", "lp")
     )
-    state = dw.select(
-        "w",
-        F.lit(0).cast("int").alias("pos"),
-        F.lit(0).cast("long").alias("best"),
-        F.lit(0).cast("long").alias("np"),
+    ms = matches.groupBy("w").agg(
+        F.collect_list(F.struct("s", "e", "lp")).alias("ms")
     )
-    for e in range(1, rounds + 1):
-        step = (
-            matches.where(F.col("e") == e)
-            .join(
-                state.select(
-                    "w", F.col("pos").alias("s"), "best", "np"
-                ),
-                ["w", "s"],
-            )
-            .groupBy("w")
-            .agg(
-                F.max(
-                    F.struct(
-                        (F.col("best") + F.col("lp")).alias("b"),
-                        (-F.col("np") - 1).alias("negnp"),
-                    )
-                ).alias("mx")
-            )
-            .select(
-                "w",
-                F.lit(e).cast("int").alias("pos"),
-                F.col("mx.b").alias("best"),
-                (-F.col("mx.negnp")).alias("np"),
-            )
+
+    def _step(acc: F.Column, e: F.Column) -> F.Column:
+        """DP transition: append position e's best (b, np) or NULL."""
+        reach = F.filter(
+            F.col("ms"),
+            lambda m: (m["e"] == e)
+            & F.element_at(acc, m["s"] + 1).isNotNull(),
         )
-        state = state.unionByName(step)
-        if e % 4 == 0:
-            state = state.localCheckpoint()
-    final = state.join(
-        dw.select("w", F.length("w").cast("int").alias("pos")),
-        ["w", "pos"],
-    ).select("w", F.col("np").alias("n_pieces"), F.col("best").alias("best_lp"))
+        scored = F.transform(
+            reach,
+            lambda m: F.struct(
+                (F.element_at(acc, m["s"] + 1)["b"] + m["lp"]).alias("b"),
+                (-F.element_at(acc, m["s"] + 1)["np"] - 1).alias("negnp"),
+            ),
+        )
+        mx = F.array_max(scored)
+        nxt = F.when(
+            mx.isNotNull(),
+            F.struct(
+                mx["b"].alias("b"), (-mx["negnp"]).alias("np")
+            ),
+        )
+        return F.concat(acc, F.array(nxt))
+
+    state = ms.select(
+        "w",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("w")),
+            F.array(
+                F.struct(
+                    F.lit(0).cast("long").alias("b"),
+                    F.lit(0).cast("long").alias("np"),
+                )
+            ),
+            _step,
+        ).alias("st"),
+    )
+    final = (
+        state.select(
+            "w", F.element_at("st", F.length("w") + 1).alias("fin")
+        )
+        .where(F.col("fin").isNotNull())
+        .select(
+            "w",
+            F.col("fin.np").alias("n_pieces"),
+            F.col("fin.b").alias("best_lp"),
+        )
+    )
     fallback = words.where(F.length("w") > _UNI_MAXPOS).select(
         "w",
         F.length("w").cast("long").alias("n_pieces"),
@@ -2177,7 +2179,7 @@ def _tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
     _, seq = _bpe_core(spark, sf_dir)
     bpe_wlen = seq.select(
         F.col("rid").alias("w"),
-        F.size(F.split("seq", " ")).cast("long").alias("bpe_tok"),
+        F.size("syms").cast("long").alias("bpe_tok"),
     )
     _, uni_wlen = _uni_viterbi_wordlens(spark, sf_dir)
     dwl = (

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from .. import caching
 from ..operators.ranking import global_topk
 from ..operators.text import normalized, tokens
 from .extensions import _docs
@@ -85,19 +86,24 @@ def _dsir_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         ).alias("g"),
     ).select("doc_id", "lang", _bucket(F.col("g"), "b:").alias("f"))
-    feats = uni.unionByName(bi)
+    # materialized once (r14, guide §1.2): the stream feeds the model
+    # aggregate AND the final scoring join — unpersisted it was
+    # recomputed three times (raw counts, target counts, scoring), each
+    # a full corpus re-tokenization; the raw and target counts are also
+    # fused into ONE conditional aggregate (identical integers: the
+    # former left join + coalesce(t_f, 0) is the conditional count)
+    feats = caching.persist_tracked(uni.unionByName(bi))
 
-    raw = feats.groupBy("f").agg(F.count(F.lit(1)).alias("r_f"))
-    tgt = (
-        feats.where(F.col("lang") == _DSIR_TARGET_LANG)
-        .groupBy("f")
-        .agg(F.count(F.lit(1)).alias("t_f"))
+    model = feats.groupBy("f").agg(
+        F.count(F.lit(1)).alias("r_f"),
+        F.count(
+            F.when(F.col("lang") == _DSIR_TARGET_LANG, 1)
+        ).alias("t_f"),
     )
     # bucket-bounded model table (<= 512 rows): totals via windows over
     # the bucket table itself, never the corpus
     lam = (
-        raw.join(tgt, "f", "left")
-        .withColumn("t_f", F.coalesce("t_f", F.lit(0)))
+        model
         .withColumn("t_tot", F.sum("t_f").over(Window.partitionBy()))
         .withColumn("r_tot", F.sum("r_f").over(Window.partitionBy()))
         .select(

@@ -1055,28 +1055,33 @@ FROM events GROUP BY event_type ORDER BY event_type
 # ---------------------------------------------------------------------------
 
 
-def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@5 of the LSH-bucketed ANN against the brute-force exact
-    baseline — the measurement that justifies (or vetoes) the bucketed
-    scale path. Three one-row aggregates cross-joined (all broadcast);
-    the only non-integer output is one division rounded to 6 dp."""
-    emb = _emb(spark, sf_dir)
-    exact = similarity.cosine_topk_bruteforce(emb).select(
-        "query_vec_id", "neighbor_vec_id"
-    )
-    lsh = similarity.cosine_topk_lsh(emb).select(
-        "query_vec_id", "neighbor_vec_id"
-    )
-    matched = exact.join(lsh, ["query_vec_id", "neighbor_vec_id"])
+def _recall_report(
+    exact: DataFrame, approx: DataFrame, approx_name: str
+) -> DataFrame:
+    """One-row recall report ``(n_exact_pairs, <approx_name>,
+    n_matched, recall_r6)``: three one-row aggregates cross-joined as
+    1-row BROADCAST combines (allowlisted BNLJs).
+
+    Shape note (r14, measured): this is deliberately NOT a fused
+    single join — the three independent broadcast subtrees (exact
+    count / approx count / matched count) are materialized as
+    CONCURRENT broadcast-exchange futures, so the wall-clock is
+    max(subtree), not sum(subtree) (guide §2.6, overlap independent
+    work). A fused full-outer/left-join single-pass variant was built
+    and measured 1.5-2x SLOWER on similarity_pq_recall (3.65 s →
+    7.29 s isolated median) because it serializes the exact and
+    approx pipelines behind a join barrier; the duplicated bounded
+    subtree evaluation is cheaper than the lost concurrency."""
+    matched = exact.join(approx, ["query_vec_id", "neighbor_vec_id"])
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_lsh = lsh.agg(F.count(F.lit(1)).alias("n_lsh_pairs"))
+    n_a = approx.agg(F.count(F.lit(1)).alias(approx_name))
     n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
     return (
-        n_exact.crossJoin(F.broadcast(n_lsh))
+        n_exact.crossJoin(F.broadcast(n_a))
         .crossJoin(F.broadcast(n_match))
         .select(
             "n_exact_pairs",
-            "n_lsh_pairs",
+            approx_name,
             "n_matched",
             F.round(
                 F.try_divide(
@@ -1087,6 +1092,21 @@ def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_r6"),
         )
     )
+
+
+def _lsh_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@5 of the LSH-bucketed ANN against the brute-force exact
+    baseline — the measurement that justifies (or vetoes) the bucketed
+    scale path. One fused aggregate (``_recall_report``); the only
+    non-integer output is one division rounded to 6 dp."""
+    emb = _emb(spark, sf_dir)
+    exact = similarity.cosine_topk_bruteforce(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    lsh = similarity.cosine_topk_lsh(emb).select(
+        "query_vec_id", "neighbor_vec_id"
+    )
+    return _recall_report(exact, lsh, "n_lsh_pairs")
 
 
 register(
@@ -1713,26 +1733,7 @@ def _ivf_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf = similarity.cosine_topk_ivf(emb).select(
         "query_vec_id", "neighbor_vec_id"
     )
-    matched = exact.join(ivf, ["query_vec_id", "neighbor_vec_id"])
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_ivf = ivf.agg(F.count(F.lit(1)).alias("n_ivf_pairs"))
-    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return (
-        n_exact.crossJoin(F.broadcast(n_ivf))
-        .crossJoin(F.broadcast(n_match))
-        .select(
-            "n_exact_pairs",
-            "n_ivf_pairs",
-            "n_matched",
-            F.round(
-                F.try_divide(
-                    F.col("n_matched").cast("double"),
-                    F.col("n_exact_pairs"),
-                ),
-                6,
-            ).alias("recall_r6"),
-        )
-    )
+    return _recall_report(exact, ivf, "n_ivf_pairs")
 
 
 register(
@@ -1798,26 +1799,7 @@ def _ivf_recall_nprobe2(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivf2 = similarity.cosine_topk_ivf_multiprobe(emb, nprobe=2).select(
         "query_vec_id", "neighbor_vec_id"
     )
-    matched = exact.join(ivf2, ["query_vec_id", "neighbor_vec_id"])
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_ivf = ivf2.agg(F.count(F.lit(1)).alias("n_ivf2_pairs"))
-    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return (
-        n_exact.crossJoin(F.broadcast(n_ivf))
-        .crossJoin(F.broadcast(n_match))
-        .select(
-            "n_exact_pairs",
-            "n_ivf2_pairs",
-            "n_matched",
-            F.round(
-                F.try_divide(
-                    F.col("n_matched").cast("double"),
-                    F.col("n_exact_pairs"),
-                ),
-                6,
-            ).alias("recall_r6"),
-        )
-    )
+    return _recall_report(exact, ivf2, "n_ivf2_pairs")
 
 
 register(
@@ -1964,15 +1946,24 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .distinct()
     )
-    matched = exact.join(cand, ["a", "b"])
-    n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
-    n_cand = cand.agg(
-        F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
-    )
-    n_match = matched.agg(F.count(F.lit(1)).cast("long").alias("n_matched"))
+    # ONE aggregate over a full-outer join of the two bounded pair sets
+    # (r14, guide §1.2/§2.4): the former three separate one-row
+    # aggregates re-evaluated the unpersisted ground-truth intersection
+    # and band-candidate subtrees twice each.
     return (
-        n_true.crossJoin(F.broadcast(n_cand))
-        .crossJoin(F.broadcast(n_match))
+        exact.withColumn("_tm", F.lit(1))
+        .join(
+            cand.withColumn("_cm", F.lit(1)), ["a", "b"], "full_outer"
+        )
+        .agg(
+            F.count("_tm").alias("n_true_pairs"),
+            F.count("_cm").alias("n_candidate_pairs"),
+            F.count(
+                F.when(
+                    F.col("_tm").isNotNull() & F.col("_cm").isNotNull(), 1
+                )
+            ).alias("n_matched"),
+        )
         .select(
             "n_true_pairs",
             "n_candidate_pairs",
@@ -2058,12 +2049,17 @@ def _lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     numbers on the corpus, the evidence behind choosing 4x4.
 
     Scale shape: the signature pass runs ONCE (same persisted table
-    all four configs read); per config the band hashes are a
+    all four configs read); the band hashes of ALL FOUR configs are a
     vocabulary of md5 expressions over the in-row ``mh`` array (no
-    re-sketch), and candidate generation is the same bounded
-    query-set broadcast band join as the recall audit. Ground truth
-    is computed once. Everything after the signature pass is
-    per-config counting; output is 4 rows."""
+    re-sketch) exploded as one (config, band_idx, band_hash) stream,
+    so candidate generation + distinct + truth-marking run as ONE
+    bounded query-set broadcast band join keyed by config — r14
+    (guide §2.4): the former per-config loop built the identical
+    join+distinct subtree TWICE per config (once under the candidate
+    count, once under the matched count), eight heavy subtrees for
+    four rows; the fused stream computes both counts from one
+    left-join against the persisted ground truth. Ground truth is
+    computed once. Output is 4 rows."""
     per_doc = dedup.persist_tracked(
         dedup.minhash_signatures(_docs(spark, sf_dir)).select(
             "doc_id", "sh", "mh"
@@ -2101,64 +2097,86 @@ def _lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_true = exact.agg(F.count(F.lit(1)).cast("long").alias("n_true_pairs"))
 
-    out = None
-    for nb, wid in _LSH_CONFIGS:
-        band_arr = F.array(
-            *[
-                F.md5(
-                    F.concat_ws(
-                        "_",
-                        *[
-                            F.col("mh")[b * wid + j].cast("string")
-                            for j in range(wid)
-                        ],
-                    )
+    # all four configs as ONE exploded (n_bands, band_idx, band_hash)
+    # stream over the in-row mh array: 16+8+4+2 = 30 structs per doc
+    entries = [
+        F.struct(
+            F.lit(nb).cast("long").alias("nb"),
+            F.lit(b).alias("band_idx"),
+            F.md5(
+                F.concat_ws(
+                    "_",
+                    *[
+                        F.col("mh")[b * wid + j].cast("string")
+                        for j in range(wid)
+                    ],
                 )
-                for b in range(nb)
-            ]
+            ).alias("band_hash"),
         )
-        bands = per_doc.select(
-            "doc_id", F.posexplode(band_arr).alias("band_idx", "band_hash")
+        for nb, wid in _LSH_CONFIGS
+        for b in range(nb)
+    ]
+    bands = per_doc.select(
+        "doc_id", F.explode(F.array(*entries)).alias("e")
+    ).select("doc_id", "e.nb", "e.band_idx", "e.band_hash")
+    qbands = bands.join(
+        F.broadcast(qset.select(F.col("q_doc_id").alias("doc_id"))),
+        "doc_id",
+    ).select(
+        F.col("doc_id").alias("q_doc_id"), "nb", "band_idx", "band_hash"
+    )
+    cand = (
+        bands.join(F.broadcast(qbands), ["nb", "band_idx", "band_hash"])
+        .where(F.col("doc_id") != F.col("q_doc_id"))
+        .select(
+            "nb",
+            F.least("doc_id", "q_doc_id").alias("a"),
+            F.greatest("doc_id", "q_doc_id").alias("b"),
         )
-        qbands = bands.join(
-            F.broadcast(qset.select(F.col("q_doc_id").alias("doc_id"))),
-            "doc_id",
-        ).select(F.col("doc_id").alias("q_doc_id"), "band_idx", "band_hash")
-        cand = (
-            bands.join(F.broadcast(qbands), ["band_idx", "band_hash"])
-            .where(F.col("doc_id") != F.col("q_doc_id"))
-            .select(
-                F.least("doc_id", "q_doc_id").alias("a"),
-                F.greatest("doc_id", "q_doc_id").alias("b"),
-            )
-            .distinct()
+        .distinct()
+    )
+    per_cfg = (
+        cand.join(
+            exact.withColumn("m", F.lit(1)), ["a", "b"], "left"
         )
-        n_cand = cand.agg(
-            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs")
+        .groupBy("nb")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_candidate_pairs"),
+            F.count("m").cast("long").alias("n_matched"),
         )
-        n_match = exact.join(cand, ["a", "b"]).agg(
-            F.count(F.lit(1)).cast("long").alias("n_matched")
-        )
-        row = (
-            n_true.crossJoin(F.broadcast(n_cand))
-            .crossJoin(F.broadcast(n_match))
-            .select(
-                F.lit(nb).cast("long").alias("n_bands"),
-                F.lit(wid).cast("long").alias("band_width"),
-                "n_true_pairs",
-                "n_candidate_pairs",
-                "n_matched",
-                F.round(
-                    F.try_divide(
-                        F.col("n_matched").cast("double"),
-                        F.col("n_true_pairs"),
+    )
+    # 4-row config spine (left join: a config with ZERO candidates at a
+    # tiny sf must still emit its row, counts 0 — the per-config agg of
+    # the former loop did)
+    cfg_rows = per_doc.sparkSession.createDataFrame(
+        [(nb, wid) for nb, wid in _LSH_CONFIGS],
+        "nb long, band_width long",
+    )
+    return (
+        cfg_rows.join(F.broadcast(per_cfg), "nb", "left")
+        .crossJoin(F.broadcast(n_true))
+        .select(
+            F.col("nb").alias("n_bands"),
+            "band_width",
+            "n_true_pairs",
+            F.coalesce("n_candidate_pairs", F.lit(0).cast("long")).alias(
+                "n_candidate_pairs"
+            ),
+            F.coalesce("n_matched", F.lit(0).cast("long")).alias(
+                "n_matched"
+            ),
+            F.round(
+                F.try_divide(
+                    F.coalesce("n_matched", F.lit(0).cast("long")).cast(
+                        "double"
                     ),
-                    6,
-                ).alias("recall_r6"),
-            )
+                    F.col("n_true_pairs"),
+                ),
+                6,
+            ).alias("recall_r6"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("band_width")
+        .orderBy("band_width")
+    )
 
 
 def _lsh_band_tradeoff_sql() -> str:
@@ -2368,26 +2386,15 @@ def _pq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     pq = similarity.cosine_topk_pq_adc(emb).select(
         "query_vec_id", "neighbor_vec_id"
     )
-    matched = exact.join(pq, ["query_vec_id", "neighbor_vec_id"])
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_pq = pq.agg(F.count(F.lit(1)).alias("n_pq_pairs"))
-    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
     nvec = emb.agg(F.count(F.lit(1)).alias("n_vectors"))
     return (
-        n_exact.crossJoin(F.broadcast(n_pq))
-        .crossJoin(F.broadcast(n_match))
+        _recall_report(exact, pq, "n_pq_pairs")
         .crossJoin(F.broadcast(nvec))
         .select(
             "n_exact_pairs",
             "n_pq_pairs",
             "n_matched",
-            F.round(
-                F.try_divide(
-                    F.col("n_matched").cast("double"),
-                    F.col("n_exact_pairs"),
-                ),
-                6,
-            ).alias("recall_r6"),
+            "recall_r6",
             (F.col("n_vectors") * 64 * 4).cast("long").alias(
                 "bytes_float_index"
             ),
@@ -2476,6 +2483,9 @@ def _two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ref5 = similarity.cosine_topk_pq_refine(emb).select(
         "query_vec_id", "neighbor_vec_id"
     )
+    # three 1-row aggregates cross-joined as concurrent broadcast
+    # futures (see _recall_report's shape note: a fused single-pass
+    # variant measured SLOWER because it serializes the subtrees)
     n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
     n_adc = exact.join(adc5, ["query_vec_id", "neighbor_vec_id"]).agg(
         F.count(F.lit(1)).alias("n_adc_matched")
@@ -2711,26 +2721,7 @@ def _ivfpq_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     ivfpq = similarity.cosine_topk_ivfpq(emb).select(
         "query_vec_id", "neighbor_vec_id"
     )
-    matched = exact.join(ivfpq, ["query_vec_id", "neighbor_vec_id"])
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_i = ivfpq.agg(F.count(F.lit(1)).alias("n_ivfpq_pairs"))
-    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return (
-        n_exact.crossJoin(F.broadcast(n_i))
-        .crossJoin(F.broadcast(n_match))
-        .select(
-            "n_exact_pairs",
-            "n_ivfpq_pairs",
-            "n_matched",
-            F.round(
-                F.try_divide(
-                    F.col("n_matched").cast("double"),
-                    F.col("n_exact_pairs"),
-                ),
-                6,
-            ).alias("recall_r6"),
-        )
-    )
+    return _recall_report(exact, ivfpq, "n_ivfpq_pairs")
 
 
 register(
@@ -2796,27 +2787,13 @@ def _matryoshka_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     trunc = similarity.cosine_topk_truncated(emb).select(
         "query_vec_id", "neighbor_vec_id"
     )
-    matched = exact.join(trunc, ["query_vec_id", "neighbor_vec_id"])
-    n_exact = exact.agg(F.count(F.lit(1)).alias("n_exact_pairs"))
-    n_t = trunc.agg(F.count(F.lit(1)).alias("n_trunc_pairs"))
-    n_match = matched.agg(F.count(F.lit(1)).alias("n_matched"))
-    return (
-        n_exact.crossJoin(F.broadcast(n_t))
-        .crossJoin(F.broadcast(n_match))
-        .select(
-            "n_exact_pairs",
-            "n_trunc_pairs",
-            "n_matched",
-            F.round(
-                F.try_divide(
-                    F.col("n_matched").cast("double"),
-                    F.col("n_exact_pairs"),
-                ),
-                6,
-            ).alias("recall_r6"),
-            F.lit(similarity.MRL_DIMS).cast("long").alias("dims_scored"),
-            F.lit(64).cast("long").alias("dims_full"),
-        )
+    return _recall_report(exact, trunc, "n_trunc_pairs").select(
+        "n_exact_pairs",
+        "n_trunc_pairs",
+        "n_matched",
+        "recall_r6",
+        F.lit(similarity.MRL_DIMS).cast("long").alias("dims_scored"),
+        F.lit(64).cast("long").alias("dims_full"),
     )
 
 

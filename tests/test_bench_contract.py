@@ -579,3 +579,119 @@ def test_summary_carries_gate_and_mid_probes():
     ]
     # and the summary still fits the driver tail with the new fields
     assert len(json.dumps(s).encode()) < DRIVER_TAIL_BYTES // 2
+
+
+def test_splice_skips_donor_untrusted_readings():
+    """ADVICE r13 (medium): an accepted donor line can carry
+    outlier-stamped readings — those are known-contaminated and must
+    route to leftover (stay untrusted), never be spliced in as clean
+    in-band history."""
+    from bench import mark_untrusted, splice_from_history
+
+    out = {
+        "value": 9.0,
+        "streaming_total": 30.0,
+        "queries": {HEADLINE[0]: 4.5, HEADLINE[1]: 4.5},
+        "accept": {"status": "retried", "kept_still_deviant": True},
+    }
+    donor = {
+        "utc": "2026-08-16T00:00:00Z",
+        "queries": {HEADLINE[0]: 1.1, HEADLINE[1]: 1.2},
+        "untrusted_queries": [HEADLINE[1]],  # the r13 run-2 exhibit
+    }
+    kept_dev = {"value": 3.2}
+    mark_untrusted(out, kept_dev, HEADLINE)
+    splice_from_history(out, kept_dev, donor, HEADLINE)
+    assert out["queries"][HEADLINE[0]] == 1.1  # clean donor value
+    assert out["queries"][HEADLINE[1]] == 4.5  # measured stays
+    assert out["spliced_queries"] == [HEADLINE[0]]
+    assert out["untrusted_queries"] == [HEADLINE[1]]
+    assert out["value"] == 5.6
+
+
+def test_splice_covers_names_errored_in_current_run():
+    """ADVICE r13 (low): a query that errored in the current run but
+    has a clean donor reading is spliced too, so the recomputed group
+    total is comparable to real passes."""
+    from bench import mark_untrusted, splice_from_history
+
+    out = {
+        "value": 4.5,
+        "streaming_total": 30.0,
+        # HEADLINE[1] errored this run — absent from queries
+        "queries": {HEADLINE[0]: 4.5},
+        "accept": {"status": "retried", "kept_still_deviant": True},
+    }
+    donor = {
+        "utc": "2026-08-16T00:00:00Z",
+        "queries": {HEADLINE[0]: 1.1, HEADLINE[1]: 1.2},
+    }
+    kept_dev = {"value": 3.2}
+    mark_untrusted(out, kept_dev, HEADLINE)
+    splice_from_history(out, kept_dev, donor, HEADLINE)
+    assert out["queries"][HEADLINE[1]] == 1.2
+    assert sorted(out["spliced_queries"]) == sorted(
+        [HEADLINE[0], HEADLINE[1]]
+    )
+    assert out["value"] == round(1.1 + 1.2, 4)
+
+
+def test_outlier_burst_stamps_2x_cotravelers():
+    """VERDICT r13 rec #1: once any >3x spike proves a burst window,
+    readings in the 2-3x band of the same pass are co-travelers and
+    must be stamped too (the r13 kept pass carried 15 of them
+    unstamped)."""
+    from bench import run_gate
+
+    first = _gate_pass()
+    first["queries"]["ext_0"] = 2.0 * 12      # >3x spike: burst proven
+    # 2-3x co-traveler in ANOTHER group (group medians must hold —
+    # only 4 ext names exist here, a second ext outlier would trip
+    # the group median and route to the retry path instead)
+    first["queries"]["stream_0"] = 10.0 * 2.5
+    first["streaming_total"] = round(10.0 * 2.5 + 10.0 * 2, 4)
+    out, rejected = run_gate(
+        first, _gate_history(), HEADLINE,
+        remeasure=_no_call, recool=_no_call,
+    )
+    assert rejected is None and out["accept"]["status"] == "ok"
+    assert out["untrusted_queries"] == ["ext_0", "stream_0"]
+    assert out["per_query_outliers"] == {"ext_0": 12.0, "stream_0": 2.5}
+    assert out["accept"]["n_per_query_outliers"] == 2
+
+
+def test_no_burst_means_no_2x_stamping():
+    """Without a >3x spike the 2-3x band stays unstamped — ordinary
+    variance must not be flagged as contamination."""
+    from bench import run_gate
+
+    first = _gate_pass()
+    first["queries"]["ext_1"] = 2.0 * 2.5  # 2-3x alone, no burst proof
+    out, rejected = run_gate(
+        first, _gate_history(), HEADLINE,
+        remeasure=_no_call, recool=_no_call,
+    )
+    assert rejected is None
+    assert "per_query_outliers" not in out
+    assert "untrusted_queries" not in out
+
+
+def test_headline_outliers_surfaced_at_accept_level():
+    """ADVICE r13 (low): flagged readings inside the headline group
+    still sum into the official value — accept.headline_outliers must
+    say so."""
+    from bench import run_gate
+
+    first = _gate_pass()
+    # spike ONE headline query hard; the group ratio MEDIAN stays 1.0
+    # (10 of 11 queries in-band), so the pass is accepted
+    first["queries"][HEADLINE[0]] = 0.2 * 12
+    first["value"] = round(sum(
+        v for n, v in first["queries"].items() if n in HEADLINE), 4)
+    out, rejected = run_gate(
+        first, _gate_history(), HEADLINE,
+        remeasure=_no_call, recool=_no_call,
+    )
+    assert rejected is None and out["accept"]["status"] == "ok"
+    assert out["accept"]["headline_outliers"] == [HEADLINE[0]]
+    assert HEADLINE[0] in out["untrusted_queries"]

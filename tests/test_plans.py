@@ -90,6 +90,9 @@ _ALLOWED_BNLJ = {
     "sql_ntile_price_deciles",     # 1-row total-count broadcast (ntile n)
     "corpus_unigram_seed_vocab",   # 1-row vocab-score-total broadcast
     "corpus_unigram_viterbi_encode",  # same 1-row total inside _uni_core
+    "corpus_tokenizer_fertility",  # same 1-row total (r14: the fold-based
+    # Viterbi DP no longer checkpoints per round, so _uni_core's 1-row
+    # vocab-score-total broadcast is visible in the final plan)
     "graph_kcore_peel",            # per-round 1x1 trace-count combine
     "corpus_negative_samples",     # 1-row total-weight broadcast (CDF mod)
     "embedding_dup_components",    # 1-row overflow_buckets scalar-combine
