@@ -552,21 +552,18 @@ def _decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     # web-scale corpus's heavy exact-dup clusters (the fixture has
     # ~1,500-doc ones) would otherwise multiply both stages by cluster
     # size for identical answers (measured 22 s -> per-rep at sf0.1).
-    # r14 (guide §2.3, shuffle metadata not payloads): rep election used
-    # to be a window over text_hash on the FULL signature rows —
-    # shuffling every doc's shingle + band arrays just to pick min
-    # doc_id. Elect on the narrow (text_hash, doc_id) projection
-    # instead, then left-semi join back on doc_id: the persisted
-    # signature table is already hash-partitioned by doc_id (its build
-    # join), so the heavy arrays never move.
-    rep_ids = (
-        per.where(~is_bench)
-        .groupBy("text_hash")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    # NOTE (r14, measured): electing reps on a narrow (text_hash,
+    # doc_id) projection + left-semi join back on doc_id was tried and
+    # REVERTED — 12.1 s → 18.4 s isolated median at equal load. The
+    # extra aggregate + semi-join re-evaluated the cached signature
+    # scan under two more operators, costing more than the one
+    # window shuffle it saved (at this fixture's ~300-char docs the
+    # array payload is small; re-evaluate at a heavier-payload scale).
+    w_th = Window.partitionBy("text_hash")
     reps = caching.persist_tracked(
-        per.join(rep_ids.hint("shuffle_hash"), "doc_id", "left_semi")
+        per.where(~is_bench)
+        .withColumn("_rep", F.min("doc_id").over(w_th))
+        .where(F.col("doc_id") == F.col("_rep"))
         .select("text_hash", "sh", "bands")
     )
     rep_bands = reps.select(

@@ -509,14 +509,21 @@ def hits_authorities(edges: DataFrame, n_iter: int = _HITS_ITERS) -> DataFrame:
     ``pagerank_undirected``."""
     hub = edges.select("u").distinct().withColumn("h", F.lit(1.0))
     auth = None
-    for _ in range(n_iter):
+    for it in range(n_iter):
         a_raw = edges.join(hub, "u").groupBy("k").agg(F.sum("h").alias("a"))
         a_tot = a_raw.agg(F.sum("a").alias("t"))
-        auth = (
-            a_raw.crossJoin(F.broadcast(a_tot))
-            .select("k", (F.col("a") / F.col("t")).alias("a"))
-            .localCheckpoint()
+        # the auth half stays lazy: its only consumers are the hub half
+        # below (whose checkpoint materializes both) and the final
+        # return of the LAST round — one materialization per round, not
+        # two (r14, guide §2.4; the L1-normalizer scalars are broadcast
+        # futures, evaluated concurrently with the streamed side)
+        auth = a_raw.crossJoin(F.broadcast(a_tot)).select(
+            "k", (F.col("a") / F.col("t")).alias("a")
         )
+        if it == n_iter - 1:
+            # the last round's hub half is never consumed — building
+            # (and checkpointing) it was pure dead work
+            break
         h_raw = edges.join(auth, "k").groupBy("u").agg(F.sum("a").alias("h"))
         h_tot = h_raw.agg(F.sum("h").alias("t"))
         hub = (

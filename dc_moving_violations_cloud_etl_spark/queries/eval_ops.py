@@ -872,6 +872,12 @@ def suffix_repeat_groups(docs: DataFrame) -> DataFrame:
     seeds = global_rank(
         pos_tab.select("g").distinct(), F.asc("g"), alias="r"
     ).hint("shuffle_hash")
+    # NOTE (r14, measured): removing this checkpoint and reading m_seed
+    # off the seed-rank table was tried and REVERTED — 6.2 s → 9.0 s
+    # isolated median. The checkpoint is what keeps the global_rank
+    # subtree (range-sampling pass + offset-ledger broadcast) from
+    # re-evaluating under both the m_seed scalar and the first
+    # doubling's window.
     cur = (
         pos_tab.join(seeds, "g")
         .select("doc_id", "pos", "r")

@@ -126,6 +126,9 @@ _ALLOWED_BNLJ = {
     "curation_naive_bayes_langid",  # 5-row class table + 1-row vocab size
     "curation_calibration_ece",    # same NB scoring pass (1-row vocab size)
     "embedding_pca_power_iteration",  # 1-row n / max|u| / Rayleigh combines
+    "graph_hits_bipartite",  # 1-row L1-normalizer broadcast (r14: the
+    # final auth half-step is lazy — one materialization per round —
+    # so the scalar combine is visible in the final plan)
 }
 
 
