@@ -771,10 +771,46 @@ def main() -> None:
         # paged_api_pushdown_agg 2.6x on the r4 official record
         # (VERDICT r4 rec #2)
         from dc_moving_violations_cloud_etl_spark.sources.paged_api import (
+            SOURCE_NAME,
+            make_paged_events_source,
             paged_fixture_path,
         )
 
-        paged_fixture_path(sf_dir)
+        staged = paged_fixture_path(sf_dir)
+        # warm the PYTHON DATASOURCE path too (r14, measured): the
+        # first Python-datasource query in a fresh session pays ~6.4 s
+        # of one-time infra — the plan_data_source driver-side Python
+        # runner fork + pyspark import, and the executor-side
+        # datasource worker pool's own fork/import — on top of the
+        # ~1.5 s steady-state query. Same startup class (and same
+        # policy) as the mapInPandas worker-pool warmup above and the
+        # staged-fixture build (VERDICT r4 rec #2): a long-running
+        # cluster amortizes it; letting it land inside whichever paged
+        # query runs first mismeasured that query ~7x (measurement
+        # change recorded in OPTIMIZATION_r14.md with both readings).
+        try:
+            spark.dataSource.register(make_paged_events_source())
+            spark.read.format(SOURCE_NAME).option("path", staged).load(
+            ).select("event_id").write.format("noop").mode(
+                "overwrite"
+            ).save()
+            # ... and the pushFilters PLANNING runner (a separate
+            # Python runner interaction, measured ~2 s of one-time
+            # fork/import on its first use): probe with a no-match
+            # literal so the warm read itself is near-empty. Per-query
+            # JVM codegen is deliberately NOT warmed — that cost class
+            # stays in every extension query's timing, paged or not.
+            spark.conf.set(
+                "spark.sql.python.filterPushdown.enabled", "true"
+            )
+            spark.read.format(SOURCE_NAME).option("path", staged).load(
+            ).where("event_type = '_bench_warmup_'").write.format(
+                "noop"
+            ).mode("overwrite").save()
+        except Exception as exc:  # noqa: BLE001 - probe is best-effort
+            # a dying datasource probe must not skip the flagship
+            # warm-up below (the headline's steady-state guarantee)
+            print(f"datasource warmup failed: {exc!r}", file=sys.stderr)
         # query warm-up LAST, immediately before the timed loop: two
         # passes of the flagship + one of its broadcast-join sibling so
         # slot 1 measures steady state, not residual codegen/broadcast
