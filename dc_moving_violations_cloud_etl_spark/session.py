@@ -65,6 +65,19 @@ def get_spark(
         # reader rejects; read as long and normalize in catalog.base()
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        # align whole-stage-codegen fallback with the JVM's JIT limit
+        # (r14, measured): HotSpot refuses to JIT-compile methods over
+        # 8000 bytecodes (-XX:-DontCompileHugeMethods default), so a
+        # generated whole-stage method past that size runs INTERPRETED
+        # BYTECODE — slower than Spark's own non-WSCG vectorized path.
+        # Spark's default limit (65535) keeps such dead codegen;
+        # 8000 makes oversized stages (e.g. the 16-min-agg MinHash
+        # signature stage: 3.2 s -> 2.1 s warm at sf0.1) fall back.
+        # JVM-universal, not a local-mode artifact; env-overridable.
+        .config(
+            "spark.sql.codegen.hugeMethodLimit",
+            os.environ.get("SPARK_GRAFT_HUGE_METHOD_LIMIT", "8000"),
+        )
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
