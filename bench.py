@@ -223,8 +223,16 @@ def comparable_history_entries(
     sf: float,
     min_passes: int = 3,
     max_passes: int = 6,
+    cpus: int | None = None,
 ) -> list[dict] | None:
-    """The most recent comparable history passes: same sf, not flagged
+    """The most recent comparable history passes: same sf, SAME CORE
+    COUNT (r14: the driver also runs the bench at a lower
+    ``SPARK_GRAFT_CPUS`` to measure scaling — comparing a low-core
+    pass against 32-core medians would trip every group gate, retry
+    slowly, and then SPLICE 32-core readings into a low-core record,
+    corrupting the scaling measurement; lines written before the
+    ``cpus`` stamp are treated as the historical 32-core default),
+    not flagged
     ``contaminated`` (gate-rejected loser) or ``gate_deviant``
     (accepted-but-still-deviant under sustained load, ADVICE r11 —
     letting those into the baseline would drag the acceptance medians
@@ -245,6 +253,7 @@ def comparable_history_entries(
                     continue
                 if (
                     e.get("sf") == sf
+                    and (cpus is None or e.get("cpus", 32) == cpus)
                     and not e.get("contaminated")
                     and not e.get("gate_deviant")
                     and isinstance(e.get("value"), (int, float))
@@ -708,6 +717,9 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
     sf = float(m.group(1)) if m else -1.0
+    # the driver also benches at a lower core count (scaling probe);
+    # records carry it and the gate only compares same-cpus passes
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
 
     # cooldown gate (VERDICT r12 rec #1): never START an official run
     # inside a known load window. SPARK_GRAFT_BENCH_COOLDOWN_TRIES=0
@@ -832,7 +844,7 @@ def main() -> None:
     # VERDICT r12 rec #1/#7 + ADVICE r12) ──────────────────────────────
     here = os.path.dirname(os.path.abspath(__file__))
     history_path = os.path.join(here, "BENCH_DETAIL_history.jsonl")
-    entries = comparable_history_entries(history_path, sf)
+    entries = comparable_history_entries(history_path, sf, cpus=cpus)
     out, rejected = run_gate(
         out,
         entries,
@@ -855,6 +867,7 @@ def main() -> None:
     out["calib_start_sec"] = calib_start
     out["calib_end_sec"] = calib_end
     out["sf"] = sf
+    out["cpus"] = cpus
     write_records(out, rejected, names, extras, here, history_path)
 
 
@@ -1026,8 +1039,9 @@ def write_records(
             if rejected is not None:
                 loser = dict(rejected)
                 loser["utc"] = utc
-                # carry sf so comparability filtering still works
+                # carry sf + cpus so comparability filtering still works
                 loser.setdefault("sf", out.get("sf"))
+                loser.setdefault("cpus", out.get("cpus"))
                 f.write(json.dumps(loser, sort_keys=True) + "\n")
             f.write(json.dumps(stamped, sort_keys=True) + "\n")
     except OSError as exc:

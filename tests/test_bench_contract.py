@@ -695,3 +695,29 @@ def test_headline_outliers_surfaced_at_accept_level():
     assert rejected is None and out["accept"]["status"] == "ok"
     assert out["accept"]["headline_outliers"] == [HEADLINE[0]]
     assert HEADLINE[0] in out["untrusted_queries"]
+
+
+def test_comparable_history_filters_on_cpus(tmp_path):
+    """r14: the driver also benches at a lower SPARK_GRAFT_CPUS to
+    measure scaling — a low-core pass must not feed (or be judged
+    against) 32-core medians, or the gate would trip on every group
+    and splice 32-core readings into a low-core record. Lines written
+    before the cpus stamp count as the historical 32-core default."""
+    import json as _json
+
+    from bench import comparable_history_entries
+
+    p = tmp_path / "hist.jsonl"
+    legacy = _hist_entry(3.0, 2.0, 40.0)          # pre-stamp: implied 32
+    e32a = {**_hist_entry(2.8, 2.1, 44.0), "cpus": 32}
+    e32b = {**_hist_entry(2.9, 1.9, 42.0), "cpus": 32}
+    e8 = {**_hist_entry(9.0, 8.0, 99.0), "cpus": 8}  # scaling probe
+    p.write_text(
+        "\n".join(_json.dumps(e) for e in (legacy, e32a, e32b, e8)) + "\n"
+    )
+    got32 = comparable_history_entries(str(p), 0.1, cpus=32)
+    assert len(got32) == 3 and all(e.get("cpus", 32) == 32 for e in got32)
+    # only one 8-core pass exists -> below min_passes -> no gate input
+    assert comparable_history_entries(str(p), 0.1, cpus=8) is None
+    # cpus=None keeps the legacy (unfiltered) behaviour
+    assert len(comparable_history_entries(str(p), 0.1)) == 4
