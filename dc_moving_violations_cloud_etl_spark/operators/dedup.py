@@ -705,44 +705,50 @@ def components_from_edges(edges: DataFrame, max_iter: int = 30) -> DataFrame:
     )
     prev_sum = None
     for _ in range(max_iter):
-        # hook: pull the min label across edges
-        pulled = (
-            sym.join(labels, sym.a == labels.node)
-            .groupBy(F.col("b").alias("node"))
-            .agg(F.min("label").alias("nbr_min"))
-        )
-        hooked = (
-            labels.alias("l")
-            .join(pulled.alias("p"), "node", "left")
-            .select(
-                "node",
-                F.least(
-                    F.col("l.label"),
-                    F.coalesce(F.col("p.nbr_min"), F.col("l.label")),
-                ).alias("label"),
-            )
-        )
-        # shortcut (pointer jump): label := label's label — doubles the
-        # hop distance covered per round. r14 (guide §2.4): hook +
-        # shortcut compose into ONE materialization per round — the
-        # hooked subtree appears on both sides of the jump join, and
-        # Spark's ReuseExchange serves the second side from the first's
-        # shuffle output, so fusing halves the scheduled jobs per round
-        # (2 localCheckpoints + 1 collect → 1 + 1) without recomputing
-        # the hook.
-        lut = hooked.select(
-            F.col("node").alias("lut_id"), F.col("label").alias("lut_label")
-        )
-        labels = (
-            hooked.join(lut, hooked.label == lut.lut_id, "left")
-            .select(
-                "node",
-                F.coalesce(F.col("lut_label"), F.col("label")).alias("label"),
-            )
-            .localCheckpoint()
-        )
+        labels = cc_round(sym, labels).localCheckpoint()
         cur_sum = labels.agg(F.sum("label")).collect()[0][0]
         if cur_sum == prev_sum:
             break
         prev_sum = cur_sum
     return labels
+
+
+def cc_round(sym: DataFrame, labels: DataFrame) -> DataFrame:
+    """One hook + pointer-jump round of ``components_from_edges``,
+    factored so the per-round PLAN is assertable by tests: the dedup
+    claim of the fused round (r14) is that the hooked subtree on both
+    sides of the jump join is served by ReuseExchange, not recomputed —
+    a silent reuse break would double per-round work with no
+    correctness signal (ADVICE r14)."""
+    # hook: pull the min label across edges
+    pulled = (
+        sym.join(labels, sym.a == labels.node)
+        .groupBy(F.col("b").alias("node"))
+        .agg(F.min("label").alias("nbr_min"))
+    )
+    hooked = (
+        labels.alias("l")
+        .join(pulled.alias("p"), "node", "left")
+        .select(
+            "node",
+            F.least(
+                F.col("l.label"),
+                F.coalesce(F.col("p.nbr_min"), F.col("l.label")),
+            ).alias("label"),
+        )
+    )
+    # shortcut (pointer jump): label := label's label — doubles the
+    # hop distance covered per round. r14 (guide §2.4): hook +
+    # shortcut compose into ONE materialization per round — the
+    # hooked subtree appears on both sides of the jump join, and
+    # Spark's ReuseExchange serves the second side from the first's
+    # shuffle output, so fusing halves the scheduled jobs per round
+    # (2 localCheckpoints + 1 collect → 1 + 1) without recomputing
+    # the hook.
+    lut = hooked.select(
+        F.col("node").alias("lut_id"), F.col("label").alias("lut_label")
+    )
+    return hooked.join(lut, hooked.label == lut.lut_id, "left").select(
+        "node",
+        F.coalesce(F.col("lut_label"), F.col("label")).alias("label"),
+    )

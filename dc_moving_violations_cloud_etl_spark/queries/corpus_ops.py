@@ -1921,17 +1921,29 @@ def viterbi_wordlens_core(words: DataFrame, vocab: DataFrame) -> DataFrame:
     )
 
     def _step(acc: F.Column, e: F.Column) -> F.Column:
-        """DP transition: append position e's best (b, np) or NULL."""
+        """DP transition: append position e's best (b, np) or NULL.
+
+        ``try_element_at`` (not ``element_at``) in every lambda: the
+        invariants (``_uni_candidates`` guarantees s < e, And
+        short-circuits the m['e']==e conjunct first) keep the index in
+        bounds today, but under Spark 4 ANSI a plain element_at would
+        THROW if predicate evaluation order or the candidate invariant
+        ever changed — same hazard class ``_merge_fold`` already
+        guards (ADVICE r14)."""
         reach = F.filter(
             F.col("ms"),
             lambda m: (m["e"] == e)
-            & F.element_at(acc, m["s"] + 1).isNotNull(),
+            & F.try_element_at(acc, m["s"] + 1).isNotNull(),
         )
         scored = F.transform(
             reach,
             lambda m: F.struct(
-                (F.element_at(acc, m["s"] + 1)["b"] + m["lp"]).alias("b"),
-                (-F.element_at(acc, m["s"] + 1)["np"] - 1).alias("negnp"),
+                (F.try_element_at(acc, m["s"] + 1)["b"] + m["lp"]).alias(
+                    "b"
+                ),
+                (-F.try_element_at(acc, m["s"] + 1)["np"] - 1).alias(
+                    "negnp"
+                ),
             ),
         )
         mx = F.array_max(scored)

@@ -435,3 +435,30 @@ def test_corpus_joins_pin_shuffled_hash(spark, sf_dir):
     ):
         plan = _plan(QUERIES[name].build(spark, sf_dir))
         assert "ShuffledHashJoin" in plan, f"{name} lost its pin:\n{plan}"
+
+
+def test_cc_round_reuses_hook_exchange(spark, sf_dir):
+    """The fused hook+shortcut CC round (r14, guide §2.4) relies on
+    ReuseExchange serving the jump join's second side from the hooked
+    subtree's first shuffle — if a future plan change breaks reuse, the
+    hook silently recomputes twice per round (perf, not correctness).
+    Plan-snapshot assertion per ADVICE r14."""
+    from dc_moving_violations_cloud_etl_spark.operators.dedup import (
+        cc_round,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (4, 5), (6, 1)], "a long, b long"
+    )
+    sym = edges.unionByName(
+        edges.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    )
+    labels = (
+        sym.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    r = cc_round(sym, labels)
+    r.collect()  # finalize the AQE plan — reuse is decided at runtime
+    plan = _plan(r)
+    assert "ReusedExchange" in plan, f"CC round lost exchange reuse:\n{plan}"
