@@ -148,9 +148,33 @@ def fingerprint_dup_groups(documents: DataFrame) -> DataFrame:
 
 
 def _jaccard(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard of two DISTINCT element arrays (every call site
+    passes ``shingles()`` = array_distinct output, no NULL elements).
+
+    r15 (guide §1.2 per-task work): |a ∪ b| = |a| + |b| − |a ∩ b| for
+    set-valued arrays, so the union is three int ops instead of a
+    second per-row hash-set build over ~150 strings — array_union cost
+    equals array_intersect and the verify stages evaluate _jaccard per
+    candidate PAIR (59k pairs × 2 set builds → 1 at sf0.1,
+    curation_decontaminate_neardup's dominant stage: measured 5.2 s →
+    see OPTIMIZATION_r15.md). Integer sizes and the single rounded
+    division are bit-identical to the two-set form."""
     inter = F.size(F.array_intersect(a, b)).cast("double")
-    union = F.size(F.array_union(a, b)).cast("double")
+    union = (F.size(a) + F.size(b)).cast("double") - inter
     return F.round(inter / union, 6)
+
+
+def _size_ratio_ok(a: F.Column, b: F.Column) -> F.Column:
+    """Exact Jaccard-threshold size prefilter (r15, guide §1.2): for
+    sets, J(a,b) ≤ min(|a|,|b|) / max(|a|,|b|), so any pair with
+    2·min < max sits strictly below JACCARD_THRESHOLD = 0.5 and is
+    guaranteed to fail the ``jaccard >= threshold`` filter every
+    caller applies — dropping it FIRST skips the per-pair hash-set
+    intersect (the dominant per-row cost of every verify join).
+    Integer arithmetic, engine-independent, result-identical."""
+    return 2 * F.least(F.size(a), F.size(b)) >= F.greatest(
+        F.size(a), F.size(b)
+    )
 
 
 def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
@@ -170,7 +194,8 @@ def ngram_jaccard_pairs(documents: DataFrame) -> DataFrame:
         F.col("a.doc_id") < F.col("b.doc_id")
     )
     return (
-        pairs.select(
+        pairs.where(_size_ratio_ok(F.col("a.sh"), F.col("b.sh")))
+        .select(
             F.col("a.doc_id").alias("a_doc_id"),
             F.col("b.doc_id").alias("b_doc_id"),
             _jaccard(F.col("a.sh"), F.col("b.sh")).alias("jaccard"),
@@ -292,6 +317,7 @@ def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     return (
         cand.join(sh.withColumnRenamed("doc_id", "a_doc_id").withColumnRenamed("sh", "sh_a"), "a_doc_id")
         .join(sh.withColumnRenamed("doc_id", "b_doc_id").withColumnRenamed("sh", "sh_b"), "b_doc_id")
+        .where(_size_ratio_ok(F.col("sh_a"), F.col("sh_b")))
         .select(
             "a_doc_id",
             "b_doc_id",
@@ -560,6 +586,7 @@ def minhash_assign_from_signatures(per_doc: DataFrame) -> DataFrame:
             ),
             "keeper_doc_id",
         )
+        .where(_size_ratio_ok(F.col("sh"), F.col("sh_k")))
         .select(
             "doc_id",
             "keeper_doc_id",

@@ -589,13 +589,39 @@ def _decontaminate_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
             "bench_doc_id",
         )
+        # size-ratio prefilter (r15, guide §1.2): J(a,b) ≤ min/max for
+        # sets, so a pair with 2·min(|a|,|b|) < max(|a|,|b|) can never
+        # reach the 0.5 threshold — drop it BEFORE the per-pair
+        # hash-set intersect (the query's dominant cost: ~59k candidate
+        # pairs × ~150-string set builds at sf0.1). Exact: every
+        # dropped pair fails the jaccard >= threshold filter below.
+        .where(_dedup._size_ratio_ok(F.col("sh"), F.col("sh_b")))
+        # explicit spread before the expensive per-pair eval (r15,
+        # guide §2.5): the candidate join's shuffle stats undersell the
+        # shingle-array payload ~20x, so AQE coalesced the verify input
+        # to 2 partitions at sf0.1 (measured via spark_partition_id) —
+        # 30 of 32 cores idle in the dominant stage. Scale-adaptive
+        # (defaultParallelism), same posture as operators/dedup._fan_out;
+        # the re-shuffled rows are banded candidates only.
+        .repartition(
+            spark.sparkContext.defaultParallelism,
+            "text_hash",
+            "bench_doc_id",
+        )
         .select(
             "text_hash",
             _dedup._jaccard(F.col("sh"), F.col("sh_b")).alias("jaccard"),
         )
-        .where(F.col("jaccard") >= _dedup.JACCARD_THRESHOLD)
+        # max BEFORE threshold (r15, guide §1.2 — identical result:
+        # max(all pairs) >= T iff some pair >= T, and then it equals
+        # max(pairs >= T)). The former filter-then-agg shape made
+        # Catalyst collapse project+filter and evaluate the jaccard
+        # TWICE per pair (once in the pushed filter, once in the agg
+        # input — measured 2x the stage); the aggregate is a pushdown
+        # barrier, so the HAVING-shaped threshold keeps one eval.
         .groupBy("text_hash")
         .agg(F.max("jaccard").alias("max_jaccard"))
+        .where(F.col("max_jaccard") >= _dedup.JACCARD_THRESHOLD)
     )
     corpus = per.where(~is_bench).select("doc_id", "lang", "text_hash")
     return (
