@@ -395,10 +395,27 @@ def pq_encode(embeddings: DataFrame) -> DataFrame:
     w = Window.partitionBy("vec_id", "sub").orderBy(
         F.col("d2").asc(), F.col("code").asc()
     )
+    # explicit spread of the code stream (r15, guide §2.5): every ADC
+    # consumer persists this table and probes it with a broadcast LUT
+    # join + per-(query, vec) decimal aggregate — the hot stage of the
+    # PQ family. The window's AQE-coalesced output collapses the tiny
+    # int table to ONE cached partition at bench scale (measured:
+    # codes.rdd.getNumPartitions() == 1, the whole ADC probe ran
+    # serial; repartitioned A/B 2.2 s -> 1.0 s on the per-pair agg).
+    # Width = the session's configured shuffle width (the width the
+    # window already had pre-AQE, cluster-tunable), keyed by vec_id so
+    # a vector's PQ_M codes co-locate and the downstream (query, vec)
+    # partial agg combines map-side. Cheap at any scale: the code
+    # table is the ~32x-compressed index — one extra shuffle of it is
+    # the smallest shuffle in the family.
+    width = int(
+        embeddings.sparkSession.conf.get("spark.sql.shuffle.partitions")
+    )
     return (
         scored.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
         .select("vec_id", "sub", "code")
+        .repartition(width, "vec_id")
     )
 
 

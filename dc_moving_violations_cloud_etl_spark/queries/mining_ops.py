@@ -1532,12 +1532,49 @@ def _semdedup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     memb = caching.persist_tracked(normed.join(a2, "vec_id")).hint(
         "shuffle_hash"
     )
-    a = memb.alias("a")
-    b = memb.alias("b")
+    # salt the k-key self-join (r15, guide §2.5): the join key has only
+    # k=8 distinct values, so every within-cluster pair was generated
+    # AND cosine-scored on ONE task (measured: all 249,802 pairs in one
+    # partition at sf0.1 — the query's dominant stage ran serial at any
+    # core count). Salting b-side rows to a deterministic per-row salt
+    # (pmod of vec_id — never rand(), guide §2.5 retry hazard) and
+    # exploding the a-side over all salt values keys the join on
+    # (cluster, salt): k x n_salt buckets, identical pair set (each
+    # (a, b) pair meets exactly once, at b's salt), and the per-pair
+    # dot products run data-parallel. The salt is RIGHT-SIZED to
+    # ceil(parallelism / k): replication cost is paid only where the
+    # cluster count itself is too small to parallelize — at 100 TB,
+    # k ≈ n/avg_cluster is large and the salt collapses toward 1.
+    # ... and PIN the join's partition count with explicit repartitions
+    # of the (tiny) salted inputs: the membership rows' compressed
+    # shuffle stats undersell the embedding arrays, so AQE coalesced
+    # the join's exchanges back to ONE partition even with 32 distinct
+    # (cluster, salt) keys (measured via spark_partition_id). A
+    # user-specified repartition is never AQE-coalesced, satisfies the
+    # join's required distribution (no extra exchange), and re-shuffles
+    # only the n + n·n_salt membership rows — never the O(pairs)
+    # scored stream.
+    par = spark.sparkContext.defaultParallelism
+    n_salt = max(1, -(-par // _KM_K))
+    a = (
+        memb.withColumn(
+            "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salt - 1)))
+        )
+        .repartition(par, "cluster", "_salt")
+        .alias("a")
+    )
+    b = (
+        memb.withColumn(
+            "_salt", F.pmod(F.col("vec_id"), F.lit(n_salt)).cast("int")
+        )
+        .repartition(par, "cluster", "_salt")
+        .alias("b")
+    )
     pairs = (
         a.join(
             b,
             (F.col("a.cluster") == F.col("b.cluster"))
+            & (F.col("a._salt") == F.col("b._salt"))
             & (F.col("a.vec_id") < F.col("b.vec_id")),
         )
         .select(
