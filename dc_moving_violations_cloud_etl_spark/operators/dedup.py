@@ -276,6 +276,23 @@ def minhash_signatures(documents: DataFrame) -> DataFrame:
     )
 
 
+def spread_by_doc(df: DataFrame) -> DataFrame:
+    """Explicit doc_id re-spread for persisted signature tables (r15,
+    guide §2.5): compressed shuffle stats undersell the shingle /
+    signature arrays ~20x, so AQE coalesces a persisted signature
+    build to 1-3 partitions at bench scale — every downstream band
+    explode, posting-list truth join and per-pair verify then runs
+    1-3-wide regardless of core count. Width = the configured shuffle
+    width (the partitioning the doc_id join already has pre-AQE,
+    cluster-tunable). Applied per CONSUMER, not in minhash_signatures
+    itself: the band-star edge path (dedup_components) measured SLOWER
+    with the extra exchange (its band window re-shuffles immediately),
+    while the verify-heavy consumers (assign, incremental, recall,
+    band-tradeoff) each measured 20-30% faster."""
+    width = int(df.sparkSession.conf.get("spark.sql.shuffle.partitions"))
+    return df.repartition(width, "doc_id")
+
+
 def minhash_lsh_pairs(documents: DataFrame) -> DataFrame:
     """Candidate pairs sharing ≥1 LSH band, verified with true Jaccard.
 
@@ -543,10 +560,10 @@ def minhash_dedup_assign(documents: DataFrame) -> DataFrame:
     # pipeline (Spark shares no subtrees across join branches); at
     # 100 TB this intermediate is exactly the signature table a web-scale
     # dedup writes to storage between the sketch and cluster passes.
-    per_doc = (
-        persist_tracked(
-        minhash_signatures(documents).select("doc_id", "sh", "bands")
-    )
+    per_doc = persist_tracked(
+        spread_by_doc(
+            minhash_signatures(documents).select("doc_id", "sh", "bands")
+        )
     )
     return minhash_assign_from_signatures(per_doc)
 

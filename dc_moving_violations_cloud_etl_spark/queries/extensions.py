@@ -1700,9 +1700,11 @@ def _incremental_assign(spark: SparkSession, sf_dir: str) -> DataFrame:
     delta = docs.where(F.col("doc_id") % 10 == 0)
     sig_cols = ["doc_id", "sh", "bands"]
     merged = caching.persist_tracked(
-        dedup.minhash_signatures(base)
-        .select(*sig_cols)
-        .unionByName(dedup.minhash_signatures(delta).select(*sig_cols))
+        dedup.spread_by_doc(
+            dedup.minhash_signatures(base)
+            .select(*sig_cols)
+            .unionByName(dedup.minhash_signatures(delta).select(*sig_cols))
+        )
     )
     return dedup.minhash_assign_from_signatures(merged)
 
@@ -1894,8 +1896,10 @@ def _minhash_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     verification (post-verify pairs equal truth-intersect-candidates by
     construction, so verifying first would make recall trivially 1)."""
     per_doc = dedup.persist_tracked(
-        dedup.minhash_signatures(_docs(spark, sf_dir)).select(
-            "doc_id", "sh", "bands"
+        dedup.spread_by_doc(
+            dedup.minhash_signatures(_docs(spark, sf_dir)).select(
+                "doc_id", "sh", "bands"
+            )
         )
     )
     qset = per_doc.where(F.col("doc_id") % _DEDUP_QUERY_MOD == 0).select(
@@ -2061,8 +2065,10 @@ def _lsh_band_tradeoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     left-join against the persisted ground truth. Ground truth is
     computed once. Output is 4 rows."""
     per_doc = dedup.persist_tracked(
-        dedup.minhash_signatures(_docs(spark, sf_dir)).select(
-            "doc_id", "sh", "mh"
+        dedup.spread_by_doc(
+            dedup.minhash_signatures(_docs(spark, sf_dir)).select(
+                "doc_id", "sh", "mh"
+            )
         )
     )
     qset = per_doc.where(F.col("doc_id") % _DEDUP_QUERY_MOD == 0).select(
