@@ -307,62 +307,67 @@ def _load_all() -> None:
 # in one window (VERDICT r12 rec #4 asked for min vintage >= r8 after
 # r14; this plan delivers >= r9).
 DRIVER_WINDOW = [
-    # ── changed embedding twins still on pre-r11-change official rows,
-    #    stalest-first: r8 vintage ──
-    "similarity_lsh_topk",
-    "similarity_lsh_recall",
-    "similarity_ivf_topk",
-    "dedup_embedding_cosine_pairs",
-    "dedup_components",
-    # ── r9 vintage ──
-    "embedding_dup_components",
-    # ── r10 vintage ──
-    "similarity_ivf_recall",
-    "similarity_ivf_nprobe2_recall",
-    "similarity_ivfpq_topk",
-    "similarity_ivfpq_recall",
+    # ── r15 rotation (VERDICT r14 rec #3 + this round's rewrites;
+    #    changed outranks stale, then stalest-first/alphabetical) ──
+    # A: the seven r14 rewrites VERDICT r14 rec #3 front-loads
+    #    (BPE/WordPiece trainers, minhash recall, DSIR, HITS, CC
+    #    incremental — not independently oracle-verified in r14's
+    #    window):
+    "corpus_bpe_train_merges",
+    "corpus_bpe_encode_lengths",
+    "corpus_wordpiece_train_merges",
+    "dedup_minhash_recall",
+    "corpus_dsir_importance_weights",
+    "graph_hits_bipartite",
+    "graph_cc_incremental",
+    # B: every r15-rewritten path (jaccard verify family, signature
+    #    spreads, PQ code spread, semdedup salt, viterbi hardening):
+    "curation_decontaminate_neardup",
+    "dedup_minhash_assign",
+    "dedup_incremental_signatures",
+    "dedup_ngram_jaccard_pairs",
+    "dedup_minhash_lsh_pairs",
+    "dedup_lsh_band_tradeoff",
+    "semdedup_cluster_pairs",
+    "retrieval_two_stage_rerank",
     "similarity_pq_adc_topk",
     "similarity_pq_recall",
-    "similarity_matryoshka_recall",
-    "embedding_quantize_int8",
-    "curation_perplexity_filter",
-    # ── 35 stalest r7 rows (alphabetical; the 5 alphabetically-last
-    #    r7 rows lead r14) ──
-    "basket_type_lift",
-    "binaryfile_source_stats",
-    "compaction_bin_packing",
-    "corpus_dataset_datasheet",
-    "corpus_kneser_ney_bigram",
-    "corpus_negative_samples",
-    "corpus_seqlen_histogram",
-    "corpus_suffix_array_doubling",
-    "corpus_tokenizer_fertility",
-    "corpus_unigram_seed_vocab",
+    "similarity_ivfpq_topk",
+    "similarity_ivfpq_recall",
     "corpus_unigram_viterbi_encode",
-    "curation_calibration_ece",
-    "curation_gopher_rules",
-    "curation_naive_bayes_langid",
-    "dedup_lsh_band_tradeoff",
-    "dedup_minhash_lsh_pairs",
-    "dp_noisy_histogram_release",
-    "embedding_pca_power_iteration",
-    "eval_ndcg_mrr",
-    "eval_pass_at_k",
-    "eval_rouge2_pairs",
-    "eval_spearman_signals",
-    "events_grouping_sets_matrix",
-    "events_local_day_rollup",
-    "events_value_drift_audit",
-    "events_zscore_outliers",
-    "fk_cardinality_profile",
-    "funnel_conversion_window_24h",
-    "geo_radius_join_hotspots",
-    "mining_best_of_n_gains",
-    "phrase_search_positional",
-    "privacy_k_anonymity_audit",
-    "q0_flagship_rainy_count",
-    "qa_monthly_agency_tickets",
-    "qd_rainy_day_tickets",
+    "corpus_tokenizer_fertility",
+    "dedup_components",
+    # C: freshness fill — the 5 remaining r7-vintage rows, then the
+    #    stalest r8 rows, alphabetical within vintage (mechanical
+    #    rule, no cherry-picking; vintage per CORRECTNESS_r*.json):
+    "rollup_serving_qa",
+    "stream_late_drop_audit",
+    "stream_statestore_read",
+    "user_activity_streaks",
+    "watermark_incremental",
+    "curation_decisions",
+    "curation_stratified_sample",
+    "dedup_exact_summary",
+    "dedup_fingerprint_groups",
+    "dedup_simhash_fingerprints",
+    "etl_violations_checksum",
+    "etl_violations_transform",
+    "etl_weather_missing_sentinel",
+    "etl_weather_transform",
+    "events_value_percentiles",
+    "gen_date_chunks",
+    "gen_page_plan",
+    "lang_id_confusion",
+    "multimodal_decode_metadata",
+    "multimodal_frame_sample",
+    "multimodal_resize_thumbnail",
+    "qa_rollup_totals",
+    "qb_total_tickets_since",
+    "qc_avg_tickets_per_weekday",
+    "qe_monthly_precipitation",
+    "qf_monthly_speeding_fines",
+    "qg_avg_tickets_per_hour",
+    "qh_accidents_rain_vs_dry",
 ]
 
 
